@@ -1,0 +1,21 @@
+"""PySpark-native analytics engine with the query / data-processing
+capabilities of ``defuse-protocol/rust-near-indexer`` (see SURVEY.md).
+
+Layout
+------
+- ``session``    – SparkSession builder tuned for local[32] tests and
+                   cluster deployment (AQE, UTC, Arrow).
+- ``schemas``    – every fixed StructType (single source of truth;
+                   the reference dual-declares Rust structs + ClickHouse
+                   DDL, e.g. indexer-primitives/src/lib.rs:24-91 vs
+                   clickhouse/init/01-core-tables.sql).
+- ``canonical``  – cross-engine deterministic hashing / canonicalization
+                   (the Spark analog of scripts/cross-validate.sh:103-153).
+- ``plans``      – bronze / state / silver / gold batch pipelines.
+- ``streaming``  – Structured Streaming formulation of the same DAG.
+- ``operators``  – scale operators beyond the reference: dedup,
+                   similarity search, text analysis, multimodal plumbing.
+- ``queries``    – the declared-query registry behind __spark_entry__.
+"""
+
+__version__ = "0.1.0"

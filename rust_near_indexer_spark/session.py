@@ -1,0 +1,73 @@
+"""SparkSession construction.
+
+One place for every engine-level knob so tests, bench.py and the driver
+entry point all run the same configuration.  Scale posture (100 TB,
+1000 executors) is encoded here as defaults that are correct on a real
+cluster and merely harmless locally: AQE with skew-join handling,
+partition coalescing, broadcast threshold, UTC session timezone
+(required for DuckDB-oracle comparison — DuckDB timestamps are
+UTC-naive), and Arrow for any pandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs applied to *every* session we build, and (idempotently, at
+# runtime) to sessions handed to us by the driver.  Only runtime-settable
+# ones go in RUNTIME_CONFS.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # The reference keeps nanosecond timestamps as raw u64
+    # (indexer-primitives/src/lib.rs:28, DateTime64(9) in ClickHouse);
+    # Spark's TimestampType is µs.  Read parquet TIMESTAMP(NANOS) as a
+    # canonical ns-long and derive µs timestamps (SURVEY §1.2).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-batched pandas exchange: the only sanctioned Python boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+BUILD_CONFS: dict[str, str] = {
+    # Broadcast joins for dimension tables (region/nation/assets…).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Nested-schema pruning for the deeply nested block messages.
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally built session.
+
+    The driver hands ``entry``/``queries()`` callables an existing
+    SparkSession; this makes its behavior match ours without rebuilding.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - immutable conf on some builds
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "rust-near-indexer-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

@@ -1,0 +1,47 @@
+"""Access to the driver-provided parquet tables.
+
+``/root/testdata/sf{0.001,0.01,0.1}/*.parquet`` — TPC-H-ish star schema
+plus ``events`` / ``documents`` / ``embeddings`` (see TESTDATA.md).
+Reads go through ``spark.read.parquet`` so Catalyst gets predicate
+pushdown, column pruning and partition-sized splits for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) → read as ns-long
+        # (nanosAsLong, see session.py), kept canonical as ts_ns with a
+        # derived µs TimestampType ts — the reference's dual convention
+        # (SURVEY §1.2: block_timestamp_ns long + µs-truncated timestamp).
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df

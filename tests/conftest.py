@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from rust_near_indexer_spark.session import get_spark
+
+    # Small local session: 4 threads / 8 shuffle partitions is faster than
+    # 32 for the tiny test SFs and changes no semantics.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    s = get_spark("tests", cpus=4)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
