@@ -1,0 +1,61 @@
+"""End-to-end batch pipeline: block stream → bronze tables.
+
+The per-block orchestration of the reference (R6,
+indexer-clickhouse/src/handlers/mod.rs:66-139 — transactions seed state
+first, then receipts/outcomes and events read it) becomes a declarative
+DAG here: state resolution is a fixpoint over the whole bounded input,
+which is equivalent for ordered replay because mapping validity windows
+are checked against the reader's block height.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .. import schemas
+from . import bronze, state
+
+
+def run_bronze(
+    blocks: DataFrame,
+    accounts: tuple = schemas.ACCOUNTS_OF_INTEREST,
+    ttl_blocks: int = state.DEFAULT_TTL_BLOCKS,
+    block_end: int | None = None,
+    events_only: bool = False,
+) -> dict[str, DataFrame]:
+    """Return the four bronze tables as DataFrames.
+
+    block_end: bounded stop (R5, handlers/mod.rs:23-29) — rows above the
+    bound are excluded but their state writes still happen (state is
+    computed from the unfiltered stream, matching the reference where the
+    filter stops *consumption*, not extraction of earlier blocks).
+
+    events_only: R26 (config.rs:74-76) — extract & state-update everything
+    but only produce the events table.
+    """
+    if block_end is not None:
+        blocks = blocks.where(blocks["block_height"] <= block_end)
+
+    flat_txs = bronze.flatten_transactions(blocks)
+    flat_outcomes = bronze.flatten_outcomes(blocks).persist()
+
+    seeds = state.seed_mappings(flat_txs, accounts)
+    edges = state.child_edges(flat_outcomes, accounts)
+    mappings = state.resolve_mappings(seeds, edges, ttl_blocks)
+
+    readers = state.readers_from_outcomes(flat_outcomes)
+    resolved_rows = state.resolve(readers, mappings, accounts, ttl_blocks, events_path=False)
+    resolved_events = state.resolve(readers, mappings, accounts, ttl_blocks, events_path=True)
+
+    events = bronze.event_rows(flat_outcomes, resolved_events, accounts)
+    out: dict[str, DataFrame] = {"events": events}
+    if not events_only:
+        outcomes_rows, receipt_rows = bronze.outcome_and_receipt_rows(
+            flat_outcomes, resolved_rows, accounts
+        )
+        out["transactions"] = bronze.transaction_rows(flat_txs, accounts)
+        out["execution_outcomes"] = outcomes_rows.unionByName(
+            bronze.tx_outcome_rows(flat_txs, accounts)
+        )
+        out["receipts"] = receipt_rows
+    return out
