@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness — per-query wall-times at the driver's bench SF.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "total_query_seconds", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, "blocks_per_sec": N, ...}
+
+Also measures the bronze block-pipeline throughput (blocks/s) on a
+synthetic block stream, comparable to the reference's operational anchor
+(0.4 blocks/s current / 15 blocks/s target, README.md:144).
+
+Everything except the final JSON line goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from rust_near_indexer_spark.queries import load_registry
+
+    registry = load_registry()
+    times: dict[str, float] = {}
+    for name in sorted(registry):
+        q = registry[name]
+        t0 = time.perf_counter()
+        try:
+            rows = q.spark(spark, sf_dir).collect()
+            times[name] = round(time.perf_counter() - t0, 3)
+            print(f"[bench] {name}: {times[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        except Exception as e:  # a failing query must not kill the whole bench
+            print(f"[bench] {name}: FAILED {e}", file=sys.stderr)
+            times[name] = -1.0
+    return times
+
+
+def bench_bronze_blocks(spark, n_blocks: int = 2000) -> float:
+    """Blocks/s of the batch bronze pipeline on a synthetic stream."""
+    from rust_near_indexer_spark import fixtures
+    from rust_near_indexer_spark.plans.pipeline import run_bronze
+
+    blocks, _ = fixtures.generate(n_blocks=n_blocks)
+    df = fixtures.blocks_df(spark, blocks)
+    t0 = time.perf_counter()
+    tables = run_bronze(df)
+    total_rows = sum(t.count() for t in tables.values())
+    elapsed = time.perf_counter() - t0
+    print(
+        f"[bench] bronze: {n_blocks} blocks, {total_rows} rows, "
+        f"{elapsed:.2f}s = {n_blocks / elapsed:.1f} blocks/s",
+        file=sys.stderr,
+    )
+    return round(n_blocks / elapsed, 2)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from rust_near_indexer_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+
+    # Warm the JVM / codegen cache once so per-query times measure the
+    # plan, not first-call JIT; the warmup query is re-timed below.
+    from rust_near_indexer_spark.queries import load_registry
+
+    registry = load_registry()
+    warm = registry.get("pricing_summary") or next(iter(registry.values()))
+    try:
+        warm.spark(spark, sf_dir).collect()
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] warmup failed: {e}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    times = bench_queries(spark, sf_dir)
+    total = round(time.perf_counter() - t0, 3)
+    blocks_per_sec = bench_bronze_blocks(spark)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_from_dir(sf_dir),
+                "blocks_per_sec": blocks_per_sec,
+                "n_queries": len(times),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -226,7 +226,8 @@ def generate(
                             "outcome": {
                                 "executor_id": signer,
                                 "receipt_ids": [r0],
-                                "status": "success_receipt_id",
+                                # raw variant name — bronze canonicalizes (R21)
+                                "status": "SuccessReceiptId",
                                 "logs": [],
                                 "tokens_burnt": str(rng.randint(1, 10**6) * 10**18),
                                 "gas_burnt": rng.randint(10**12, 3 * 10**14),
@@ -267,8 +268,9 @@ def generate(
                 if executor_of_interest
                 else (["some plain log"] if rng.random() < 0.3 else [])
             )
+            # raw ExecutionStatusView variant names (canonicalized by R21)
             status = rng.choices(
-                ["success_value", "success_receipt_id", "failure", "unknown"],
+                ["SuccessValue", "SuccessReceiptId", "Failure", "Unknown"],
                 weights=[60, 25, 12, 3],
             )[0]
             outcomes.append(

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import schemas
+
 # The 12 Action variants (indexer-primitives/src/lib.rs:93-108).  Unknown
 # variants are silently dropped (`filter_map(.. .ok())`,
 # extractors/transactions.rs:126-128) — the null-filter below preserves that.
@@ -36,6 +38,23 @@ KNOWN_ACTION_TYPES = (
 )
 
 EVENT_JSON_PREFIX = "EVENT_JSON:"  # extractors/events.rs:7
+
+
+def canonical_status(col: Column | str) -> Column:
+    """Status enum → string projection (R21, extractors/events.rs:235-246).
+
+    Maps the source's ExecutionStatusView variant names to the four
+    canonical strings the reference emits; already-canonical values pass
+    through unchanged (the enum is closed, so no other input exists).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c == "SuccessReceiptId", F.lit("success_receipt_id"))
+        .when(c == "SuccessValue", F.lit("success_value"))
+        .when(c == "Failure", F.lit("failure"))
+        .when(c == "Unknown", F.lit("unknown"))
+        .otherwise(c)
+    )
 
 
 def of_interest(accounts: tuple, *cols: Column | str) -> Column:
@@ -103,7 +122,9 @@ def flatten_outcomes(blocks: DataFrame) -> DataFrame:
             "shards",
             lambda s: F.coalesce(
                 s["receipt_execution_outcomes"],
-                F.array().cast("array<struct<execution_outcome:struct<id:string,outcome:struct<executor_id:string,receipt_ids:array<string>,status:string,logs:array<string>,tokens_burnt:string,gas_burnt:bigint>>,receipt:struct<receipt_id:string,receiver_id:string,predecessor_id:string,receipt_kind:string,actions:array<struct<action_type:string,params:string>>,data:string>>>"),
+                # empty array typed from the single source of truth —
+                # schema evolution cannot silently diverge a string copy
+                F.array().cast(schemas.SHARD["receipt_execution_outcomes"].dataType),
             ),
         )
     )
@@ -148,7 +169,7 @@ def tx_outcome_rows(flat_txs: DataFrame, accounts: tuple) -> DataFrame:
         F.col("tx.hash").alias("parent_transaction_hash"),
         F.col("tx_outcome.outcome.executor_id").alias("executor_id"),
         F.col("tx_outcome.outcome.receipt_ids").alias("receipt_ids"),
-        F.col("tx_outcome.outcome.status").alias("status"),
+        canonical_status(F.col("tx_outcome.outcome.status")).alias("status"),
         F.to_json(F.coalesce(F.col("tx_outcome.outcome.logs"), F.array())).alias("logs"),
         F.col("tx_outcome.outcome.tokens_burnt").alias("tokens_burnt"),
         F.col("tx_outcome.outcome.gas_burnt").alias("gas_burnt"),
@@ -198,7 +219,7 @@ def outcome_and_receipt_rows(
         F.coalesce(F.col("eo.outcome.receipt_ids"), F.array().cast("array<string>")).alias(
             "receipt_ids"
         ),
-        F.col("eo.outcome.status").alias("status"),
+        canonical_status(F.col("eo.outcome.status")).alias("status"),
         F.to_json(F.coalesce(F.col("eo.outcome.logs"), F.array())).alias("logs"),
         F.col("eo.outcome.tokens_burnt").alias("tokens_burnt"),
         F.col("eo.outcome.gas_burnt").alias("gas_burnt"),
@@ -240,9 +261,9 @@ def event_rows(
     (main tier always readable; potential tier only for receipts whose
     receiver/predecessor is of interest — events.rs:143-213).
 
-    execution_status arrives pre-canonicalized in the block fixture
-    (success_receipt_id|success_value|unknown|failure) — the enum→string
-    projection R21 (events.rs:235-246) happens at the source boundary.
+    execution_status goes through canonical_status (R21,
+    events.rs:235-246): raw ExecutionStatusView variant names are mapped
+    to the four canonical strings at this bronze boundary.
     """
     logs = (
         flat_outcomes.where(of_interest(accounts, "eo.outcome.executor_id"))
@@ -287,7 +308,7 @@ def event_rows(
     ).select(
         *_BLOCK_COLS,
         F.col("eo.outcome.executor_id").alias("contract_id"),
-        F.col("eo.outcome.status").alias("execution_status"),
+        canonical_status(F.col("eo.outcome.status")).alias("execution_status"),
         "version",
         "standard",
         F.col("index_in_log").cast("long").alias("index_in_log"),

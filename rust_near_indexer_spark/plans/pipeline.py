@@ -25,10 +25,16 @@ def run_bronze(
 ) -> dict[str, DataFrame]:
     """Return the four bronze tables as DataFrames.
 
-    block_end: bounded stop (R5, handlers/mod.rs:23-29) — rows above the
-    bound are excluded but their state writes still happen (state is
-    computed from the unfiltered stream, matching the reference where the
-    filter stops *consumption*, not extraction of earlier blocks).
+    block_end: bounded stop (R5, handlers/mod.rs:23-29) — the bound is
+    applied up front, before extraction and state computation.  This is
+    equivalent to the reference's stop-consuming-at-the-bound semantics
+    because a mapping written at block W is only readable at blocks
+    M ≥ W: state written above the bound is unreachable by any in-bound
+    reader, so dropping those blocks entirely changes no emitted row.
+    (Contrast with the accounts-of-interest filter, which must NOT be
+    pushed past state writes — filtered txs still seed the potential
+    tier; the DAG below honors that by building seeds/edges from the
+    unfiltered flat_txs/flat_outcomes.)
 
     events_only: R26 (config.rs:74-76) — extract & state-update everything
     but only produce the events table.

@@ -81,11 +81,24 @@ def child_edges(flat_outcomes: DataFrame, accounts: tuple) -> DataFrame:
     )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage + pin the frontier of the fixpoint loop.
+
+    Uses a reliable checkpoint when the deployment set a checkpoint dir
+    (cluster posture: a lost executor must not recompute the whole
+    iteration chain); falls back to an eager localCheckpoint otherwise.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def resolve_mappings(
     seeds: DataFrame,
     edges: DataFrame,
     ttl_blocks: int = DEFAULT_TTL_BLOCKS,
-    max_depth: int = 24,
+    max_depth: int = 8,
 ) -> DataFrame:
     """Propagate seeds down the receipt DAG to fixpoint.
 
@@ -93,10 +106,18 @@ def resolve_mappings(
     write_block).  Multiple validity windows per receipt are kept as
     separate rows (Redis overwrite = a later SETEX; readers check any
     window).
+
+    Scale posture: each frontier is eagerly checkpointed (lineage
+    truncation — no replanning-cost compounding, no recompute-chain on
+    executor loss), the final mapping table is a union of materialized
+    frontiers (nothing stays pinned in cache), and iteration count is
+    bounded by the receipt-DAG depth (≤ ~6 in practice per SURVEY §7.2;
+    default 8).  Per round: one equi-join shuffle on a geometrically
+    shrinking frontier + distinct/anti-join dedup.
     """
     edges = edges.persist()
-    mappings = seeds.persist()
-    frontier = mappings
+    frontier = _materialize(seeds)
+    mappings = frontier
     for _ in range(max_depth):
         new = (
             edges.join(
@@ -115,13 +136,18 @@ def resolve_mappings(
             .distinct()
         )
         # only genuinely new mappings continue the frontier
-        new = new.join(
-            mappings, ["receipt_id", "tx_hash", "tier", "write_block"], "left_anti"
-        ).persist()
+        new = _materialize(
+            new.join(
+                mappings, ["receipt_id", "tx_hash", "tier", "write_block"], "left_anti"
+            )
+        )
         if new.isEmpty():
             break
-        mappings = mappings.unionByName(new).persist()
+        # union of already-materialized frontiers: cheap to recompute, so
+        # no persist needed — nothing accumulates in the cache.
+        mappings = mappings.unionByName(new)
         frontier = new
+    edges.unpersist()
     return mappings
 
 
@@ -152,11 +178,21 @@ def resolve(
             (F.col("tier") == MAIN)
             | of_interest(accounts, "receiver_id", "predecessor_id")
         )
-    # one mapping per reader (tx_hash is unique per receipt in a valid
-    # chain; prefer main tier for determinism)
-    return (
-        joined.groupBy("receipt_id", "read_block")
-        .agg(F.min_by("tx_hash", F.when(F.col("tier") == MAIN, 0).otherwise(1)).alias("tx_hash"))
+    # One mapping per reader.  Tie-break mirrors the reference's read
+    # order + Redis overwrite semantics: main tier consulted first
+    # (find_parent_tx_hash, receipts_and_outcomes.rs:258-328), and within
+    # a tier a later SETEX wins (last-write-wins) → greatest write_block;
+    # tx_hash as the final total order makes the pick deterministic even
+    # for same-tier same-block duplicates.
+    return joined.groupBy("receipt_id", "read_block").agg(
+        F.max_by(
+            "tx_hash",
+            F.struct(
+                F.when(F.col("tier") == MAIN, F.lit(1)).otherwise(F.lit(0)).alias("tier_rank"),
+                F.col("write_block").alias("write_block"),
+                F.col("tx_hash").alias("tx_hash"),
+            ),
+        ).alias("tx_hash")
     )
 
 

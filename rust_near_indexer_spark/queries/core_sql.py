@@ -112,12 +112,22 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
+    # Aggregate the fact table BEFORE the join: the shuffle then moves
+    # two longs per customer instead of every order row carrying the
+    # customer name/segment payload — the plan that survives a 100×
+    # fact-table scale-up.  Equivalent because o_custkey is customer PK.
+    o_agg = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("order_count"),
+        F.sum(cents("o_totalprice")).alias("total_spend_cents"),
+    )
     return (
-        c.join(o, o.o_custkey == c.c_custkey, "left")
-        .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(
-            F.count("o_orderkey").alias("order_count"),
-            F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)).alias("total_spend_cents"),
+        c.join(o_agg, c.c_custkey == o_agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce("order_count", F.lit(0)).alias("order_count"),
+            F.coalesce("total_spend_cents", F.lit(0)).alias("total_spend_cents"),
         )
         .orderBy(F.desc("total_spend_cents"), "c_custkey")
         .limit(20)
@@ -282,8 +292,13 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id it would be shuffle-free.
     """
     ev = load(spark, sf_dir, "events")
-    # order on the exact ns-long, not the µs-truncated timestamp
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts_ns"), F.desc("event_id"))
+    # Order at µs precision (ts_ns div 1000) to match the oracle exactly:
+    # DuckDB reads the parquet TIMESTAMP(NANOS) column µs-truncated, so a
+    # ns-precision ordering here could pick a different row on same-user
+    # same-µs collisions.  event_id (unique) breaks any remaining tie.
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.expr("ts_ns div 1000")), F.desc("event_id")
+    )
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -307,7 +322,8 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "props_json_extract",
     oracle="""
-    SELECT (json_extract_string(props, '$.k')::BIGINT) % 10 AS k_mod,
+    SELECT (CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END::BIGINT) % 10 AS k_mod,
            COUNT(*) AS n,
            COUNT(CASE WHEN json_valid(props) THEN 1 END) AS valid_json_count
     FROM events
