@@ -12,9 +12,9 @@ Layout
 - ``canonical``  – cross-engine deterministic hashing / canonicalization
                    (the Spark analog of scripts/cross-validate.sh:103-153).
 - ``plans``      – bronze / state / silver / gold batch pipelines.
-- ``streaming``  – Structured Streaming formulation of the same DAG.
-- ``operators``  – scale operators beyond the reference: dedup,
-                   similarity search, text analysis, multimodal plumbing.
+- ``oracle_sim`` – pure-Python reference-semantics simulator (the
+                   independent golden-output oracle for plans/).
+- ``fixtures``   – deterministic block-stream generator feeding both.
 - ``queries``    – the declared-query registry behind __spark_entry__.
 """
 

@@ -170,7 +170,10 @@ def generate(
         if i < n_pre_cutoff:
             ts_ns = PRE_CUTOFF_TS_NS + i * BLOCK_NS
         else:
-            ts_ns = BASE_TS_NS + i * BLOCK_NS
+            # roll the clock forward one day every 80 blocks so the stream
+            # spans several calendar days (exercises the gold view's per-day
+            # grouping and the date-bucket assets join, 03-gold-views.sql:20)
+            ts_ns = BASE_TS_NS + (i // 80) * 86_400 * 10**9 + (i % 80) * BLOCK_NS
         block_hash = f"bh{height}"
 
         # --- transactions for this block ---------------------------------
@@ -290,7 +293,12 @@ def generate(
                         "receipt_id": spec["receipt_id"],
                         "receiver_id": spec["receiver_id"],
                         "predecessor_id": spec["predecessor_id"],
-                        "receipt_kind": "Action" if rng.random() > 0.05 else "Data",
+                        # all three ReceiptEnumView branches of R15
+                        # (receipts_and_outcomes.rs:195-225)
+                        "receipt_kind": rng.choices(
+                            ["Action", "Data", "GlobalContractDistribution"],
+                            weights=[90, 6, 4],
+                        )[0],
                         "actions": [
                             {
                                 "action_type": "FunctionCall",
@@ -334,7 +342,10 @@ def generate(
     # --- defuse_assets dimension: one row per (asset, day) ----------------
     day_ns = 86_400 * 10**9
     first_day = BASE_TS_NS - (BASE_TS_NS % day_ns)
-    n_days = int((BASE_TS_NS + n_blocks * BLOCK_NS - first_day) // day_ns) + 1
+    last_ts = (
+        BASE_TS_NS + ((n_blocks - 1) // 80) * day_ns + ((n_blocks - 1) % 80) * BLOCK_NS
+    )
+    n_days = int((last_ts - first_day) // day_ns) + 1
     assets = []
     meta = {
         "nep141:usdc.near": ("near", 6, "USDC", 1.0),

@@ -30,6 +30,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow-batched pandas exchange: the only sanctioned Python boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime-settable: the driver's vanilla session defaults to 200
+    # shuffle partitions, far too many for the local core count (AQE
+    # coalesces post-shuffle, but the initial task count still costs).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 BUILD_CONFS: dict[str, str] = {
