@@ -47,6 +47,7 @@ def load_registry() -> dict[str, Query]:
     """Import all query modules (side-effect: fills REGISTRY)."""
     from . import core_sql  # noqa: F401
     from . import near_events  # noqa: F401
+    from . import silver_gold  # noqa: F401
     from . import dedup  # noqa: F401
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
