@@ -15,6 +15,9 @@ Layout
 - ``oracle_sim`` – pure-Python reference-semantics simulator (the
                    independent golden-output oracle for plans/).
 - ``fixtures``   – deterministic block-stream generator feeding both.
+- ``operators``  – scale operators beyond the reference: multimodal
+                   binary-column plumbing (dedup / similarity / text
+                   analysis live in queries/ as oracle-gated pipelines).
 - ``queries``    – the declared-query registry behind __spark_entry__.
 """
 

@@ -51,5 +51,6 @@ def load_registry() -> dict[str, Query]:
     from . import dedup  # noqa: F401
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import multimodal  # noqa: F401
 
     return REGISTRY

@@ -1,1 +1,351 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication operators over ``documents`` (north-star §LLM).
+
+Exact dedup (hash-groupBy), MinHash+LSH near-dup (shingle → minhash →
+band → bucket-join → verified Jaccard — never all-pairs), SimHash, and
+n-gram Jaccard.  All pure ``pyspark.sql.functions`` higher-order array
+expressions; the DuckDB oracle re-implements the same pipeline with list
+lambdas.
+
+The driver's synthetic corpus has no natural duplicates, so every query
+runs over a deterministically *augmented* corpus: each doc_id divisible
+by 25 gains an exact copy (+200000) and each divisible by 10 a near-dup
+copy (+100000) with every 7th word dropped.  Both engines apply the same
+augmentation, so the planted structure is what the operators must find.
+
+Scale posture: LSH candidate generation is a shuffle on (band, bucket)
+keys — cardinality ≈ docs × bands, each bucket tiny — then verification
+touches only candidate pairs.  At 100 TB this is the standard
+linear-scan + bucketed-join shape; the all-pairs crossJoin never appears.
+
+Determinism: hashes are the cross-engine hash60 (canonical.py);
+jaccard/score values live in integer milli-units with floor division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..canonical import duck_hash60
+from ..tables import load
+from . import register
+
+N_PERM = 8  # minhash permutations
+N_BANDS = 8  # bands of 1 row each: recall 1-(1-j)^8 (≈0.99 at j=0.45)
+JACCARD_MILLI_THRESHOLD = 400
+
+
+def _hash60(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Augmented corpus (identical on both engines).
+# ---------------------------------------------------------------------------
+
+
+def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    words = F.split(F.col("text"), " ")
+    # drop every 7th word (1-based positions 7, 14, …)
+    near_text = F.concat_ws(" ", F.filter(words, lambda w, i: (i + 1) % 7 != 0))
+    near = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), near_text.alias("text")
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+# DuckDB rendering of the same augmentation (list lambdas are 1-indexed).
+AUG_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0
+    UNION ALL
+    SELECT doc_id + 100000,
+           array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 != 0), ' ')
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL})
+    SELECT md5(text) AS text_md5,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_id,
+           array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+    FROM aug
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY keeper_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text, keep-min policy.  One
+    shuffle on the content hash; at scale the standard first-pass dedup."""
+    aug = augmented_docs(spark, sf_dir)
+    return (
+        aug.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("member_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH.
+# ---------------------------------------------------------------------------
+
+
+def _shingles(words) -> F.Column:
+    """Distinct 3-word shingles."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        )
+    )
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, GREATEST(len(w) - 2, 0) + 1), "
+    "i -> array_to_string(w[i:i+2], ' ')))"
+)
+
+_MH_COLS_SQL = ", ".join(
+    "list_min(list_transform(sh, s -> {h})) AS mh{j}".format(
+        h=duck_hash60("concat('%d#', s)" % j), j=j
+    )
+    for j in range(N_PERM)
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, sh, {b} AS band, {h} AS bucket FROM mh".format(
+        b=b, h=duck_hash60("concat_ws('|', '%d', mh%d)" % (b, b))
+    )
+    for b in range(N_BANDS)
+)
+
+_SIMHASH_TERMS_SQL = " + ".join(
+    "(CASE WHEN 2 * len(list_filter(hs, x -> (x >> %d) & 1 = 1)) >= len(hs) "
+    "THEN %d ELSE 0 END)" % (j, 1 << j)
+    for j in range(16)
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    return aug.select(
+        "doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh")
+    ).where(F.size("sh") > 0)
+
+
+def _perm_hash(j: int):
+    # factory, not a defaulted second lambda arg: F.transform would bind a
+    # two-parameter lambda's second arg to the element index
+    prefix = F.lit(f"{j}#")
+    return lambda s: _hash60(F.concat(prefix, s))
+
+
+def _minhashes() -> list[F.Column]:
+    return [
+        F.array_min(F.transform(F.col("sh"), _perm_hash(j))).alias(f"mh{j}")
+        for j in range(N_PERM)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
+        WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    mh AS (
+        SELECT doc_id, sh, {_MH_COLS_SQL}
+        FROM sh
+    ),
+    bands AS (
+        {_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS inter,
+               len(sh_a) + len(sh_b) - len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS uni
+        FROM cand
+    )
+    SELECT doc_a, doc_b, (1000 * inter) // uni AS jaccard_milli
+    FROM verified
+    WHERE (1000 * inter) // uni >= {JACCARD_MILLI_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: distinct 3-shingles → 8 minhash
+    permutations → 8 bands of 1 row → bucket self-join (never all-pairs)
+    → exact-Jaccard verification of candidates only."""
+    docs = _doc_shingles(spark, sf_dir).select("doc_id", "sh", *_minhashes())
+    bands = docs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _hash60(
+                            F.concat_ws("|", F.lit(str(b)), F.col(f"mh{b}"))
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.floor(1000 * inter / uni).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", jac.alias("jaccard_milli"))
+        .where(F.col("jaccard_milli") >= JACCARD_MILLI_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash.
+# ---------------------------------------------------------------------------
+
+N_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    h AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '), w -> {duck_hash60("w")}) AS hs
+        FROM aug
+    )
+    SELECT doc_id, {_SIMHASH_TERMS_SQL} AS simhash
+    FROM h
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over the word multiset: bit j set iff the majority
+    of word-hashes have bit j set (the ±1-sum ≥ 0 formulation).  Near-dup
+    docs land at small Hamming distance."""
+    aug = augmented_docs(spark, sf_dir)
+    hs = F.transform(F.split(F.col("text"), " "), _hash60)
+    d = aug.select("doc_id", hs.alias("hs"))
+
+    def bit_pred(mask: int):
+        # single-arg lambda: a second parameter would be bound to the
+        # element INDEX by F.filter, not the closure variable
+        return lambda x: x.bitwiseAND(F.lit(mask)) != 0
+
+    simhash = None
+    for j in range(N_SIMHASH_BITS):
+        hits = F.size(F.filter(F.col("hs"), bit_pred(1 << j)))
+        bit = F.when(2 * hits >= F.size("hs"), F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return d.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard on a fixed pair set (the operator isolated from LSH).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
+    ),
+    pairs AS (
+        SELECT d.doc_id AS doc_a, d.doc_id + 100000 AS doc_b FROM documents d WHERE d.doc_id % 10 = 0
+        UNION ALL
+        SELECT d.doc_id, d.doc_id + 1 FROM documents d WHERE d.doc_id % 10 = 0 AND d.doc_id + 1 IN (SELECT doc_id FROM documents)
+    )
+    SELECT p.doc_a, p.doc_b,
+           (1000 * len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+             // (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jaccard_milli
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over a fixed candidate set: each planted
+    near-dup pair (high similarity) plus an unrelated control pair (low) —
+    the verification operator isolated from candidate generation."""
+    docs = load(spark, sf_dir, "documents")
+    sh = augmented_docs(spark, sf_dir).select(
+        "doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh")
+    )
+    base = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    planted = base.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 100000).alias("doc_b")
+    )
+    controls = (
+        base.join(docs.select(F.col("doc_id").alias("doc_b")),
+                  base.doc_id + 1 == F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+    )
+    pairs = planted.unionByName(controls)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(1000 * inter / uni).cast("long").alias("jaccard_milli"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,1 +1,210 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over the ``embeddings`` table (north-star §LLM).
+
+Approximate-nearest-neighbor over a 64-dim unit-norm embedding column
+(``array<float>``): brute-force cosine top-k as the exactness baseline,
+a sign-bit LSH-bucketed variant as the scale path (search touches only
+the query's bucket — the IVF shape), and per-label centroid accumulation
+(the k-means/recall-eval building block).
+
+All dot products run JVM-side via ``zip_with`` + ``aggregate`` on array
+columns — no Python UDFs, no ``collect()``.  For determinism each
+per-component product is rounded to integer nano-units and summed as
+BIGINT: permutation-invariant and bit-identical across engines (the
+embeddings are unit-norm, so nano-dot == nano-cosine).
+
+Scale posture: brute-force is queries×corpus — fine for a broadcast query
+set, linear scan over the corpus (the baseline you validate recall
+against).  The LSH variant prunes the corpus by bucket equi-join: at
+100 TB the corpus is hash-partitioned by bucket and each query reads one
+partition's worth of candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from . import register
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+N_BUCKET_BITS = 8  # sign bits of the first 8 components → 256 buckets
+
+# dot(a, b) in integer nano-units, permutation-invariant
+_DOT_NANO_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(ROUND(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e9) AS BIGINT)))"
+)
+
+
+def _dot_nano(a, b) -> F.Column:
+    prods = F.zip_with(
+        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * 1e9).cast("long")
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _bucket(emb) -> F.Column:
+    b = F.lit(0)
+    for j in range(N_BUCKET_BITS):
+        b = b + F.when(emb[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b
+
+
+# DuckDB arrays are 1-indexed
+_BUCKET_SQL = " + ".join(
+    "(CASE WHEN embedding[%d] > 0 THEN %d ELSE 0 END)" % (j + 1, 1 << j)
+    for j in range(N_BUCKET_BITS)
+)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id, c.label,
+               {_DOT_NANO_SQL.format(a="q.q_emb", b="c.embedding")} AS cosine_nano
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_nano DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label, cosine_nano
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, linear-scan the
+    corpus, rank per query (vec_id tie-break)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            _dot_nano(F.col("q_emb"), F.col("embedding")).alias("cosine_nano"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_nano"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "cosine_nano",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    oracle=f"""
+    WITH b AS (SELECT *, {_BUCKET_SQL} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_DOT_NANO_SQL.format(a="q.q_emb", b="c.embedding")} AS cosine_nano
+        FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_nano DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id, cosine_nano
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH-bucketed ANN: 8 hyperplane sign bits (here: component
+    signs — a fixed orthogonal basis) → 256 buckets; each query scores
+    only its own bucket.  The equi-join on bucket is the partition-pruning
+    path that replaces the full scan at scale."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket(F.col("embedding"))
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _dot_nano(F.col("q_emb"), F.col("embedding")).alias("cosine_nano"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_nano"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cosine_nano")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e9) AS BIGINT))) AS nano
+        FROM embeddings
+    )
+    SELECT label, dim, COUNT(*) AS n, CAST(SUM(nano) AS BIGINT) AS sum_nano,
+           CAST(SUM(nano) // COUNT(*) AS BIGINT) AS centroid_nano
+    FROM flat
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulation in integer nano-units (k-means /
+    recall-eval building block): posexplode the vector, aggregate per
+    (label, dim) — map-side partial aggregation keeps the shuffle tiny."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),  # 1-based like the oracle
+        F.round(F.col("x").cast("double") * 1e9).cast("long").alias("nano"),
+    )
+    return (
+        flat.groupBy("label", "dim")
+        .agg(F.count("*").alias("n"), F.sum("nano").alias("sum_nano"))
+        # `div` truncates toward zero on both engines (DuckDB's `//` on
+        # integers truncates too — floor() would differ on negative sums)
+        .select(
+            "label",
+            "dim",
+            "n",
+            "sum_nano",
+            F.expr("sum_nano div n").alias("centroid_nano"),
+        )
+        .orderBy("label", "dim")
+    )

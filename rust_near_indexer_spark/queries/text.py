@@ -1,1 +1,204 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators over the ``documents`` table (north-star §LLM).
+
+Large-scale training-data pipeline primitives: token counting
+(whitespace + BPE-ish regex), language-ID heuristic, quality scoring,
+and document fingerprinting — all pure ``pyspark.sql.functions``
+(higher-order array functions; zero Python UDFs), each hash-matched
+against a DuckDB oracle implementing the same semantics.
+
+Determinism: ratios/scores live in integer milli-units; fingerprints use
+the cross-engine md5-based hash60 (canonical.py).
+
+Scale posture: every query is scan→project→(small) aggregate — no
+shuffle except the final groupBy on low-cardinality keys; at 100 TB these
+run as embarrassingly parallel scans with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+
+# Frequent tokens of the synthetic corpus's "English" register; the
+# heuristic generalizes to real stopword lists unchanged.
+MARKER_WORDS = ("the", "and", "of", "table", "row", "query", "data", "join", "scan", "value")
+_MARKERS_SQL = "('" + "', '".join(MARKER_WORDS) + "')"
+
+# BPE-ish pre-tokenizer: word pieces or single non-space punctuation.
+TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def _words(col):
+    return F.split(col, " ")
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+           ROUND(SUM(length(text)) / (SUM(len(string_split(text, ' '))) * 1.0), 4) AS chars_per_token
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "text"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace tokens + BPE-ish regex tokens
+    (regexp_extract_all stays inside whole-stage codegen)."""
+    d = load(spark, sf_dir, "documents")
+    ws_tokens = F.size(_words(F.col("text")))
+    bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ws_tokens).alias("total_tokens"),
+            F.sum(bpe_tokens).alias("total_bpe_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.max(ws_tokens).alias("max_tokens"),
+            F.round(
+                F.sum(F.length("text")) / (F.sum(ws_tokens) * F.lit(1.0)), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), w -> w IN {_MARKERS_SQL})) AS marker_hits,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN marker_hits * 1000 >= n_tokens * 30 THEN 'en' ELSE 'other' END AS predicted,
+           COUNT(*) AS n_docs,
+           CAST(SUM(marker_hits) AS BIGINT) AS total_marker_hits
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("llm", "text"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-word language-ID heuristic → confusion matrix against
+    the labeled ``lang`` column.  Threshold in integer milli-units
+    (hits/token ≥ 3%)."""
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    hits = F.size(F.filter(words, lambda w: w.isin(*MARKER_WORDS)))
+    n_tokens = F.size(words)
+    scored = d.select(
+        "lang",
+        hits.alias("marker_hits"),
+        n_tokens.alias("n_tokens"),
+    )
+    predicted = F.when(
+        F.col("marker_hits") * 1000 >= F.col("n_tokens") * 30, F.lit("en")
+    ).otherwise(F.lit("other"))
+    return (
+        scored.groupBy("lang", predicted.alias("predicted"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("marker_hits").alias("total_marker_hits"),
+        )
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               len(list_filter(string_split(text, ' '), w -> w IN {_MARKERS_SQL})) AS marker_hits,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           LEAST(500, n_tokens) + LEAST(300, marker_hits * 25)
+             - LEAST(200, (n_punct * 1000) // GREATEST(n_tokens, 1)) AS score_milli,
+           CASE WHEN LEAST(500, n_tokens) + LEAST(300, marker_hits * 25)
+                     - LEAST(200, (n_punct * 1000) // GREATEST(n_tokens, 1)) >= 400
+                THEN 'keep' ELSE 'filter' END AS verdict
+    FROM f
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score: length + marker-word density − punct
+    penalty, all integer milli-units; banded into keep/filter — the
+    pre-training corpus filter shape."""
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_tokens = F.size(words)
+    marker_hits = F.size(F.filter(words, lambda w: w.isin(*MARKER_WORDS)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0)))
+    # floor division on both sides (values non-negative, so Spark's
+    # truncating double→long cast equals DuckDB's // floor)
+    score = (
+        F.least(F.lit(500), n_tokens)
+        + F.least(F.lit(300), marker_hits * 25)
+        - F.least(
+            F.lit(200),
+            F.floor(n_punct * 1000 / F.greatest(n_tokens, F.lit(1))).cast("long"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        score.alias("score_milli"),
+        F.when(score >= 400, F.lit("keep")).otherwise(F.lit("filter")).alias("verdict"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(
+               list_transform(range(1, GREATEST(len(w) - 2, 0) + 1),
+                              i -> array_to_string(w[i:i+2], ' ')),
+               s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS fingerprint
+    FROM sh
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "S26"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min hash60 over 3-word shingles
+    (a 1-permutation MinHash — the dedup building block)."""
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+    )
+    fp = F.array_min(
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    # docs shorter than 3 words have no shingle → NULL (matches the
+    # oracle's list_min([]) = NULL)
+    return d.select(
+        "doc_id", F.when(F.size(w) >= 3, fp).otherwise(F.lit(None)).alias("fingerprint")
+    ).orderBy("doc_id")

@@ -1,0 +1,97 @@
+"""LLM-data-pipeline operators vs DuckDB oracles + semantic checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_near_indexer_spark.queries import load_registry
+
+from .oracle_harness import compare, duck_connect
+
+LLM_QUERIES = [
+    "text_stats",
+    "text_language_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucketed_topk",
+    "embedding_label_centroids",
+    "multimodal_features",
+]
+
+
+@pytest.mark.parametrize("name", LLM_QUERIES)
+def test_llm_query_matches_oracle(spark, sf_dir, name):
+    reg = load_registry()
+    con = duck_connect(sf_dir)
+    q = reg[name]
+    r = compare(q.spark(spark, sf_dir), con, q.oracle)
+    assert r["hash_match"], r
+
+
+def test_minhash_finds_planted_neardups(spark, sf_dir):
+    """Every planted near-dup pair (doc, doc+100000) must be recovered by
+    LSH + verification; the exact copies (doc, doc+200000) too."""
+    reg = load_registry()
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in reg["dedup_minhash_lsh"].spark(spark, sf_dir).collect()
+    }
+    import duckdb
+
+    con = duck_connect(sf_dir)
+    planted = [r[0] for r in con.sql("SELECT doc_id FROM documents WHERE doc_id % 10 = 0").fetchall()]
+    found = sum((d, d + 100000) in pairs for d in planted)
+    # 8 bands of 1 row: collision prob 1-(1-j)^8 ≈ 0.99 at j ≈ 0.45 —
+    # demand ≥ 90 %.
+    assert found >= 0.9 * len(planted), (found, len(planted))
+
+
+def test_exact_dedup_finds_planted_copies(spark, sf_dir):
+    reg = load_registry()
+    rows = reg["dedup_exact"].spark(spark, sf_dir).collect()
+    keepers = {r["keeper_id"] for r in rows}
+    import duckdb
+
+    con = duck_connect(sf_dir)
+    planted = {r[0] for r in con.sql("SELECT doc_id FROM documents WHERE doc_id % 25 = 0").fetchall()}
+    assert planted <= keepers  # every planted exact-copy group found
+
+
+def test_simhash_neardups_close(spark, sf_dir):
+    """Planted near-dups should land within small Hamming distance of the
+    original; unrelated docs shouldn't systematically."""
+    reg = load_registry()
+    sh = {r["doc_id"]: r["simhash"] for r in reg["dedup_simhash"].spark(spark, sf_dir).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [ham(sh[d], sh[d + 100000]) for d in sh if d + 100000 in sh and d < 100000]
+    assert near and sum(near) / len(near) <= 2.0, near
+
+
+def test_lsh_ann_is_subset_of_bruteforce_space(spark, sf_dir):
+    """Bucketed ANN returns only same-bucket neighbors and never beats the
+    brute-force top-1 (it searches a subset)."""
+    reg = load_registry()
+    bf = reg["ann_bruteforce_topk"].spark(spark, sf_dir).collect()
+    lsh = reg["ann_lsh_bucketed_topk"].spark(spark, sf_dir).collect()
+    bf_best = {r["query_id"]: r["cosine_nano"] for r in bf if r["rank"] == 1}
+    for r in lsh:
+        if r["rank"] == 1:
+            assert r["cosine_nano"] <= bf_best[r["query_id"]]
+
+
+def test_multimodal_stubs_raise():
+    from rust_near_indexer_spark.operators import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x", {})
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"x", {})
