@@ -254,6 +254,81 @@ def transfers_union(
     return nep_part.unionByName(transfer.select(*_TRANSFER_COLS))
 
 
+def dip4_transfers_r25(
+    events: DataFrame, contracts: tuple = schemas.PRODUCTION_CONTRACTS
+) -> DataFrame:
+    """R25 — the reference's *second*, in-process formulation of the dip4
+    transfer silver table (extract_silver_dip4_transfers,
+    indexer-common/src/extractors/silver_transfers.rs:25-114), used by the
+    PG sink.  Differences from the MV (mv_silver_dip4_transfer):
+
+    - adds a ``referral`` column: the first non-empty referral among the
+      receipt's token_diff data items, in scan order
+      (silver_transfers.rs:32-53) — here a groupBy-first aggregate with a
+      deterministic (block, receipt_index, log_index, item_pos) order,
+      broadcast-left-joined (tiny per-receipt dim);
+    - ``amount`` is the exact decimal string → DecimalType(38,0) (the PG
+      NUMERIC path, migrations/...sql:18) instead of lossy Float64;
+    - empty memo → NULL (silver_transfers.rs:80);
+    - no timestamp cutoff, same production-contract filter.
+
+    Cross-validated row-for-row against the MV formulation (tolerance
+    1e-10 on amounts) the way scripts/cross-validate-pg.sh does.
+    """
+    base = events.where(
+        F.col("contract_id").isin(*contracts) & (F.col("standard") == "dip4")
+    )
+
+    td_items = base.where(F.col("event") == "token_diff").select(
+        "block_height",
+        "receipt_index_in_block",
+        "index_in_log",
+        "related_receipt_id",
+        F.posexplode(F.from_json("data", schemas.DIP4_TOKEN_DIFF_DATA)).alias(
+            "pos", "item"
+        ),
+    )
+    referrals = (
+        td_items.where(F.coalesce(F.col("item.referral"), F.lit("")) != "")
+        .groupBy("related_receipt_id")
+        .agg(
+            F.min_by(
+                F.col("item.referral"),
+                F.struct(
+                    "block_height", "receipt_index_in_block", "index_in_log", "pos"
+                ),
+            ).alias("referral")
+        )
+    )
+
+    tr = base.where(F.col("event") == "transfer").select(
+        *_COMMON,
+        "tx_hash",
+        F.explode(F.from_json("data", schemas.DIP4_TRANSFER_DATA)).alias("item"),
+    )
+    flat = tr.select(
+        *_COMMON,
+        F.coalesce("tx_hash", F.lit("")).alias("tx_hash"),
+        F.when(F.col("item.memo") == "", F.lit(None))
+        .otherwise(F.col("item.memo"))
+        .alias("memo"),
+        F.col("item.account_id").alias("old_owner_id"),
+        F.col("item.receiver_id").alias("new_owner_id"),
+        F.coalesce("item.intent_hash", F.lit("")).alias("intent_hash"),
+        F.explode(F.map_entries("item.tokens")).alias("kv"),
+    )
+    return flat.select(
+        *_COMMON,
+        "tx_hash",
+        "memo",
+        "old_owner_id",
+        "new_owner_id",
+        F.col("kv.key").alias("token_id"),
+        F.col("kv.value").cast("decimal(38,0)").alias("amount"),
+        "intent_hash",
+    ).join(F.broadcast(referrals), "related_receipt_id", "left")
+
+
 def all_silver_tables(events: DataFrame) -> dict[str, DataFrame]:
     """The complete silver layer from one bronze events DataFrame — the
     batch rendering of the 7-MV insert fan-out (SURVEY §3.2)."""

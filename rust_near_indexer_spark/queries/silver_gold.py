@@ -161,6 +161,46 @@ def transfers_union_sql(contracts: str) -> str:
     """
 
 
+def r25_sql() -> str:
+    """extract_silver_dip4_transfers (silver_transfers.rs:25-114) in
+    DuckDB: windowed first-non-empty referral + tokens map explode with
+    exact DECIMAL(38,0) amounts."""
+    return f"""
+    WITH ev AS (
+        SELECT * FROM {_EVENTS}
+        WHERE contract_id IN {_PROD} AND standard = 'dip4'
+    ),
+    td AS (
+        SELECT block_height, receipt_index_in_block, index_in_log, related_receipt_id,
+               unnest(from_json(data::JSON, '["JSON"]')) AS item,
+               unnest(range(1, json_array_length(data::JSON)::BIGINT + 1)) AS pos
+        FROM ev WHERE event = 'token_diff'
+    ),
+    refs AS (
+        SELECT related_receipt_id, referral FROM (
+            SELECT related_receipt_id, json_extract_string(item, '$.referral') AS referral,
+                   ROW_NUMBER() OVER (PARTITION BY related_receipt_id
+                                      ORDER BY block_height, receipt_index_in_block, index_in_log, pos) AS rn
+            FROM td WHERE coalesce(json_extract_string(item, '$.referral'), '') != ''
+        ) WHERE rn = 1
+    ),
+    tr AS (
+        SELECT *, unnest(from_json(data::JSON, '["JSON"]')) AS item
+        FROM ev WHERE event = 'transfer'
+    ),
+    items AS (SELECT *, unnest(json_keys(item, '$.tokens')) AS token_id FROM tr)
+    SELECT {_COMMON}, coalesce(i.tx_hash, '') AS tx_hash,
+           nullif(json_extract_string(item, '$.memo'), '') AS memo,
+           json_extract_string(item, '$.account_id') AS old_owner_id,
+           json_extract_string(item, '$.receiver_id') AS new_owner_id,
+           i.token_id,
+           TRY_CAST(replace(json_extract(item, '$.tokens."' || i.token_id || '"')::VARCHAR, '"', '') AS DECIMAL(38,0)) AS amount,
+           coalesce(json_extract_string(item, '$.intent_hash'), '') AS intent_hash,
+           r.referral
+    FROM items i LEFT JOIN refs r USING (related_receipt_id)
+    """
+
+
 def gold_sql() -> str:
     """gold_view_intents_metrics (03-gold-views.sql:4-31) with the same
     micro-USD decimal aggregation as plans/gold.py."""
@@ -270,6 +310,14 @@ def staging_silver_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
         silver.dip4_transfer(ev, (schemas.STAGING_CONTRACT,)),
         (schemas.STAGING_CONTRACT,),
     )
+
+
+@register("r25_dip4_transfers", oracle=r25_sql(), tags=("R25",))
+def r25_dip4_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25 dual formulation: the in-process (PG-path) dip4 transfer
+    extraction with first-non-empty referral join and exact decimal
+    amounts — cross-validated against the MV formulation in tests."""
+    return silver.dip4_transfers_r25(_events(spark))
 
 
 @register(

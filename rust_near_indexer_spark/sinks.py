@@ -1,0 +1,151 @@
+"""Write path: partitioned parquet sinks with ReplacingMergeTree semantics.
+
+The reference's sink layer re-expressed Spark-first:
+
+- **R23** ClickHouse batched sink + retry (indexer-clickhouse/src/database.rs:41-99):
+  here a partitioned parquet append per table; the exact exponential
+  backoff policy (10 attempts, 250 ms → 60 s cap, database.rs:4,53-57)
+  is provided as ``with_retries`` for external/network sinks — local
+  parquet writes are atomic-per-task and rely on Spark task retry.
+- **S20/§1.3** ReplacingMergeTree dedup: every append carries a
+  monotonically increasing ``ingest_seq``; ``read_final`` is the FINAL
+  read (last-write-wins per declared PK via row_number), and ``compact``
+  is the explicit merge that physically drops superseded rows — the same
+  eventual-dedup model as ClickHouse (duplicates coexist on disk until a
+  merge; reads through FINAL are always exact).
+- **S30** range partitioning: tables partition by ``height_bucket``
+  (block_height div 10_000) — the parquet analog of the PG monthly range
+  partitions (indexer-explorer/migrations/...sql:21,43-60) and of the CH
+  ORDER BY (block_height, ...) primary index: height-range predicates
+  prune partitions at the scan.
+- **R3** resume-from-checkpoint (database.rs:14-39; main.rs:30-50):
+  ``resume_start`` = ``cli`` if forced else ``max(cli, last_indexed+1)``.
+
+Scale posture: dedup-on-read shuffles only the partitions a query reads
+(PK prefix is block_height → partition-local); compaction is per
+height-bucket, embarrassingly parallel, and idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import schemas
+
+HEIGHT_BUCKET_SIZE = 10_000
+
+# Declared logical PKs (ReplacingMergeTree ORDER BY, 01-core-tables.sql).
+TABLE_PKS: dict[str, tuple] = {
+    "events": schemas.EVENTS_PK,
+    "transactions": schemas.TRANSACTIONS_PK,
+    "receipts": schemas.RECEIPTS_PK,
+    "execution_outcomes": schemas.EXECUTION_OUTCOMES_PK,
+}
+
+RETRY_ATTEMPTS = 10
+RETRY_BASE_DELAY = 0.25  # seconds (database.rs:4)
+RETRY_CAP = 60.0
+
+
+def with_retries(fn, attempts: int = RETRY_ATTEMPTS, base_delay: float = RETRY_BASE_DELAY,
+                 cap: float = RETRY_CAP, sleep=time.sleep):
+    """Exponential-backoff retry wrapper with the reference's policy
+    (250 ms doubling to a 60 s cap, 10 attempts — database.rs:53-71)."""
+    delay = base_delay
+    for attempt in range(1, attempts + 1):
+        try:
+            return fn()
+        except Exception:
+            if attempt == attempts:
+                raise
+            sleep(delay)
+            delay = min(delay * 2, cap)
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "height_bucket", (F.col("block_height") / HEIGHT_BUCKET_SIZE).cast("long")
+    )
+
+
+def append(df: DataFrame, path: str, ingest_seq: int) -> None:
+    """One batch append (R23 shape): stamp the ingest sequence, partition
+    by height bucket, append.  Re-appending an overlapping range is safe —
+    dedup happens at read/compact time (ReplacingMergeTree semantics)."""
+    (
+        _with_bucket(df.withColumn("ingest_seq", F.lit(ingest_seq).cast("long")))
+        .write.mode("append")
+        .partitionBy("height_bucket")
+        .parquet(path)
+    )
+
+
+def read_final(spark: SparkSession, path: str, pk: tuple) -> DataFrame:
+    """FINAL read (S20): last-write-wins per PK — greatest ingest_seq wins,
+    matching ReplacingMergeTree's keep-latest-version merge rule."""
+    df = spark.read.parquet(path)
+    w = Window.partitionBy(*pk).orderBy(F.desc("ingest_seq"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "ingest_seq", "height_bucket")
+    )
+
+
+def compact(spark: SparkSession, path: str, pk: tuple) -> None:
+    """Explicit merge (the OPTIMIZE ... FINAL analog): rewrite the table
+    with superseded PK versions dropped.  Idempotent."""
+    final = read_final(spark, path, pk).withColumn(
+        "ingest_seq", F.lit(0).cast("long")
+    )
+    tmp = path.rstrip("/") + ".compact.tmp"
+    _with_bucket(final).write.mode("overwrite").partitionBy("height_bucket").parquet(tmp)
+    # atomic-enough local swap; on object stores use a metastore/Delta
+    final_dir = path.rstrip("/")
+    old = final_dir + ".old"
+    os.rename(final_dir, old)
+    os.rename(tmp, final_dir)
+    import shutil
+
+    shutil.rmtree(old)
+
+
+def last_indexed_height(spark: SparkSession, path: str) -> int | None:
+    """SELECT max(block_height) on the sink (R3, database.rs:14-39)."""
+    if not os.path.exists(path):
+        return None
+    row = spark.read.parquet(path).agg(F.max("block_height").alias("h")).collect()[0]
+    return row["h"]
+
+
+def resume_start(cli_start: int, force: bool, last_height: int | None) -> int:
+    """start = force ? cli : max(cli, last_indexed + 1)  (main.rs:30-50)."""
+    if force or last_height is None:
+        return cli_start
+    return max(cli_start, last_height + 1)
+
+
+def ingest_bronze(
+    spark: SparkSession,
+    blocks: DataFrame,
+    base_dir: str,
+    ingest_seq: int,
+    accounts: tuple = schemas.ACCOUNTS_OF_INTEREST,
+    block_end: int | None = None,
+) -> dict[str, str]:
+    """Run the bronze pipeline and append every table to its sink — the
+    per-batch body of the streaming foreachBatch (SURVEY §3.1)."""
+    from .plans.pipeline import run_bronze
+
+    tables = run_bronze(blocks, accounts=accounts, block_end=block_end)
+    paths = {}
+    for name, df in tables.items():
+        path = os.path.join(base_dir, name)
+        with_retries(lambda d=df, p=path: append(d, p, ingest_seq))
+        paths[name] = path
+    return paths

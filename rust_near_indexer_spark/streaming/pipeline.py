@@ -1,0 +1,163 @@
+"""Streaming indexer: block stream → bronze sinks, exactly-once.
+
+The reference is a streaming system (R1/R2 sources → R4 ordered map →
+per-block handlers → R23 sink, indexer-clickhouse/src/main.rs:59-79,
+handlers/mod.rs:16-139).  The Spark-first rendering:
+
+- **Source (R1/R2)**: ``readStream`` over a directory of block files
+  (the file source is the stand-in for blocksapi/NEAR-Lake; both are
+  "ordered sequence of block messages from external storage").
+  ``maxFilesPerTrigger`` bounds the micro-batch — the analog of the
+  blocksapi prefetch batch (indexer-common/src/config.rs:98-104).
+- **Ordered processing (R4)**: micro-batches run strictly serially
+  (Structured Streaming's execution model) and the within-batch fixpoint
+  checks mapping-validity windows against reader heights, so replay
+  order is height-deterministic, not arrival-time-dependent.
+- **Correlation state (R16–R19)**: the reference's Redis is a *shared*
+  KV store read across keys (an outcome's lookup for receipt R writes
+  mappings for its children R′ — a cross-key dependency chain).  Spark's
+  keyed-state operators (``applyInPandasWithState`` /
+  ``transformWithStateInPandas``) partition state BY KEY and forbid
+  cross-key reads inside a batch, so chained same-batch resolution is
+  inexpressible there.  The idiomatic Spark equivalent of a shared KV
+  is an incrementally-maintained **state table**: each batch unions the
+  carried mappings with the batch's seeds, runs the bounded fixpoint
+  (plans/state.py), emits rows, and persists the surviving window of
+  mappings (TTL-pruned by height distance).  Deterministic, and the
+  whole state lives in columnar storage instead of an external Redis.
+- **Incremental MVs (S18)**: silver transforms are stateless per batch
+  (exactly ClickHouse MV semantics — each MV sees only the insert
+  batch), so the same ``plans/silver.py`` functions run inside
+  ``foreachBatch`` unchanged.
+- **Exactly-once**: ``foreachBatch`` may replay a batch after failure;
+  every append is stamped with ``ingest_seq = batch_id`` and the sinks
+  dedup by declared PK on read/compact (sinks.py), so replays collapse —
+  the same ReplacingMergeTree + re-insert-overlap idempotency model the
+  reference relies on (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas, sinks
+from ..plans import bronze, state
+
+_STATE_COLS = ("receipt_id", "tx_hash", "tier", "write_block")
+
+
+def _load_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    path = os.path.join(state_dir, "mappings")
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame(
+        [], "receipt_id string, tx_hash string, tier string, write_block long"
+    )
+
+
+def _save_state(df: DataFrame, state_dir: str) -> None:
+    path = os.path.join(state_dir, "mappings")
+    # materialize before overwriting the directory we just read from
+    df = df.localCheckpoint(eager=True)
+    df.select(*_STATE_COLS).write.mode("overwrite").parquet(path)
+
+
+def process_batch(
+    blocks: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    accounts: tuple = schemas.ACCOUNTS_OF_INTEREST,
+    ttl_blocks: int = state.DEFAULT_TTL_BLOCKS,
+    events_only: bool = False,
+) -> None:
+    """One micro-batch: the streaming body of handle_streamer_message
+    (handlers/mod.rs:66-139) over a batch of blocks."""
+    spark = blocks.sparkSession
+    if blocks.isEmpty():
+        return
+
+    flat_txs = bronze.flatten_transactions(blocks)
+    flat_outcomes = bronze.flatten_outcomes(blocks).persist()
+
+    carried = _load_state(spark, state_dir)
+    seeds = carried.unionByName(state.seed_mappings(flat_txs, accounts))
+    edges = state.child_edges(flat_outcomes, accounts)
+    # fixpoint over (carried ∪ batch seeds) and the batch's edges: an
+    # edge's parent mapping is either carried (earlier batch) or produced
+    # in this batch — there are no forward cross-batch dependencies
+    # because a parent executes before its children are spawned.
+    mappings = state.resolve_mappings(seeds, edges, ttl_blocks)
+
+    readers = state.readers_from_outcomes(flat_outcomes)
+    resolved_rows = state.resolve(readers, mappings, accounts, ttl_blocks)
+    resolved_events = state.resolve(
+        readers, mappings, accounts, ttl_blocks, events_path=True
+    )
+
+    tables = {"events": bronze.event_rows(flat_outcomes, resolved_events, accounts)}
+    if not events_only:
+        outcome_rows, receipt_rows = bronze.outcome_and_receipt_rows(
+            flat_outcomes, resolved_rows, accounts
+        )
+        tables["transactions"] = bronze.transaction_rows(flat_txs, accounts)
+        tables["execution_outcomes"] = outcome_rows.unionByName(
+            bronze.tx_outcome_rows(flat_txs, accounts)
+        )
+        tables["receipts"] = receipt_rows
+
+    for name, df in tables.items():
+        sinks.with_retries(
+            lambda d=df, p=os.path.join(out_dir, name): sinks.append(d, p, batch_id)
+        )
+
+    # TTL prune: a mapping written at W is unreadable once every future
+    # reader height exceeds W + ttl; batches arrive in height order, so
+    # pruning against the batch's max height is safe.
+    max_h = blocks.agg(F.max("block_height").alias("h")).collect()[0]["h"]
+    _save_state(
+        mappings.where(F.col("write_block") >= max_h - ttl_blocks), state_dir
+    )
+    flat_outcomes.unpersist()
+
+
+def run_streaming(
+    spark: SparkSession,
+    blocks_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str | None = None,
+    accounts: tuple = schemas.ACCOUNTS_OF_INTEREST,
+    ttl_blocks: int = state.DEFAULT_TTL_BLOCKS,
+    max_files_per_trigger: int = 1,
+    events_only: bool = False,
+) -> None:
+    """Run the streaming indexer over all available block files
+    (Trigger.AvailableNow — R5's bounded-stop in streaming form) and
+    block until the backlog drains."""
+    state_dir = state_dir or os.path.join(out_dir, "_state")
+    stream = (
+        spark.readStream.schema(schemas.BLOCK)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(blocks_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: process_batch(
+                df,
+                bid,
+                out_dir,
+                state_dir,
+                accounts=accounts,
+                ttl_blocks=ttl_blocks,
+                events_only=events_only,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -1,0 +1,96 @@
+"""Sink idempotency: double-ingest of an overlapping block range must
+yield identical FINAL fingerprints (the ReplacingMergeTree contract that
+makes the reference's resume-and-reinsert-overlap model exactly-once)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_near_indexer_spark import fixtures, sinks
+from rust_near_indexer_spark.canonical import fingerprint, hash60
+from rust_near_indexer_spark.queries.near_events import load_blocks
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    return load_blocks(spark).persist()
+
+
+def _fp(df):
+    cols = [c for c in df.columns]
+    return df.agg(
+        F.count("*").alias("n"), fingerprint(*[F.col(c).cast("string") for c in cols if c != "receipt_ids"]).alias("fp")
+    ).collect()[0]
+
+
+def test_double_ingest_idempotent(spark, blocks, tmp_path):
+    base = str(tmp_path / "sink")
+    # full ingest, then re-ingest the tail half (overlap)
+    sinks.ingest_bronze(spark, blocks, base, ingest_seq=1)
+    mid = blocks.agg(F.expr("percentile(block_height, 0.5)")).collect()[0][0]
+    tail = blocks.where(F.col("block_height") >= mid)
+    sinks.ingest_bronze(spark, tail, base, ingest_seq=2)
+
+    once = str(tmp_path / "sink_once")
+    sinks.ingest_bronze(spark, blocks, once, ingest_seq=1)
+
+    for name, pk in sinks.TABLE_PKS.items():
+        a = _fp(sinks.read_final(spark, f"{base}/{name}", pk))
+        b = _fp(sinks.read_final(spark, f"{once}/{name}", pk))
+        assert a == b, f"{name}: double-ingest diverged: {a} vs {b}"
+
+
+def test_compact_preserves_final(spark, blocks, tmp_path):
+    base = str(tmp_path / "sink")
+    sinks.ingest_bronze(spark, blocks, base, ingest_seq=1)
+    tail = blocks.where(F.col("block_height") >= 1100)
+    sinks.ingest_bronze(spark, tail, base, ingest_seq=2)
+
+    path = f"{base}/events"
+    pk = sinks.TABLE_PKS["events"]
+    before = _fp(sinks.read_final(spark, path, pk))
+    raw_before = spark.read.parquet(path).count()
+    sinks.compact(spark, path, pk)
+    after = _fp(sinks.read_final(spark, path, pk))
+    raw_after = spark.read.parquet(path).count()
+    assert before == after
+    assert raw_after < raw_before  # superseded versions physically dropped
+
+
+def test_partitioned_by_height_bucket(spark, blocks, tmp_path):
+    import os
+
+    base = str(tmp_path / "sink")
+    sinks.ingest_bronze(spark, blocks, base, ingest_seq=1)
+    subdirs = os.listdir(f"{base}/events")
+    assert any(d.startswith("height_bucket=") for d in subdirs)
+
+
+def test_resume_semantics(spark, blocks, tmp_path):
+    base = str(tmp_path / "sink")
+    sinks.ingest_bronze(spark, blocks, base, ingest_seq=1, block_end=1100)
+    last = sinks.last_indexed_height(spark, f"{base}/transactions")
+    assert last is not None and last <= 1100
+    assert sinks.resume_start(1000, force=False, last_height=last) == last + 1
+    assert sinks.resume_start(1000, force=True, last_height=last) == 1000
+    assert sinks.resume_start(2000, force=False, last_height=last) == 2000
+    assert sinks.resume_start(1000, force=False, last_height=None) == 1000
+
+
+def test_retry_policy():
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert sinks.with_retries(flaky, sleep=sleeps.append) == "ok"
+    assert calls["n"] == 4
+    assert sleeps == [0.25, 0.5, 1.0]  # 250 ms doubling (database.rs:53-57)
+
+    with pytest.raises(ZeroDivisionError):
+        sinks.with_retries(lambda: 1 / 0, attempts=3, sleep=sleeps.append)
