@@ -25,11 +25,13 @@ from rust_near_indexer_spark.queries import load_registry  # noqa: E402
 
 _REGISTRY = load_registry()
 
-FLAGSHIP = "pricing_summary"
+FLAGSHIP = "gold_intents_metrics"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship: the reference's gold_view_intents_metrics
+    (clickhouse/init/03-gold-views.sql:4-31) over the full fixture
+    pipeline (blocks → bronze → silver → gold).  Driver checks rows>0."""
     return _REGISTRY[FLAGSHIP].spark(spark, "/root/testdata/sf0.001")
 
 

@@ -205,10 +205,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection: distinct 3-shingles → 8 minhash
     permutations → 8 bands of 1 row → bucket self-join (never all-pairs)
     → exact-Jaccard verification of candidates only."""
-    docs = _doc_shingles(spark, sf_dir).select("doc_id", "sh", *_minhashes())
+    docs = _doc_shingles(spark, sf_dir).select("doc_id", "sh", *_minhashes()).persist()
+    # bands carry only (doc_id, band, bucket): the candidate self-join and
+    # dedup shuffle two longs + an id per row — the shingle arrays join
+    # back AFTER pair dedup, so big array payloads never enter the
+    # band shuffle or the distinct (the plan that survives a wide corpus)
     bands = docs.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -222,20 +225,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bucket"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "bucket"
-    )
-    cand = (
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    pair_ids = (
         a.join(b, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand = pair_ids.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.floor(1000 * inter / uni).cast("long")

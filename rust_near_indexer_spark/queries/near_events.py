@@ -187,6 +187,47 @@ def bronze_per_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VAL_ORACLE = f"""
+    WITH ev AS (SELECT * FROM read_parquet('{expected_path("events")}')),
+         tx AS (SELECT * FROM read_parquet('{expected_path("transactions")}')),
+         rc AS (SELECT * FROM read_parquet('{expected_path("receipts")}')),
+         oc AS (SELECT * FROM read_parquet('{expected_path("execution_outcomes")}'))
+    SELECT metric, value FROM (
+        SELECT 'events_rows' AS metric, count(*)::BIGINT AS value FROM ev
+        UNION ALL SELECT 'transactions_rows', count(*) FROM tx
+        UNION ALL SELECT 'receipts_rows', count(*) FROM rc
+        UNION ALL SELECT 'execution_outcomes_rows', count(*) FROM oc
+        UNION ALL SELECT 'events_null_tx', count(*) FILTER (tx_hash IS NULL) FROM ev
+        UNION ALL SELECT 'ri_receipts_violations', count(*)
+            FROM rc LEFT JOIN tx ON rc.parent_transaction_hash = tx.transaction_hash
+            WHERE tx.transaction_hash IS NULL
+        UNION ALL SELECT 'ri_outcomes_violations', count(*)
+            FROM oc LEFT JOIN tx ON oc.parent_transaction_hash = tx.transaction_hash
+            WHERE tx.transaction_hash IS NULL
+        UNION ALL SELECT 'events_outside_accounts', count(*) FILTER
+            (contract_id NOT IN ('intents.near', 'defuse-alpha.near', 'staging-intents.near')) FROM ev
+        UNION ALL SELECT 'invalid_tx_actions', count(*) FILTER (NOT json_valid(actions)) FROM tx
+        UNION ALL SELECT 'invalid_receipt_actions', count(*) FILTER (NOT json_valid(actions)) FROM rc
+        UNION ALL SELECT 'invalid_outcome_logs', count(*) FILTER (NOT json_valid(logs)) FROM oc
+    )
+    ORDER BY metric
+    """
+
+
+@register("bronze_validation_summary", oracle=_VAL_ORACLE, tags=("S21", "S22", "S23", "S24", "S25"))
+def bronze_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validate.sh invariant suite (scripts/validate.sh:85-179) run
+    against the Spark bronze outputs, as one (metric, value) table —
+    completeness, NULL-tx SLO numerator, anti-join RI, account filtering,
+    JSON validity — hash-matched against the same metrics computed by
+    DuckDB over the simulator goldens."""
+    from .. import validate
+
+    metrics = validate.validate_bronze(bronze_tables(spark))
+    rows = sorted(metrics.items())
+    return spark.createDataFrame(rows, "metric string, value long").orderBy("metric")
+
+
 _FP_PK = ("block_height", "execution_outcome_id")
 _FP_COLS = (
     "block_height",

@@ -73,6 +73,7 @@ def process_batch(
     accounts: tuple = schemas.ACCOUNTS_OF_INTEREST,
     ttl_blocks: int = state.DEFAULT_TTL_BLOCKS,
     events_only: bool = False,
+    with_silver: bool = False,
 ) -> None:
     """One micro-batch: the streaming body of handle_streamer_message
     (handlers/mod.rs:66-139) over a batch of blocks."""
@@ -109,6 +110,17 @@ def process_batch(
         )
         tables["receipts"] = receipt_rows
 
+    if with_silver:
+        # S18 incremental view maintenance: each ClickHouse MV sees only
+        # the inserted block batch (SURVEY §3.2) — exactly this shape.
+        # The transforms are stateless, so per-batch append == full
+        # recompute ∪-ed over batches.
+        from ..plans import silver as silver_plans
+
+        events_batch = tables["events"].persist()
+        for sname, sdf in silver_plans.all_silver_tables(events_batch).items():
+            tables[f"silver/{sname}"] = sdf
+
     for name, df in tables.items():
         sinks.with_retries(
             lambda d=df, p=os.path.join(out_dir, name): sinks.append(d, p, batch_id)
@@ -134,6 +146,7 @@ def run_streaming(
     ttl_blocks: int = state.DEFAULT_TTL_BLOCKS,
     max_files_per_trigger: int = 1,
     events_only: bool = False,
+    with_silver: bool = False,
 ) -> None:
     """Run the streaming indexer over all available block files
     (Trigger.AvailableNow — R5's bounded-stop in streaming form) and
@@ -154,6 +167,7 @@ def run_streaming(
                 accounts=accounts,
                 ttl_blocks=ttl_blocks,
                 events_only=events_only,
+                with_silver=with_silver,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

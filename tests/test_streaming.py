@@ -59,6 +59,36 @@ def test_streaming_equals_batch(spark, chunked_blocks_dir, tmp_path):
         assert got == want, f"{name}: streaming diverged from batch ({got} vs {want})"
 
 
+def test_streaming_silver_equals_batch(spark, chunked_blocks_dir, tmp_path):
+    """S18 incremental MV maintenance: per-batch silver appends must union
+    to exactly the batch-mode silver tables (ClickHouse MV semantics —
+    each MV sees only the insert batch)."""
+    from rust_near_indexer_spark.plans import silver
+
+    blocks_dir, blocks = chunked_blocks_dir
+    out = str(tmp_path / "out")
+    run_streaming(
+        spark,
+        blocks_dir,
+        out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ttl_blocks=TTL_BLOCKS,
+        with_silver=True,
+    )
+    batch_events = run_bronze(
+        fixtures.blocks_df(spark, blocks), ttl_blocks=TTL_BLOCKS
+    )["events"]
+    batch_silver = silver.all_silver_tables(batch_events)
+    for name in ("silver_nep_245_events", "silver_dip4_transfer", "silver_transfers"):
+        streamed = (
+            spark.read.parquet(os.path.join(out, "silver", name))
+            .drop("ingest_seq", "height_bucket")
+        )
+        want = _fp(batch_silver[name])
+        got = _fp(streamed.select(*batch_silver[name].columns))
+        assert got == want, f"{name}: streamed silver diverged ({got} vs {want})"
+
+
 def test_streaming_restart_is_noop(spark, chunked_blocks_dir, tmp_path):
     """Restarting with no new input (same checkpoint) changes nothing —
     the checkpoint + PK-dedup sink compose to exactly-once."""
