@@ -67,18 +67,34 @@ def with_retries(fn, attempts: int = RETRY_ATTEMPTS, base_delay: float = RETRY_B
             delay = min(delay * 2, cap)
 
 
-def _with_bucket(df: DataFrame) -> DataFrame:
+def _with_bucket(df: DataFrame, partitioning: str = "height_bucket") -> DataFrame:
+    if partitioning == "month":
+        # R24/S30 PG parity: PARTITION BY RANGE (block_timestamp) with
+        # monthly ranges (migrations/...sql:21,43-60).  parquet partition
+        # dirs are created dynamically — the analog of the sink's
+        # on-demand CREATE TABLE ... PARTITION OF (database.rs:122-168).
+        return df.withColumn(
+            "height_bucket",
+            F.date_format(
+                F.timestamp_micros(F.expr("block_timestamp_ns div 1000")), "yyyy-MM"
+            ),
+        )
     return df.withColumn(
         "height_bucket", (F.col("block_height") / HEIGHT_BUCKET_SIZE).cast("long")
     )
 
 
-def append(df: DataFrame, path: str, ingest_seq: int) -> None:
+def append(
+    df: DataFrame, path: str, ingest_seq: int, partitioning: str = "height_bucket"
+) -> None:
     """One batch append (R23 shape): stamp the ingest sequence, partition
-    by height bucket, append.  Re-appending an overlapping range is safe —
-    dedup happens at read/compact time (ReplacingMergeTree semantics)."""
+    by height bucket (or month — the PG layout), append.  Re-appending an
+    overlapping range is safe — dedup happens at read/compact time
+    (ReplacingMergeTree semantics)."""
     (
-        _with_bucket(df.withColumn("ingest_seq", F.lit(ingest_seq).cast("long")))
+        _with_bucket(
+            df.withColumn("ingest_seq", F.lit(ingest_seq).cast("long")), partitioning
+        )
         .write.mode("append")
         .partitionBy("height_bucket")
         .parquet(path)
