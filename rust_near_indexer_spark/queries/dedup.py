@@ -126,11 +126,24 @@ _SHINGLES_SQL = (
     "i -> array_to_string(w[i:i+2], ' ')))"
 )
 
+# Kirsch–Mitzenmacher double hashing: two md5-based hashes per shingle,
+# permutation j = (h1 + j·h2) mod 2^60 — near-independent minhash family
+# at 1/4 the md5 cost of 8 direct hashes.  h2 is reduced mod 2^59 so
+# h1 + 7·h2 stays below 2^63 (no BIGINT overflow on either engine).
+M60 = 1 << 60
+M59 = 1 << 59
+
 _MH_COLS_SQL = ", ".join(
-    "list_min(list_transform(sh, s -> {h})) AS mh{j}".format(
-        h=duck_hash60("concat('%d#', s)" % j), j=j
-    )
+    "list_min(list_transform(list_zip(hs1, hs2), "
+    "p -> (p[1] + {j} * p[2]) % {m60})) AS mh{j}".format(j=j, m60=M60)
     for j in range(N_PERM)
+)
+
+_HS_SQL = (
+    "list_transform(sh, s -> {h1}) AS hs1, "
+    "list_transform(sh, s -> {h2} % {m59}) AS hs2".format(
+        h1=duck_hash60("s"), h2=duck_hash60("concat('#', s)"), m59=M59
+    )
 )
 
 _BANDS_SQL = " UNION ALL ".join(
@@ -154,16 +167,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.size("sh") > 0)
 
 
-def _perm_hash(j: int):
-    # factory, not a defaulted second lambda arg: F.transform would bind a
-    # two-parameter lambda's second arg to the element index
-    prefix = F.lit(f"{j}#")
-    return lambda s: _hash60(F.concat(prefix, s))
+def _perm_mix(j: int):
+    # factory, not a defaulted second lambda arg (F.zip_with would bind it)
+    jj, m60 = F.lit(j), F.lit(M60)
+    return lambda h1, h2: (h1 + jj * h2) % m60
 
 
 def _minhashes() -> list[F.Column]:
     return [
-        F.array_min(F.transform(F.col("sh"), _perm_hash(j))).alias(f"mh{j}")
+        F.array_min(F.zip_with("hs1", "hs2", _perm_mix(j))).alias(f"mh{j}")
         for j in range(N_PERM)
     ]
 
@@ -179,7 +191,7 @@ def _minhashes() -> list[F.Column]:
     ),
     mh AS (
         SELECT doc_id, sh, {_MH_COLS_SQL}
-        FROM sh
+        FROM (SELECT doc_id, sh, {_HS_SQL} FROM sh)
     ),
     bands AS (
         {_BANDS_SQL}
@@ -205,7 +217,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection: distinct 3-shingles → 8 minhash
     permutations → 8 bands of 1 row → bucket self-join (never all-pairs)
     → exact-Jaccard verification of candidates only."""
-    docs = _doc_shingles(spark, sf_dir).select("doc_id", "sh", *_minhashes()).persist()
+    hash2 = lambda s: _hash60(F.concat(F.lit("#"), s)) % F.lit(M59)  # noqa: E731
+    docs = (
+        _doc_shingles(spark, sf_dir)
+        .withColumn("hs1", F.transform(F.col("sh"), _hash60))
+        .withColumn("hs2", F.transform(F.col("sh"), hash2))
+        .select("doc_id", "sh", *_minhashes())
+        .persist()
+    )
     # bands carry only (doc_id, band, bucket): the candidate self-join and
     # dedup shuffle two longs + an id per row — the shingle arrays join
     # back AFTER pair dedup, so big array payloads never enter the

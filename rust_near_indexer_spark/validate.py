@@ -41,30 +41,50 @@ def validate_bronze(
     rc = tables["receipts"]
     oc = tables["execution_outcomes"]
 
-    out: dict[str, int] = {}
-    for name, df in tables.items():
-        out[f"{name}_rows"] = df.count()
+    def cnt(cond) -> F.Column:
+        return F.count(F.when(cond, F.lit(1)))
 
-    out["events_null_tx"] = ev.where(F.col("tx_hash").isNull()).count()
+    # one aggregation job per table (map-side conditional counts), plus
+    # the two RI anti-joins — 6 jobs, not 11 sequential counts
+    ev_row = ev.agg(
+        F.count("*").alias("rows"),
+        cnt(F.col("tx_hash").isNull()).alias("null_tx"),
+        cnt(~F.col("contract_id").isin(*accounts)).alias("outside"),
+    ).collect()[0]
+    tx_row = tx.agg(
+        F.count("*").alias("rows"),
+        cnt(~_valid_json(F.col("actions"))).alias("invalid"),
+    ).collect()[0]
+    rc_row = rc.agg(
+        F.count("*").alias("rows"),
+        cnt(~_valid_json(F.col("actions"))).alias("invalid"),
+    ).collect()[0]
+    oc_row = oc.agg(
+        F.count("*").alias("rows"),
+        cnt(~_valid_json(F.col("logs"))).alias("invalid"),
+    ).collect()[0]
 
     tx_hashes = tx.select(F.col("transaction_hash").alias("h"))
-    out["ri_receipts_violations"] = (
-        rc.join(tx_hashes, rc["parent_transaction_hash"] == tx_hashes["h"], "left_anti")
-        .count()
-    )
-    out["ri_outcomes_violations"] = (
-        oc.join(tx_hashes, oc["parent_transaction_hash"] == tx_hashes["h"], "left_anti")
-        .count()
-    )
-
-    out["events_outside_accounts"] = ev.where(
-        ~F.col("contract_id").isin(*accounts)
+    ri_receipts = rc.join(
+        tx_hashes, rc["parent_transaction_hash"] == tx_hashes["h"], "left_anti"
+    ).count()
+    ri_outcomes = oc.join(
+        tx_hashes, oc["parent_transaction_hash"] == tx_hashes["h"], "left_anti"
     ).count()
 
-    out["invalid_tx_actions"] = tx.where(~_valid_json(F.col("actions"))).count()
-    out["invalid_receipt_actions"] = rc.where(~_valid_json(F.col("actions"))).count()
-    out["invalid_outcome_logs"] = oc.where(~_valid_json(F.col("logs"))).count()
-    return out
+    return {
+        "events_rows": ev_row["rows"],
+        "transactions_rows": tx_row["rows"],
+        "receipts_rows": rc_row["rows"],
+        "execution_outcomes_rows": oc_row["rows"],
+        "events_null_tx": ev_row["null_tx"],
+        "ri_receipts_violations": ri_receipts,
+        "ri_outcomes_violations": ri_outcomes,
+        "events_outside_accounts": ev_row["outside"],
+        "invalid_tx_actions": tx_row["invalid"],
+        "invalid_receipt_actions": rc_row["invalid"],
+        "invalid_outcome_logs": oc_row["invalid"],
+    }
 
 
 def assert_bronze_invariants(metrics: dict[str, int], max_null_tx_pct: float = 5.0):
