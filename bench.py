@@ -54,16 +54,28 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def bench_bronze_blocks(spark, n_blocks: int = 2000) -> float:
-    """Blocks/s of the batch bronze pipeline on a synthetic stream."""
+    """Blocks/s of the batch bronze pipeline on a synthetic stream.
+
+    Blocks are materialized to parquet first (untimed) so the measured
+    path is scan → extract → state fixpoint → project, not driver-side
+    plan shipping of inlined rows."""
+    import shutil
+    import tempfile
+
     from rust_near_indexer_spark import fixtures
     from rust_near_indexer_spark.plans.pipeline import run_bronze
 
     blocks, _ = fixtures.generate(n_blocks=n_blocks)
-    df = fixtures.blocks_df(spark, blocks)
-    t0 = time.perf_counter()
-    tables = run_bronze(df)
-    total_rows = sum(t.count() for t in tables.values())
-    elapsed = time.perf_counter() - t0
+    tmp = tempfile.mkdtemp(prefix="bench_blocks_")
+    try:
+        fixtures.blocks_df(spark, blocks).write.mode("overwrite").parquet(tmp)
+        df = spark.read.parquet(tmp)
+        t0 = time.perf_counter()
+        tables = run_bronze(df)
+        total_rows = sum(t.count() for t in tables.values())
+        elapsed = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     print(
         f"[bench] bronze: {n_blocks} blocks, {total_rows} rows, "
         f"{elapsed:.2f}s = {n_blocks / elapsed:.1f} blocks/s",

@@ -165,6 +165,83 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_COSINE_NANO = 900_000_000  # cosine ≥ 0.9 (unnormalized dot here)
+
+# Random unit vectors are near-orthogonal, so the corpus has no natural
+# near-dups: plant one per vec_id % 20 == 0 (+100000) by halving the last
+# component — an exact power-of-two scaling (bit-identical in both
+# engines) that keeps the sign-bit bucket and cosine ≈ 0.99.
+_AUG_EMB_SQL = """
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(embedding, (x, i) -> CASE WHEN i = 64 THEN CAST(x AS DOUBLE) * 0.5
+                                                    ELSE CAST(x AS DOUBLE) END)
+    FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+
+    def perturb(x, i):
+        # F.transform's 0-based index 63 == DuckDB's 1-based 64
+        return F.when(i == 63, x.cast("double") * 0.5).otherwise(x.cast("double"))
+
+    near = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), perturb).alias("embedding"),
+    )
+    return base.unionByName(near)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH aug AS ({_AUG_EMB_SQL}),
+    b AS (SELECT *, {_BUCKET_SQL} AS bucket FROM aug),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               {_DOT_NANO_SQL.format(a="a.embedding", b="c.embedding")} AS cosine_nano
+        FROM b a JOIN b c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, cosine_nano
+    FROM pairs WHERE cosine_nano >= {NEAR_DUP_COSINE_NANO}
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: sign-bit LSH buckets prune the
+    pair space (same-bucket self-join, never all-pairs), then candidates
+    are verified against a cosine threshold — the semantic-dedup stage of
+    a training-data pipeline."""
+    emb = _augmented_embeddings(spark, sf_dir).withColumn(
+        "bucket", _bucket(F.col("embedding"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _dot_nano(F.col("emb_a"), F.col("emb_b")).alias("cosine_nano"),
+        )
+        .where(F.col("cosine_nano") >= NEAR_DUP_COSINE_NANO)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @register(
     "embedding_label_centroids",
     oracle="""

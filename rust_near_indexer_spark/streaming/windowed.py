@@ -1,0 +1,151 @@
+"""Streaming aggregation surface: watermarked windows + keyed session state.
+
+North-star streaming operators beyond the indexer dataflow (the reference
+has no windowed aggregation — SURVEY §2B coverage notes):
+
+- ``windowed_event_counts``: event-time tumbling-window aggregation with
+  a watermark for late data — ``withWatermark`` + ``window()`` groupBy,
+  the canonical Structured Streaming shape.  In append mode a window
+  emits exactly once, when the watermark passes its end.
+- ``sessionize``: a custom stateful operator via
+  ``applyInPandasWithState`` keyed by user — gap-based sessionization
+  (the per-key state pattern that DOES fit Spark's keyed-state model,
+  unlike the cross-key correlation cache, see pipeline.py docstring).
+  Emits a session row whenever a gap closes it; the final open session
+  per key stays in state (bounded runs flush it on timeout in a live
+  stream).
+
+Both run identically on a batch DataFrame (window/groupBy) — tests
+compare the streamed output against the batch computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_GAP_NS = 30 * 60 * 10**9  # 30 min
+
+
+def windowed_event_counts(
+    events: DataFrame, watermark: str = "10 minutes", window: str = "1 hour"
+) -> DataFrame:
+    """Per-(window, event_type) counts + exact cents sum with late-data
+    tolerance.  ``events`` needs ts_ns (long) + event_type + value."""
+    ts = F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts")
+    return (
+        events.select(ts, "event_type", "value")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ns", LongType()),
+        StructField("session_end_ns", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ns", LongType()),
+        StructField("last_ns", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_fn(key, pdfs, state: GroupState):
+    """Gap-based sessionization for one user: events extend the current
+    session while the gap ≤ SESSION_GAP_NS; a larger gap emits the closed
+    session and starts a new one.  Pure per-key state — no cross-key reads."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        start_ns, last_ns, n = state.get
+    else:
+        start_ns = last_ns = None
+        n = 0
+
+    closed = []
+    for pdf in pdfs:
+        for ts_ns in pdf["ts_ns"].sort_values():
+            ts_ns = int(ts_ns)
+            if last_ns is None:
+                start_ns, last_ns, n = ts_ns, ts_ns, 1
+            elif ts_ns - last_ns <= SESSION_GAP_NS:
+                last_ns, n = ts_ns, n + 1
+            else:
+                closed.append((user_id, start_ns, last_ns, n))
+                start_ns, last_ns, n = ts_ns, ts_ns, 1
+    if last_ns is not None:
+        state.update((start_ns, last_ns, n))
+    if closed:
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start_ns", "session_end_ns", "n_events"]
+        )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """events (user_id, ts_ns) → closed-session rows, keyed state per user."""
+    return (
+        events.select("user_id", "ts_ns")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def batch_sessions(events: DataFrame) -> DataFrame:
+    """The same sessionization as a batch window computation (the oracle
+    for the streaming operator): gap > SESSION_GAP_NS starts a session."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    marked = events.select("user_id", "ts_ns").withColumn(
+        "new_session",
+        (
+            F.col("ts_ns") - F.lag("ts_ns").over(w) > SESSION_GAP_NS
+        ).cast("int"),
+    )
+    sid = F.sum(F.coalesce("new_session", F.lit(0))).over(
+        Window.partitionBy("user_id").orderBy("ts_ns").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        marked.withColumn("session_id", sid)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_ns").alias("session_start_ns"),
+            F.max("ts_ns").alias("session_end_ns"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("session_id")
+    )

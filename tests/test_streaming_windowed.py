@@ -1,0 +1,115 @@
+"""Watermarked windows + keyed-state sessionization: streamed output must
+match the batch computation of the same operator."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_near_indexer_spark.streaming import windowed
+from rust_near_indexer_spark.tables import load
+
+N_CHUNKS = 3
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
+    """The events table as height... ts-ordered chunked parquet files —
+    each chunk one micro-batch, so sessions and windows span batches."""
+    d = str(tmp_path_factory.mktemp("event_stream"))
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts_ns")
+        .orderBy("ts_ns")
+    )
+    rows = ev.count()
+    per = (rows + N_CHUNKS - 1) // N_CHUNKS
+    pdf = ev.toPandas()
+    for c in range(N_CHUNKS):
+        chunk = pdf.iloc[c * per : (c + 1) * per]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"c{c}")
+        )
+    # flatten: move part files up so the directory is a flat file stream
+    import glob
+    import shutil
+
+    for c in range(N_CHUNKS):
+        (part,) = glob.glob(os.path.join(d, f"c{c}", "part-*.parquet"))
+        shutil.move(part, os.path.join(d, f"{c:03d}.parquet"))
+        shutil.rmtree(os.path.join(d, f"c{c}"))
+    return d
+
+
+def _stream(spark, d):
+    schema = (
+        "event_id long, user_id long, event_type string, value double, ts_ns long"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    q = (
+        windowed.sessionize(_stream(spark, event_stream_dir))
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["session_start_ns"]): (r["session_end_ns"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+
+    ev = load(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["session_start_ns"]): (r["session_end_ns"], r["n_events"])
+        for r in windowed.batch_sessions(ev).collect()
+    }
+    # the stream emits only CLOSED sessions; each user's final session
+    # stays in state — so streamed ⊂ batch, and batch-minus-last == streamed
+    last_per_user = {}
+    for (u, s), _ in batch.items():
+        if u not in last_per_user or s > last_per_user[u]:
+            last_per_user[u] = s
+    closed_batch = {k: v for k, v in batch.items() if last_per_user[k[0]] != k[1]}
+    assert streamed == closed_batch
+    assert len(streamed) > 0
+
+
+def test_windowed_counts_stream_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    q = (
+        windowed.windowed_event_counts(_stream(spark, event_stream_dir))
+        .writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+
+    ev = load(spark, sf_dir, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in windowed.windowed_event_counts(ev).collect()
+    }
+    # append mode emits a window only when the watermark passes it: the
+    # final window(s) stay open at end-of-stream → streamed ⊆ batch,
+    # every emitted window exact, and most windows emitted
+    assert streamed
+    for k, v in streamed.items():
+        assert batch[k] == v, k
+    assert len(streamed) >= 0.8 * len(batch)
