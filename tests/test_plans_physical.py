@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the properties that make these queries
+scale-correct must survive refactors — filters reach the scan, small dims
+broadcast, fact tables pre-aggregate before joins, projections prune."""
+
+from __future__ import annotations
+
+import pytest
+
+from rust_near_indexer_spark.queries import load_registry
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    df = load_registry()[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filters_push_to_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, "shipping_priority", sf_dir)
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    # date filters reach both fact scans
+    assert plan.count("PushedFilters") >= 3
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "text_stats", sf_dir)
+    # only the two referenced columns are read from the 5-column table
+    assert "ReadSchema: struct<text:string,source:string>" in plan
+
+
+def test_gold_broadcasts_assets_dim(spark, sf_dir):
+    plan = _plan(spark, "gold_intents_metrics", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_customers_aggregates_before_join(spark, sf_dir):
+    """The fact table must pre-aggregate: a HashAggregate has to appear
+    below the join in the plan tree (partial aggregation of orders),
+    i.e. the join input is the aggregate, not raw order rows."""
+    plan = _plan(spark, "top_customers", sf_dir)
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    # formatted explain lists operators leaves-first: the orders-side
+    # aggregate nodes must exist in addition to the final aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_ann_prunes_by_bucket(spark, sf_dir):
+    """The bucketed ANN must join on the bucket key (pruned search), not
+    cross-join the corpus."""
+    plan = _plan(spark, "ann_lsh_bucketed_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bruteforce_ann_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, "ann_bruteforce_topk", sf_dir)
+    assert "Broadcast" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["pricing_summary", "silver_nep245_events", "dedup_exact"]
+)
+def test_no_python_udfs_in_relational_paths(spark, sf_dir, name):
+    """The parity surface stays JVM-side: no BatchEvalPython / ArrowEval
+    nodes outside the by-design multimodal mapInPandas."""
+    plan = _plan(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
