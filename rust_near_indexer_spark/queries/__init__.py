@@ -46,6 +46,7 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = (), doc: str
 def load_registry() -> dict[str, Query]:
     """Import all query modules (side-effect: fills REGISTRY)."""
     from . import core_sql  # noqa: F401
+    from . import extended_sql  # noqa: F401
     from . import near_events  # noqa: F401
     from . import silver_gold  # noqa: F401
     from . import dedup  # noqa: F401
