@@ -147,7 +147,7 @@ _HS_SQL = (
 )
 
 _BANDS_SQL = " UNION ALL ".join(
-    "SELECT doc_id, sh, {b} AS band, {h} AS bucket FROM mh".format(
+    "SELECT doc_id, hs1, {b} AS band, {h} AS bucket FROM mh".format(
         b=b, h=duck_hash60("concat_ws('|', '%d', mh%d)" % (b, b))
     )
     for b in range(N_BANDS)
@@ -190,20 +190,20 @@ def _minhashes() -> list[F.Column]:
         WHERE len({_SHINGLES_SQL}) > 0
     ),
     mh AS (
-        SELECT doc_id, sh, {_MH_COLS_SQL}
-        FROM (SELECT doc_id, sh, {_HS_SQL} FROM sh)
+        SELECT doc_id, hs1, {_MH_COLS_SQL}
+        FROM (SELECT doc_id, {_HS_SQL} FROM sh)
     ),
     bands AS (
         {_BANDS_SQL}
     ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs1 AS h_a, b.hs1 AS h_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
     verified AS (
         SELECT doc_a, doc_b,
-               len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS inter,
-               len(sh_a) + len(sh_b) - len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS uni
+               len(list_filter(h_a, x -> list_contains(h_b, x))) AS inter,
+               len(h_a) + len(h_b) - len(list_filter(h_a, x -> list_contains(h_b, x))) AS uni
         FROM cand
     )
     SELECT doc_a, doc_b, (1000 * inter) // uni AS jaccard_milli
@@ -222,7 +222,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_shingles(spark, sf_dir)
         .withColumn("hs1", F.transform(F.col("sh"), _hash60))
         .withColumn("hs2", F.transform(F.col("sh"), hash2))
-        .select("doc_id", "sh", *_minhashes())
+        .select("doc_id", "hs1", *_minhashes())
         .persist()
     )
     # bands carry only (doc_id, band, bucket): the candidate self-join and
@@ -254,11 +254,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # verification compares HASHED distinct shingles (long arrays) —
+    # cheaper set intersection than 30-char strings; md5-collision noise
+    # is negligible and both engines use the identical hashed sets
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs1").alias("h_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs1").alias("h_b"))
     cand = pair_ids.join(sh_a, "doc_a").join(sh_b, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size("sh_a") + F.size("sh_b") - inter
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    uni = F.size("h_a") + F.size("h_b") - inter
     jac = F.floor(1000 * inter / uni).cast("long")
     return (
         cand.select("doc_a", "doc_b", jac.alias("jaccard_milli"))
