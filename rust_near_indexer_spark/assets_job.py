@@ -19,7 +19,6 @@ Appends are cumulative history, deduped on read by the dimension PK
 from __future__ import annotations
 
 import datetime as dt
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
