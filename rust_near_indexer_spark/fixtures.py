@@ -189,6 +189,36 @@ def generate(
             else:
                 signer, receiver = rng.choice(NOISE_ACCOUNTS), rng.choice(NOISE_ACCOUNTS)
             tx_hash = f"tx{height}_{j}"
+            # ~5 %: a transaction whose outcome spawned NO receipts —
+            # receipt_ids.first() is None, so no state seed happens
+            # (extractors/transactions.rs:89-95 None-arm)
+            if rng.random() < 0.05:
+                txs.append(
+                    {
+                        "transaction": {
+                            "hash": tx_hash,
+                            "signer_id": signer,
+                            "receiver_id": receiver,
+                            "actions": [
+                                {"action_type": "Transfer", "params": _j({"deposit": "1"})}
+                            ],
+                        },
+                        "outcome": {
+                            "execution_outcome": {
+                                "id": f"eo_{tx_hash}",
+                                "outcome": {
+                                    "executor_id": signer,
+                                    "receipt_ids": [],
+                                    "status": "SuccessValue",
+                                    "logs": [],
+                                    "tokens_burnt": str(rng.randint(1, 10**6) * 10**18),
+                                    "gas_burnt": rng.randint(10**12, 3 * 10**14),
+                                },
+                            }
+                        },
+                    }
+                )
+                continue
             r0 = new_receipt_id()
             # schedule first receipt: mostly soon; sometimes past TTL
             if rng.random() < 0.04:
@@ -309,6 +339,19 @@ def generate(
                     },
                 }
             )
+
+        # empty blocks occasionally carry null or empty shards — the
+        # flatten operators must drop them without error (R7/R8 null arms)
+        if not txs and not outcomes and rng.random() < 0.5:
+            blocks.append(
+                {
+                    "block_height": height,
+                    "block_hash": block_hash,
+                    "block_timestamp_ns": ts_ns,
+                    "shards": None if rng.random() < 0.5 else [],
+                }
+            )
+            continue
 
         # split into 1-2 shards
         n_shards = 1 if (len(txs) + len(outcomes)) < 3 or rng.random() < 0.5 else 2

@@ -55,7 +55,9 @@ MAIN, POTENTIAL = "main", "potential"
 def seed_mappings(flat_txs: DataFrame, accounts: tuple) -> DataFrame:
     """(first receipt_id → tx hash) per transaction; tier by interest."""
     return flat_txs.select(
-        F.col("tx_outcome.outcome.receipt_ids")[0].alias("receipt_id"),
+        # null-safe first element: a tx whose outcome spawned no receipts
+        # seeds nothing (receipt_ids.first() None-arm, transactions.rs:89-95)
+        F.get(F.col("tx_outcome.outcome.receipt_ids"), F.lit(0)).alias("receipt_id"),
         F.col("tx.hash").alias("tx_hash"),
         F.when(of_interest(accounts, "tx.signer_id", "tx.receiver_id"), MAIN)
         .otherwise(POTENTIAL)

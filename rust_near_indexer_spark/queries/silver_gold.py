@@ -234,7 +234,7 @@ def gold_sql() -> str:
            coalesce(referral, 'Others') AS referral, blockchain,
            CAST(SUM(CASE WHEN event = 'mt_transfer' THEN {micro} END) AS DOUBLE) / 1e6 AS transfer_volume,
            CAST(SUM(CASE WHEN event = 'mt_mint' THEN {micro} END) AS DOUBLE) / 1e6 AS deposits,
-           -CAST(SUM(CASE WHEN event = 'mt_burn' THEN {micro} END) AS DOUBLE) / 1e6 AS withdraws,
+           CAST(-SUM(CASE WHEN event = 'mt_burn' THEN {micro} END) AS DOUBLE) / 1e6 AS withdraws,
            CAST(SUM(CASE WHEN event = 'mt_mint' THEN {micro}
                          WHEN event = 'mt_burn' THEN -{micro} END) AS DOUBLE) / 1e6 AS netflow
     FROM decoded
