@@ -306,6 +306,10 @@ def generate(
                 ["SuccessValue", "SuccessReceiptId", "Failure", "Unknown"],
                 weights=[60, 25, 12, 3],
             )[0]
+            # null-handling corners: logs arrive as null (not []) and an
+            # Action receipt may carry null actions → '[]' (R12 null arm)
+            null_logs = not logs and rng.random() < 0.3
+            null_actions = rng.random() < 0.05
             outcomes.append(
                 {
                     "execution_outcome": {
@@ -314,7 +318,7 @@ def generate(
                             "executor_id": executor,
                             "receipt_ids": children,
                             "status": status,
-                            "logs": logs,
+                            "logs": None if null_logs else logs,
                             "tokens_burnt": str(rng.randint(0, 10**5) * 10**18),
                             "gas_burnt": rng.randint(10**11, 10**14),
                         },
@@ -329,7 +333,9 @@ def generate(
                             ["Action", "Data", "GlobalContractDistribution"],
                             weights=[90, 6, 4],
                         )[0],
-                        "actions": [
+                        "actions": None
+                        if null_actions
+                        else [
                             {
                                 "action_type": "FunctionCall",
                                 "params": _j({"method_name": "on_receipt"}),
