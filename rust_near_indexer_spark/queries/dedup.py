@@ -16,6 +16,10 @@ Scale posture: LSH candidate generation is a shuffle on (band, bucket)
 keys — cardinality ≈ docs × bands, each bucket tiny — then verification
 touches only candidate pairs.  At 100 TB this is the standard
 linear-scan + bucketed-join shape; the all-pairs crossJoin never appears.
+Measured at sf0.1 (5.6k docs): max bucket 27 docs, ~116k candidate
+pairs, zero buckets above 64 — if a corpus ever produces hot buckets
+(near-identical boilerplate), add a HAVING count ≤ N bucket cap to both
+engines before the self-join.
 
 Determinism: hashes are the cross-engine hash60 (canonical.py);
 jaccard/score values live in integer milli-units with floor division.
