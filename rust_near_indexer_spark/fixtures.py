@@ -92,7 +92,9 @@ def _make_event_logs(rng: random.Random, receipt_id: str) -> list[str]:
             data = [
                 {
                     "account_id": rng.choice(NOISE_ACCOUNTS),
-                    "diff": diff,
+                    # ~6 %: diff missing entirely → the MV's
+                    # JSONExtractKeysAndValues('')/arrayJoin([]) drop path
+                    **({"diff": diff} if rng.random() > 0.06 else {}),
                     "intent_hash": f"ih_{receipt_id}_{rng.randint(0, 99)}",
                     "referral": rng.choice(REFERRALS),
                 }
@@ -102,8 +104,19 @@ def _make_event_logs(rng: random.Random, receipt_id: str) -> list[str]:
             data = [
                 {
                     "account_id": rng.choice(NOISE_ACCOUNTS),
-                    "receiver_id": rng.choice(NOISE_ACCOUNTS),
-                    "tokens": {t: str(rng.randint(1, 10**9)) for t in toks},
+                    # ~6 %: receiver missing → NULL new_owner_id
+                    # (JSON_VALUE without coalesce, sql:393)
+                    **(
+                        {"receiver_id": rng.choice(NOISE_ACCOUNTS)}
+                        if rng.random() > 0.06
+                        else {}
+                    ),
+                    # ~5 %: tokens missing → coalesce('{}') empty-map drop
+                    **(
+                        {"tokens": {t: str(rng.randint(1, 10**9)) for t in toks}}
+                        if rng.random() > 0.05
+                        else {}
+                    ),
                     **({"memo": f"m{rng.randint(0, 5)}"} if rng.random() < 0.4 else {}),
                     **(
                         {"intent_hash": f"ih_{receipt_id}_t"}

@@ -38,17 +38,26 @@ def test_r25_cross_validates_mv(spark):
     # phase 2+3: full row diff on shared columns, amount under tolerance.
     # MV memo is ''-defaulted while R25 nulls empty memos — normalize
     # exactly like cross-validate-pg.sh's COALESCE normalization (:180-195).
+    # new_owner_id is nullable by design on BOTH sides (missing receiver_id
+    # → JSON_VALUE without coalesce, sql:393) — NULL join keys never match
+    # in an equi-join, so normalize it the same way as memo.
     key = ["block_height", "related_receipt_id", "token_id", "intent_hash",
-           "old_owner_id", "new_owner_id"]
+           "old_owner_id"]
     shared = key + ["block_hash", "tx_hash", "contract_id", "execution_status",
                     "version", "standard", "event",
                     "related_receipt_receiver_id", "related_receipt_predecessor_id"]
+    nullable = ["memo", "new_owner_id"]
 
-    a = mv.select(*shared, F.coalesce("memo", F.lit("")).alias("memo"),
-                  F.col("amount").alias("amount_mv"))
-    b = r25.select(*shared, F.coalesce("memo", F.lit("")).alias("memo"),
-                   F.col("amount").cast("double").alias("amount_r25"))
-    joined = a.join(b, shared + ["memo"], "full_outer")
+    def _norm(df, amount_col):
+        return df.select(
+            *shared,
+            *[F.coalesce(c, F.lit("")).alias(c) for c in nullable],
+            F.col("amount").cast("double").alias(amount_col),
+        )
+
+    joined = _norm(mv, "amount_mv").join(
+        _norm(r25, "amount_r25"), shared + nullable, "full_outer"
+    )
     assert joined.where(F.col("amount_mv").isNull() | F.col("amount_r25").isNull()).count() == 0
 
     # |a-b| <= 1e-10 * max(|a|,|b|)  (cross-validate-pg.sh:200,232)
