@@ -16,10 +16,10 @@ Scale posture: LSH candidate generation is a shuffle on (band, bucket)
 keys — cardinality ≈ docs × bands, each bucket tiny — then verification
 touches only candidate pairs.  At 100 TB this is the standard
 linear-scan + bucketed-join shape; the all-pairs crossJoin never appears.
-Measured at sf0.1 (5.6k docs): max bucket 27 docs, ~116k candidate
-pairs, zero buckets above 64 — if a corpus ever produces hot buckets
-(near-identical boilerplate), add a HAVING count ≤ N bucket cap to both
-engines before the self-join.
+Measured at sf0.1 (5.6k docs): max bucket 27 docs, ~107k candidate
+pairs, zero buckets above 64.  Hot buckets (near-identical boilerplate
+at corpus scale) are dropped by ``cap_hot_buckets`` before the
+self-join — both engines apply the identical cap.
 
 Determinism: hashes are the cross-engine hash60 (canonical.py);
 jaccard/score values live in integer milli-units with floor division.
@@ -31,12 +31,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..canonical import duck_hash60
-from ..tables import load
+from ..tables import load, spread
 from . import register
 
 N_PERM = 8  # minhash permutations
 N_BANDS = 8  # bands of 1 row each: recall 1-(1-j)^8 (≈0.99 at j=0.45)
 JACCARD_MILLI_THRESHOLD = 400
+# Hot-bucket cap: a (band, bucket) with more members than this is dropped
+# before the self-join — C(n,2) candidate blowup from near-identical
+# boilerplate is the one thing that breaks LSH at corpus scale.  Any real
+# near-dup cluster that large is still found through its other 7 bands
+# (and by exact dedup).  Measured at sf0.1: max bucket 27, so the cap is
+# inert on the test corpus; the oracle applies the identical rule.
+MAX_BUCKET_DOCS = 64
 
 
 def _hash60(col) -> F.Column:
@@ -59,7 +66,9 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), near_text.alias("text")
     )
-    return d.unionByName(exact).unionByName(near)
+    # every consumer md5-hashes thousands of shingles per doc — spread the
+    # compact scan across the cluster before that compute (no-op at scale)
+    return spread(d.unionByName(exact).unionByName(near), "doc_id")
 
 
 # DuckDB rendering of the same augmentation (list lambdas are 1-indexed).
@@ -171,6 +180,22 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.size("sh") > 0)
 
 
+def cap_hot_buckets(bands: DataFrame, cap: int = MAX_BUCKET_DOCS) -> DataFrame:
+    """Drop every (band, bucket) group larger than ``cap``.
+
+    Two-phase so no bucket's membership is ever materialized on one task:
+    a map-side-combined count finds the hot buckets (rare by
+    construction), then a broadcast anti-join filters them out of the
+    band stream."""
+    hot = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > cap)
+        .select("band", "bucket")
+    )
+    return bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+
+
 def _perm_mix(j: int):
     # factory, not a defaulted second lambda arg (F.zip_with would bind it)
     jj, m60 = F.lit(j), F.lit(M60)
@@ -200,9 +225,17 @@ def _minhashes() -> list[F.Column]:
     bands AS (
         {_BANDS_SQL}
     ),
+    hot AS (
+        SELECT band, bucket FROM bands
+        GROUP BY band, bucket HAVING count(*) > {MAX_BUCKET_DOCS}
+    ),
+    cold AS (
+        SELECT * FROM bands
+        WHERE (band, bucket) NOT IN (SELECT (band, bucket) FROM hot)
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs1 AS h_a, b.hs1 AS h_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        FROM cold a JOIN cold b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
     verified AS (
         SELECT doc_a, doc_b,
@@ -219,8 +252,8 @@ def _minhashes() -> list[F.Column]:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection: distinct 3-shingles → 8 minhash
-    permutations → 8 bands of 1 row → bucket self-join (never all-pairs)
-    → exact-Jaccard verification of candidates only."""
+    permutations → 8 bands of 1 row → hot-bucket cap → bucket self-join
+    (never all-pairs) → exact-Jaccard verification of candidates only."""
     hash2 = lambda s: _hash60(F.concat(F.lit("#"), s)) % F.lit(M59)  # noqa: E731
     docs = (
         _doc_shingles(spark, sf_dir)
@@ -250,6 +283,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
+    bands = cap_hot_buckets(bands)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     pair_ids = (

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..tables import load
+from ..tables import load, spread
 from . import register
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -83,7 +83,9 @@ _BUCKET_SQL = " + ".join(
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set, linear-scan the
     corpus, rank per query (vec_id tie-break)."""
-    emb = load(spark, sf_dir, "embeddings")
+    # 64 rounded multiplies per (query, corpus) row — spread the compact
+    # corpus scan across cores before the dot-product projection
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -182,7 +184,7 @@ _AUG_EMB_SQL = """
 
 
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
     base = emb.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),

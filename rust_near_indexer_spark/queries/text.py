@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, spread
 from . import register
 
 # Frequent tokens of the synthetic corpus's "English" register; the
@@ -185,7 +185,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min hash60 over 3-word shingles
     (a 1-permutation MinHash — the dedup building block)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
     w = _words(F.col("text"))
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(w) - 2),

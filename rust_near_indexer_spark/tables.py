@@ -31,6 +31,24 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Widen a compact scan before CPU-heavy per-row derivation.
+
+    A small parquet file yields few input splits (parquet can't split
+    below row-group granularity), so md5/regex-heavy projections over it
+    run on a handful of cores no matter the cluster size.  Repartition to
+    ``defaultParallelism`` — which scales with the cluster — but ONLY
+    when the scan is narrower than that: at 100 TB the scan already has
+    more partitions than cores and the shuffle would be pure waste, so
+    this becomes a no-op there.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    cols = [F.col(k) for k in keys]
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")

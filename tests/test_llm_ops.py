@@ -95,3 +95,15 @@ def test_multimodal_stubs_raise():
         multimodal.decode_image(b"x", {})
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"x", {})
+
+
+def test_cap_hot_buckets_drops_only_hot(spark):
+    """The LSH hot-bucket cap removes every member of an over-cap
+    (band, bucket) group and nothing else."""
+    from rust_near_indexer_spark.queries.dedup import cap_hot_buckets
+
+    rows = [(i, 0, 7) for i in range(10)] + [(i, 1, 7) for i in range(3)]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    kept = cap_hot_buckets(bands, cap=5).collect()
+    assert {(r["band"], r["bucket"]) for r in kept} == {(1, 7)}
+    assert len(kept) == 3
