@@ -167,6 +167,136 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_LIST = 16  # IVF coarse-quantizer lists (centroids = vec_id 100..115)
+N_PROBE = 4  # closest lists each query scans
+CENTROID_BASE = 100
+
+_IVF_ASSIGN_SQL = f"""
+    cent AS (
+        SELECT vec_id - {CENTROID_BASE} AS list_id, embedding AS c_emb
+        FROM embeddings
+        WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_LIST}
+    ),
+    assigned AS (
+        SELECT vec_id, label, embedding, list_id FROM (
+            SELECT e.vec_id, e.label, e.embedding, c.list_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DOT_NANO_SQL.format(a="e.embedding", b="c.c_emb")} DESC, c.list_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, q_emb, list_id FROM (
+            SELECT q.query_id, q.q_emb, c.list_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_DOT_NANO_SQL.format(a="q.q_emb", b="c.c_emb")} DESC, c.list_id
+                   ) AS rn
+            FROM q CROSS JOIN cent c
+        ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, a.label,
+               {_DOT_NANO_SQL.format(a="p.q_emb", b="a.embedding")} AS cosine_nano
+        FROM probes p JOIN assigned a ON a.list_id = p.list_id AND a.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_nano DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label, cosine_nano
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: a {N_LIST}-centroid coarse quantizer partitions the corpus
+    into inverted lists (each vector assigned to its argmax-dot centroid);
+    each query probes only its {N_PROBE} closest lists.
+
+    Centroids are a deterministic draw from the corpus itself (vec_id
+    100..115) — a seeded stand-in for a k-means fit, which at scale would
+    run once offline on a sample and broadcast the same way.
+
+    Scale posture: the classic IVF layout — the corpus is written
+    partitioned by ``list_id`` so a query's probe set prunes to
+    nprobe/nlist of the data (partition pruning on the list join); the
+    centroid table (nlist rows) broadcasts everywhere.  Assignment is a
+    corpus×nlist broadcast nested loop, one pass, map-only."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    cent = emb.where(
+        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + N_LIST)
+    ).select(
+        (F.col("vec_id") - CENTROID_BASE).alias("list_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_dot"), "list_id")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "list_id",
+            _dot_nano(F.col("embedding"), F.col("c_emb")).alias("c_dot"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "list_id")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("c_dot"), "list_id")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_emb",
+            "list_id",
+            _dot_nano(F.col("q_emb"), F.col("c_emb")).alias("c_dot"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_emb", "list_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            _dot_nano(F.col("q_emb"), F.col("embedding")).alias("cosine_nano"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_nano"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "cosine_nano",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 NEAR_DUP_COSINE_NANO = 900_000_000  # cosine ≥ 0.9 (unnormalized dot here)
 
 # Random unit vectors are near-orthogonal, so the corpus has no natural
