@@ -60,9 +60,7 @@ _BUCKET_SQL = " + ".join(
 )
 
 
-@register(
-    "ann_bruteforce_topk",
-    oracle=f"""
+_BRUTE_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
     scored AS (
         SELECT q.query_id, c.vec_id, c.label,
@@ -77,9 +75,10 @@ _BUCKET_SQL = " + ".join(
     SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label, cosine_nano
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
-    """,
-    tags=("llm", "similarity"),
-)
+    """
+
+
+@register("ann_bruteforce_topk", oracle=_BRUTE_ORACLE, tags=("llm", "similarity"))
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set, linear-scan the
     corpus, rank per query (vec_id tie-break)."""
@@ -190,9 +189,7 @@ _IVF_ASSIGN_SQL = f"""
 """
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
+_IVF_ORACLE = f"""
     WITH {_IVF_ASSIGN_SQL},
     q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
     probes AS (
@@ -217,9 +214,10 @@ _IVF_ASSIGN_SQL = f"""
     SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label, cosine_nano
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
-    """,
-    tags=("llm", "similarity"),
-)
+    """
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE, tags=("llm", "similarity"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: a {N_LIST}-centroid coarse quantizer partitions the corpus
     into inverted lists (each vector assigned to its argmax-dot centroid);
@@ -371,6 +369,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine_nano") >= NEAR_DUP_COSINE_NANO)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_ORACLE}),
+    ivf AS ({_IVF_ORACLE})
+    SELECT t.query_id,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS recall_milli
+    FROM brute t
+    LEFT JOIN ivf a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    ORDER BY t.query_id
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the brute-force ground truth —
+    the quality gate you run before trusting an ANN index in a data
+    pipeline.  Both sides are the exact registered pipelines; recall is
+    reported per query in integer milli-units (truncating division,
+    identical in both engines)."""
+    truth = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hits",
+            F.expr("n_hits * 1000 div n_true").alias("recall_milli"),
+        )
+        .orderBy("query_id")
     )
 
 
