@@ -1,0 +1,98 @@
+"""Property-based cross-engine tests for the canonical hashing layer.
+
+Every oracle hash-match in this repo rests on ``canonical.hash60`` (Spark)
+rendering bit-identically to ``canonical.duck_hash60`` (DuckDB) — and on
+the order-independence of the bit_xor fingerprint.  The fixed-corpus
+oracle gate exercises only the strings that appear in the testdata;
+hypothesis widens that to arbitrary unicode (minus surrogates, which
+Arrow rejects) and adversarial shapes (empty strings, separator chars,
+long runs).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rust_near_indexer_spark import canonical
+
+# Arrow/Spark cannot round-trip lone surrogates; everything else goes.
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _duck_hashes(strings: list[str], n_cols: int = 1) -> list[int]:
+    con = duckdb.connect()
+    cols = [f"c{i}" for i in range(n_cols)]
+    df = pd.DataFrame(
+        [strings[i : i + n_cols] for i in range(0, len(strings), n_cols)],
+        columns=cols,
+    )
+    con.register("t", df)
+    expr = canonical.duck_hash60(f"concat_ws(chr(124), {', '.join(cols)})")
+    return [r[0] for r in con.sql(f"SELECT {expr} FROM t").fetchall()]
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_hash60_matches_duckdb_single_column(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "c0 string")
+    got = [r[0] for r in df.select(canonical.hash60("c0")).collect()]
+    assert got == _duck_hashes(strings)
+    assert all(0 <= h < 1 << 60 for h in got)
+
+
+@given(st.lists(_TEXT, min_size=2, max_size=30).filter(lambda xs: len(xs) % 2 == 0))
+@settings(**_SETTINGS)
+def test_hash60_matches_duckdb_two_columns(spark, strings):
+    rows = [tuple(strings[i : i + 2]) for i in range(0, len(strings), 2)]
+    df = spark.createDataFrame(rows, "c0 string, c1 string")
+    got = [r[0] for r in df.select(canonical.hash60("c0", "c1")).collect()]
+    assert got == _duck_hashes(strings, n_cols=2)
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=30), st.randoms())
+@settings(**_SETTINGS)
+def test_fingerprint_is_order_independent(spark, strings, rnd):
+    shuffled = list(strings)
+    rnd.shuffle(shuffled)
+    fp = lambda xs: spark.createDataFrame(  # noqa: E731
+        [(s,) for s in xs], "c0 string"
+    ).agg(canonical.fingerprint("c0")).collect()[0][0]
+    assert fp(strings) == fp(shuffled)
+
+
+@given(st.lists(st.lists(_TEXT, max_size=6), min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_sorted_array_key_matches_duckdb(spark, arrays):
+    """Contract: non-null string elements (what receipt_ids holds)."""
+    df = spark.createDataFrame([(a,) for a in arrays], "arr array<string>")
+    got = [r[0] for r in df.select(canonical.sorted_array_key("arr")).collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"arr": arrays}))
+    want = [
+        r[0]
+        for r in con.sql(
+            "SELECT COALESCE(array_to_string(list_sort(arr), ','), '') FROM t"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=50))
+@settings(**_SETTINGS)
+def test_cents_roundtrip_exact(spark, cents_values):
+    """cents(n/100) == n for any 2-decimal money value within double
+    precision — the invariant that makes integer-cents sums exact."""
+    df = spark.createDataFrame([(n, n / 100.0) for n in cents_values], "n long, x double")
+    bad = df.where(canonical.cents("x") != df.n).count()
+    assert bad == 0
