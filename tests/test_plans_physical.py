@@ -55,6 +55,15 @@ def test_lsh_ann_prunes_by_bucket(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_ann_broadcasts_centroids(spark, sf_dir):
+    """IVF assignment and probing broadcast the 16-row centroid table;
+    the candidate scan is an equi-join on list_id, never all-pairs over
+    the corpus."""
+    plan = _plan(spark, "ann_ivf_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_bruteforce_ann_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, "ann_bruteforce_topk", sf_dir)
     assert "Broadcast" in plan
