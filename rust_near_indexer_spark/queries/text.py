@@ -35,6 +35,58 @@ def _words(col):
     return F.split(col, " ")
 
 
+_MARKER_VALUES_SQL = ", ".join(f"('{w}', 'marker')" for w in MARKER_WORDS)
+
+
+@register(
+    "token_frequencies_salted",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    agg AS (
+        SELECT t.token, COALESCE(d.token_class, 'other') AS token_class,
+               CAST(count(*) AS BIGINT) AS n
+        FROM toks t
+        LEFT JOIN (SELECT * FROM (VALUES {_MARKER_VALUES_SQL}) v(token, token_class)) d
+               ON d.token = t.token
+        WHERE t.token != ''
+        GROUP BY 1, 2
+    )
+    SELECT token, token_class, n FROM agg
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    tags=("llm", "text", "skew"),
+)
+def token_frequencies_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token frequencies through a skew-resilient salted join.
+
+    Exploded tokens are Zipf-distributed — the hottest token appears in
+    nearly every document, the exact single-hot-key shape that breaks an
+    unsalted shuffle join at corpus scale.  ``operators.skew.salted_join``
+    spreads each hot key over 8 salt partitions; the result is provably
+    identical to the plain join (the oracle runs the unsalted SQL)."""
+    from ..operators.skew import salted_join
+
+    toks = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select(F.explode(_words(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    dim = spark.createDataFrame(
+        [(w, "marker") for w in MARKER_WORDS], "token string, token_class string"
+    )
+    return (
+        salted_join(toks, dim, "token", n_salt=8, how="left")
+        .select("token", F.coalesce("token_class", F.lit("other")).alias("token_class"))
+        .groupBy("token", "token_class")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
 @register(
     "text_stats",
     oracle=f"""

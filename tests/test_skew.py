@@ -1,0 +1,50 @@
+"""salted_join must be result-identical to the plain join — salt only
+steers placement."""
+
+from __future__ import annotations
+
+import pytest
+
+from rust_near_indexer_spark.operators.skew import salted_join
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture()
+def skewed(spark):
+    # one hot key (90% of rows), one cold key, one key absent from dim
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(90)]
+        + [("cold", i) for i in range(9)]
+        + [("orphan", 0)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], "k string, attr string"
+    )
+    return fact, dim
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_equals_plain(spark, skewed, how):
+    fact, dim = skewed
+    plain = fact.join(dim, "k", how)
+    salted = salted_join(fact, dim, "k", n_salt=4, how=how)
+    cols = ["k", "v", "attr"]
+    assert _rows(salted, cols) == _rows(plain, cols)
+
+
+def test_salted_join_rejects_dim_preserving(spark, skewed):
+    fact, dim = skewed
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="right")
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", n_salt=0)
+
+
+def test_salt_column_not_leaked(spark, skewed):
+    fact, dim = skewed
+    out = salted_join(fact, dim, "k", how="inner")
+    assert "_salt" not in out.columns
