@@ -101,3 +101,95 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = y95.intersect(y96).select(F.lit("both").alias("op"), "o_custkey")
     only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("op"), "o_custkey")
     return both.unionByName(only95).orderBy("op", "o_custkey")
+
+
+@register(
+    "hourly_event_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "window", "beyond-reference"),
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed aggregation (streaming/windowed.py
+    ``windowed_event_counts``) run verbatim on the batch events table —
+    ``withWatermark`` is a no-op in batch, so this gates the exact
+    operator the stream executes (epoch-aligned tumbling windows,
+    integer-cents sums) against a DuckDB ``time_bucket`` oracle."""
+    from ..streaming.windowed import windowed_event_counts
+
+    ev = load(spark, sf_dir, "events")
+    return windowed_event_counts(ev).orderBy("window_start", "event_type")
+
+
+SESSION_GAP_US = 30 * 60 * 10**6  # µs rendering of windowed.SESSION_GAP_NS
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    m AS (
+        SELECT user_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                         > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, ts_us,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM m
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_us
+    """,
+    tags=("streaming", "session", "beyond-reference"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) as the batch window
+    computation of streaming/windowed.py ``batch_sessions`` — the oracle
+    side of the keyed-state streaming sessionizer (their equivalence is
+    proven in tests/test_streaming_windowed.py).
+
+    Rendered in the µs domain on BOTH engines: DuckDB reads the
+    TIMESTAMP(NANOS) parquet µs-truncated, so comparing ns-domain session
+    bounds would hinge on sub-µs gaps (the round-1 ADVICE precision
+    trap).  µs-truncation is monotone, so same-µs ordering ties cannot
+    change session membership or bounds."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    marked = ev.withColumn(
+        "new_session",
+        F.coalesce(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US).cast("int"),
+            F.lit(0),
+        ),
+    )
+    sid = F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.withColumn("session_id", sid)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("session_id")
+        .orderBy("user_id", "session_start_us")
+    )
