@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load, spread
 from . import register
+from .dedup import AUG_SQL
 
 # Frequent tokens of the synthetic corpus's "English" register; the
 # heuristic generalizes to real stopword lists unchanged.
@@ -254,3 +255,100 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.when(F.size(w) >= 3, fp).otherwise(F.lit(None)).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+# Funnel cutoffs calibrated to this corpus (score p25≈240, median≈354;
+# marker-density median ≈266 milli) so every stage discriminates — a real
+# curation pipeline tunes these per corpus the same way.
+Q_MIN = 300
+L_MIN_MILLI = 250
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    f AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '), w -> w IN {_MARKERS_SQL})) AS marker_hits,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+        FROM aug
+    ),
+    flags AS (
+        SELECT *,
+               (LEAST(500, n_tokens) + LEAST(300, marker_hits * 25)
+                - LEAST(200, (n_punct * 1000) // GREATEST(n_tokens, 1))) >= {Q_MIN} AS q,
+               marker_hits * 1000 >= n_tokens * {L_MIN_MILLI} AS l
+        FROM f
+    ),
+    surv AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM flags WHERE q AND l
+    )
+    SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens FROM flags
+    UNION ALL
+    SELECT '2_quality', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM flags WHERE q
+    UNION ALL
+    SELECT '3_language', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM flags WHERE q AND l
+    UNION ALL
+    SELECT '4_dedup', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM surv WHERE rn = 1
+    ORDER BY stage
+    """,
+    tags=("llm", "text", "dedup", "capstone"),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation funnel: quality filter →
+    language filter → exact dedup (keep-min), reporting surviving docs
+    and tokens after each stage — the composition a 100 TB pre-training
+    pipeline runs, with every stage's scoring expressions identical to
+    its standalone oracle-gated query (text_quality_score,
+    text_language_id, dedup_exact) and cutoffs calibrated to the corpus.
+
+    Scale shape: one scan computes all per-doc flags, the only wide
+    exchange is the dedup window on the content key; stage counts are
+    map-side-combined conditional aggregates."""
+    from .dedup import augmented_docs
+    from pyspark.sql.window import Window
+
+    words = _words(F.col("text"))
+    n_tokens = F.size(words)
+    marker_hits = F.size(F.filter(words, lambda w: w.isin(*MARKER_WORDS)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0)))
+    score = (
+        F.least(F.lit(500), n_tokens)
+        + F.least(F.lit(300), marker_hits * 25)
+        - F.least(
+            F.lit(200),
+            F.floor(n_punct * 1000 / F.greatest(n_tokens, F.lit(1))).cast("long"),
+        )
+    )
+    flags = augmented_docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        n_tokens.alias("n_tokens"),
+        (score >= Q_MIN).alias("q"),
+        (marker_hits * 1000 >= n_tokens * L_MIN_MILLI).alias("l"),
+    )
+    surv = (
+        flags.where(F.col("q") & F.col("l"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+        )
+        .where(F.col("rn") == 1)
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "total_tokens")
+
+    return (
+        stage(flags, "1_raw")
+        .unionByName(stage(flags.where("q"), "2_quality"))
+        .unionByName(stage(flags.where("q AND l"), "3_language"))
+        .unionByName(stage(surv, "4_dedup"))
+        .orderBy("stage")
+    )
