@@ -306,9 +306,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     its standalone oracle-gated query (text_quality_score,
     text_language_id, dedup_exact) and cutoffs calibrated to the corpus.
 
-    Scale shape: one scan computes all per-doc flags, the only wide
-    exchange is the dedup window on the content key; stage counts are
-    map-side-combined conditional aggregates."""
+    Scale shape: stages 1–3 are ONE corpus scan — each doc explodes into
+    the list of stages it survives, then a map-side-combined count per
+    stage (no per-stage re-scan); the dedup stage is the only wide
+    exchange (window on the content key over the already-filtered
+    survivors)."""
     from .dedup import augmented_docs
     from pyspark.sql.window import Window
 
@@ -339,16 +341,29 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
     )
 
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
-        ).select(F.lit(name).alias("stage"), "n_docs", "total_tokens")
-
-    return (
-        stage(flags, "1_raw")
-        .unionByName(stage(flags.where("q"), "2_quality"))
-        .unionByName(stage(flags.where("q AND l"), "3_language"))
-        .unionByName(stage(surv, "4_dedup"))
-        .orderBy("stage")
+    reached = F.array_compact(
+        F.array(
+            F.lit("1_raw"),
+            F.when(F.col("q"), F.lit("2_quality")),
+            F.when(F.col("q") & F.col("l"), F.lit("3_language")),
+        )
     )
+    counts = (
+        flags.select("n_tokens", F.explode(reached).alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("c"), F.sum("n_tokens").alias("t"))
+    )
+    # spine guarantees a row per stage even when a cutoff filters everything
+    spine = spark.createDataFrame(
+        [("1_raw",), ("2_quality",), ("3_language",)], "stage string"
+    )
+    funnel = spine.join(counts, "stage", "left").select(
+        "stage",
+        F.coalesce("c", F.lit(0)).alias("n_docs"),
+        F.coalesce("t", F.lit(0)).alias("total_tokens"),
+    )
+    dedup_stage = surv.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+    ).select(F.lit("4_dedup").alias("stage"), "n_docs", "total_tokens")
+    return funnel.unionByName(dedup_stage).orderBy("stage")
