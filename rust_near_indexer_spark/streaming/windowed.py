@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -75,6 +76,26 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _fold_sessions(user_id, pdfs, start_ns, last_ns, n):
+    """Fold a batch of per-user timestamps into the open-session triple;
+    returns (closed_session_rows, start_ns, last_ns, n)."""
+    closed = []
+    for pdf in pdfs:
+        for ts_ns in pdf["ts_ns"].sort_values():
+            ts_ns = int(ts_ns)
+            if last_ns is None:
+                start_ns, last_ns, n = ts_ns, ts_ns, 1
+            elif ts_ns - last_ns <= SESSION_GAP_NS:
+                last_ns, n = ts_ns, n + 1
+            else:
+                closed.append((user_id, start_ns, last_ns, n))
+                start_ns, last_ns, n = ts_ns, ts_ns, 1
+    return closed, start_ns, last_ns, n
+
+
+_SESSION_COLUMNS = ["user_id", "session_start_ns", "session_end_ns", "n_events"]
+
+
 def _session_fn(key, pdfs, state: GroupState):
     """Gap-based sessionization for one user: events extend the current
     session while the gap ≤ SESSION_GAP_NS; a larger gap emits the closed
@@ -88,23 +109,11 @@ def _session_fn(key, pdfs, state: GroupState):
         start_ns = last_ns = None
         n = 0
 
-    closed = []
-    for pdf in pdfs:
-        for ts_ns in pdf["ts_ns"].sort_values():
-            ts_ns = int(ts_ns)
-            if last_ns is None:
-                start_ns, last_ns, n = ts_ns, ts_ns, 1
-            elif ts_ns - last_ns <= SESSION_GAP_NS:
-                last_ns, n = ts_ns, n + 1
-            else:
-                closed.append((user_id, start_ns, last_ns, n))
-                start_ns, last_ns, n = ts_ns, ts_ns, 1
+    closed, start_ns, last_ns, n = _fold_sessions(user_id, pdfs, start_ns, last_ns, n)
     if last_ns is not None:
         state.update((start_ns, last_ns, n))
     if closed:
-        yield pd.DataFrame(
-            closed, columns=["user_id", "session_start_ns", "session_end_ns", "n_events"]
-        )
+        yield pd.DataFrame(closed, columns=_SESSION_COLUMNS)
 
 
 def sessionize(events: DataFrame) -> DataFrame:
@@ -118,6 +127,55 @@ def sessionize(events: DataFrame) -> DataFrame:
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+class _SessionProcessor(StatefulProcessor):
+    """``transformWithStateInPandas`` formulation of the same sessionizer —
+    Spark 4's successor keyed-state API (typed value state, timers, state
+    TTL).  Identical semantics to ``sessionize``; the fold is shared."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "session", "start_ns long, last_ns long, n long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (user_id,) = key
+        if self._state.exists():
+            start_ns, last_ns, n = self._state.get()
+        else:
+            start_ns = last_ns = None
+            n = 0
+        closed, start_ns, last_ns, n = _fold_sessions(
+            user_id, rows, start_ns, last_ns, n
+        )
+        if last_ns is not None:
+            self._state.update((start_ns, last_ns, n))
+        if closed:
+            yield pd.DataFrame(closed, columns=_SESSION_COLUMNS)
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_tws(events: DataFrame) -> DataFrame:
+    """``sessionize`` via ``transformWithStateInPandas`` (requires the
+    RocksDB state-store provider AND ``google.protobuf`` for the Python
+    state-server protocol — the equivalence test self-skips where
+    protobuf is unavailable; the applyInPandasWithState formulation is
+    the gated one)."""
+    return (
+        events.select("user_id", "ts_ns")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionProcessor(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
         )
     )
 

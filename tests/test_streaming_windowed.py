@@ -85,6 +85,64 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, event_stream_dir, tmp_pa
     assert len(streamed) > 0
 
 
+def _have_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithStateInPandas state protocol requires google.protobuf "
+    "(not installed here); the applyInPandasWithState test covers the semantics",
+)
+def test_sessionize_tws_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    """The transformWithStateInPandas formulation must emit the same
+    closed sessions as the applyInPandasWithState one (same shared fold),
+    i.e. batch-minus-open-sessions."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        q = (
+            windowed.sessionize_tws(_stream(spark, event_stream_dir))
+            .writeStream.format("memory")
+            .queryName("sessions_tws")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    streamed = {
+        (r["user_id"], r["session_start_ns"]): (r["session_end_ns"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_tws").collect()
+    }
+
+    ev = load(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["session_start_ns"]): (r["session_end_ns"], r["n_events"])
+        for r in windowed.batch_sessions(ev).collect()
+    }
+    last_per_user = {}
+    for (u, s), _ in batch.items():
+        if u not in last_per_user or s > last_per_user[u]:
+            last_per_user[u] = s
+    closed_batch = {k: v for k, v in batch.items() if last_per_user[k[0]] != k[1]}
+    assert streamed == closed_batch
+    assert len(streamed) > 0
+
+
 def test_windowed_counts_stream_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
     q = (
         windowed.windowed_event_counts(_stream(spark, event_stream_dir))
