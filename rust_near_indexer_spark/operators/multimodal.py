@@ -82,6 +82,92 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_video(documents: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """Wrap documents as fake fixed-frame-size video media: the payload is
+    the text bytes, a 'frame' is each ``frame_bytes`` slice, ``n_frames``
+    lands in the typed metadata — the real video path differs only in the
+    decoder."""
+    payload = F.encode("text", "utf-8")
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        payload.alias("payload"),
+        F.named_struct(
+            F.lit("width"), F.lit(None).cast("long"),
+            F.lit("height"), F.lit(None).cast("long"),
+            F.lit("sample_rate"), F.lit(None).cast("long"),
+            F.lit("n_frames"), F.floor(F.length(payload) / frame_bytes).cast("long"),
+        ).alias("meta"),
+    )
+
+
+FRAME_SCHEMA = "media_id long, frame_idx long, frame_hex string"
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every_k: int = 4
+) -> DataFrame:
+    """Frame sampling over mapInPandas: every ``every_k``-th complete
+    ``frame_bytes`` slice of each payload, emitted as (media_id,
+    frame_idx, frame_hex).  Payload bytes stay on the scan partition;
+    only the sampled frames continue downstream."""
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_hex": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n = len(payload) // frame_bytes
+                for i in range(0, n, every_k):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_hex"].append(
+                        bytes(payload[i * frame_bytes : (i + 1) * frame_bytes])
+                        .hex()
+                        .upper()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id long, out_w long, out_h long, resized binary"
+
+
+def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize over mapInPandas: the deterministic fake
+    decode interprets the payload as a ``meta.width``×``meta.height``
+    grayscale uint8 raster (swap in ``decode_image`` when codecs exist);
+    the resample itself is vectorized numpy, identical for a real
+    decoded array.  Rows without usable dimensions are dropped."""
+
+    def _resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "out_w": [], "out_h": [], "resized": []}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                if payload is None or meta is None:
+                    continue
+                w, h = meta.get("width"), meta.get("height")
+                if not w or not h or w * h > len(payload):
+                    continue
+                img = np.frombuffer(bytes(payload[: w * h]), dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out["media_id"].append(mid)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["resized"].append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def decode_image(payload: bytes, meta: dict):  # pragma: no cover - stub
     """STUB — image decode (PIL/opencv not in this container).
 

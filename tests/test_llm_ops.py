@@ -107,3 +107,38 @@ def test_cap_hot_buckets_drops_only_hot(spark):
     kept = cap_hot_buckets(bands, cap=5).collect()
     assert {(r["band"], r["bucket"]) for r in kept} == {(1, 7)}
     assert len(kept) == 3
+
+
+def test_resize_media_nearest_neighbor(spark):
+    """resize_media's fake grayscale decode + numpy nearest-neighbor must
+    match a hand-computed reference, and drop rows without dimensions."""
+    from rust_near_indexer_spark.operators import multimodal
+
+    w, h = 4, 2
+    img = bytes(range(w * h))  # 0..7 raster
+    rows = [
+        (1, "image", img, {"width": w, "height": h, "sample_rate": None, "n_frames": None}),
+        (2, "image", b"xx", {"width": None, "height": None, "sample_rate": None, "n_frames": None}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.resize_media(media, 2, 2).collect()}
+    assert set(out) == {1}
+    # ys = [0,1], xs = [0,2] -> pixels (0,0),(0,2),(1,0),(1,2) = 0,2,4,6
+    assert bytes(out[1]["resized"]) == bytes([0, 2, 4, 6])
+
+
+def test_sample_frames_slices_and_strides(spark):
+    from rust_near_indexer_spark.operators import multimodal
+
+    payload = bytes(range(20))  # frames of 4 bytes -> 5 frames, keep 0 and 4... wait
+    rows = [(7, "video", payload, {"width": None, "height": None, "sample_rate": None, "n_frames": 5})]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        (r["media_id"], r["frame_idx"]): r["frame_hex"]
+        for r in multimodal.sample_frames(media, frame_bytes=4, every_k=2).collect()
+    }
+    assert got == {
+        (7, 0): bytes(range(0, 4)).hex().upper(),
+        (7, 2): bytes(range(8, 12)).hex().upper(),
+        (7, 4): bytes(range(16, 20)).hex().upper(),
+    }
