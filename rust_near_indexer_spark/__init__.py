@@ -16,8 +16,9 @@ Layout
                    independent golden-output oracle for plans/).
 - ``fixtures``   – deterministic block-stream generator feeding both.
 - ``operators``  – scale operators beyond the reference: multimodal
-                   binary-column plumbing (dedup / similarity / text
-                   analysis live in queries/ as oracle-gated pipelines).
+                   binary-column plumbing and the skew-resilient salted
+                   join (dedup / similarity / text analysis live in
+                   queries/ as oracle-gated pipelines).
 - ``queries``    – the declared-query registry behind __spark_entry__.
 """
 

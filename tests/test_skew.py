@@ -48,3 +48,17 @@ def test_salt_column_not_leaked(spark, skewed):
     fact, dim = skewed
     out = salted_join(fact, dim, "k", how="inner")
     assert "_salt" not in out.columns
+
+
+def test_spread_widens_narrow_scans_only(spark):
+    """tables.spread repartitions a narrow frame up to defaultParallelism
+    and leaves an already-wide frame untouched (the 100 TB no-op path)."""
+    from rust_near_indexer_spark.tables import spread
+
+    n = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert spread(narrow, "id").rdd.getNumPartitions() == n
+
+    wide = spark.range(100).repartition(n + 4)
+    out = spread(wide, "id")
+    assert out is wide  # untouched, not just same width
