@@ -65,24 +65,40 @@ def _make_event_logs(rng: random.Random, receipt_id: str) -> list[str]:
         kind = rng.random()
         n_tok = rng.randint(1, 3)
         toks = rng.sample(TOKENS, n_tok)
+
+        def _zip_arrays():
+            """token_ids ∥ amounts, with ~10% of events length-mismatched
+            (buggy producers exist): both engines must null-pad the
+            positional zip identically (Spark arrays_zip ↔ DuckDB
+            parallel unnest)."""
+            amts = _amounts(rng, n_tok)
+            mism = rng.random()
+            if mism < 0.06 and n_tok > 1:
+                return toks, amts[:-1]  # fewer amounts than tokens
+            if mism < 0.10 and n_tok > 1:
+                return toks[:-1], amts  # fewer tokens than amounts
+            return toks, amts
+
         if kind < 0.30:  # nep245 mt_transfer
+            z_toks, z_amts = _zip_arrays()
             data = [
                 {
                     "old_owner_id": rng.choice(NOISE_ACCOUNTS),
                     "new_owner_id": rng.choice(NOISE_ACCOUNTS),
-                    "token_ids": toks,
-                    "amounts": _amounts(rng, n_tok),
+                    "token_ids": z_toks,
+                    "amounts": z_amts,
                     **({"memo": f"memo-{rng.randint(1, 9)}"} if rng.random() < 0.5 else {}),
                 }
             ]
             logs.append(_event_log(rng, "nep245", "mt_transfer", data))
         elif kind < 0.45:  # nep245 mint/burn
             ev = rng.choice(["mt_mint", "mt_burn"])
+            z_toks, z_amts = _zip_arrays()
             data = [
                 {
                     "owner_id": rng.choice(NOISE_ACCOUNTS),
-                    "token_ids": toks,
-                    "amounts": _amounts(rng, n_tok),
+                    "token_ids": z_toks,
+                    "amounts": z_amts,
                     **({"memo": ""} if rng.random() < 0.3 else {}),
                 }
             ]
