@@ -265,3 +265,65 @@ def bronze_outcomes_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             *_FP_COLS, canonical.sorted_array_key("receipt_ids")
         ).alias("row_fingerprint"),
     )
+
+
+_OC_NODE = "regexp_replace(execution_outcome_id, '^eo_', '')"
+
+
+@register(
+    "receipt_dag_depths",
+    oracle=f"""
+    WITH RECURSIVE
+    oc AS (SELECT {_OC_NODE} AS node, receipt_ids
+           FROM read_parquet('{expected_path("execution_outcomes")}')),
+    edges AS (SELECT node AS parent, unnest(receipt_ids) AS child FROM oc),
+    walk AS (
+        SELECT node, 0 AS depth FROM oc
+        WHERE node IN (SELECT transaction_hash
+                       FROM read_parquet('{expected_path("transactions")}'))
+        UNION ALL
+        SELECT e.child, w.depth + 1 FROM walk w JOIN edges e ON e.parent = w.node
+    )
+    SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+    tags=("graph", "beyond-reference"),
+)
+def receipt_dag_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receipt-DAG depth distribution: BFS from transaction outcomes down
+    the produced-receipt edges (``receipt_ids``) — the graph view of the
+    R16-R18 correlation chains, vs a DuckDB WITH RECURSIVE oracle.
+
+    The Spark side is the bounded iterative-join formulation (the
+    standard Catalyst answer to recursion): the frontier is joined to the
+    edge list level by level until empty, bounded by the receipt-DAG
+    depth — each level is one small hash join, and at cluster scale the
+    edge list would be hash-partitioned by parent so every level shuffles
+    only the frontier.  The fixture's ``eo_`` outcome-id prefix is
+    stripped because in the reference an outcome's id IS its receipt/tx
+    id (receipts_and_outcomes.rs) — the prefix is fixture cosmetics."""
+    t = bronze_tables(spark)
+    node = F.regexp_replace(F.col("execution_outcome_id"), "^eo_", "")
+    oc = t["execution_outcomes"]
+    edges = oc.select(
+        node.alias("parent"), F.explode("receipt_ids").alias("child")
+    )
+    tx = t["transactions"].select(F.col("transaction_hash").alias("node"))
+    frontier = (
+        oc.select(node.alias("node"))
+        .join(tx, "node", "left_semi")
+        .select("node", F.lit(0).cast("long").alias("depth"))
+    )
+    levels = [frontier]
+    for depth in range(1, 21):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["parent"])
+            .select(F.col("child").alias("node"), F.lit(depth).cast("long").alias("depth"))
+        )
+        if frontier.isEmpty():
+            break
+        levels.append(frontier)
+    walk = levels[0]
+    for lvl in levels[1:]:
+        walk = walk.unionByName(lvl)
+    return walk.groupBy("depth").agg(F.count("*").alias("n_nodes")).orderBy("depth")
