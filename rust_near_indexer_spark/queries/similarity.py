@@ -460,3 +460,77 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=f"""
+    WITH q8 AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS qe
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, qe AS q_qe FROM q8 WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id, c.label,
+               list_sum(list_transform(list_zip(q.q_qe, c.qe), p -> p[1] * p[2])) AS qdot
+        FROM q CROSS JOIN q8 c
+        WHERE c.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label, qdot
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: int8 symmetric quantization (unit-norm
+    components × 127, rounded) then integer dot products — the
+    memory-bandwidth scale path (4× smaller vectors than float32, 16×
+    smaller than the float64 compute domain; SIMD-friendly integer
+    accumulation).  Integer arithmetic is exact, so scores are
+    bit-identical across engines with no nano-rounding contract needed.
+
+    Scale posture: identical to the brute-force scan (broadcast query
+    set, linear corpus scan) but each partition reads a quarter of the
+    bytes; compose with the IVF list pruning for the full IVF-SQ8
+    layout."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    q8 = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * 127).cast("long")
+        ).alias("qe"),
+    )
+    q = q8.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    qdot = F.aggregate(
+        F.zip_with("q_qe", "qe", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(q8)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", qdot.alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "qdot",
+        )
+        .orderBy("query_id", "rank")
+    )
