@@ -106,3 +106,26 @@ def test_null_txhash_slo(golden):
     dropped = len(unbounded["events"]) - len(sim["events"])
     rate = dropped / max(len(unbounded["events"]), 1)
     assert rate <= 0.08, f"miss rate {rate:.1%} implausibly high for TTL≈50 blocks"
+
+
+@pytest.mark.parametrize("seed", [7, 123, 20260813])
+def test_random_fixture_differential(spark, seed):
+    """Property-style differential: a fresh random block stream (seeds the
+    committed fixture never used) must produce identical rows from the
+    Spark pipeline and the pure-Python simulator — the corner cases are
+    probabilistic, so every new seed exercises a different mix of TTL
+    expiries, promotions, malformed logs, and zip mismatches."""
+    from rust_near_indexer_spark.plans.pipeline import run_bronze
+
+    from .oracle_harness import canonical_rows
+
+    blocks, _ = fixtures.generate(n_blocks=60, seed=seed, ttl_blocks=TTL_BLOCKS)
+    sim = oracle_sim.run_bronze_sim(blocks, ttl_blocks=TTL_BLOCKS)
+    tables = run_bronze(fixtures.blocks_df(spark, blocks), ttl_blocks=TTL_BLOCKS)
+    for name, df in tables.items():
+        cols = df.columns
+        _, s_rows = canonical_rows(cols, [tuple(r) for r in df.collect()])
+        _, o_rows = canonical_rows(
+            cols, [tuple(d.get(c) for c in cols) for d in sim[name]]
+        )
+        assert s_rows == o_rows, f"{name} mismatch at seed {seed}"
