@@ -302,27 +302,35 @@ def receipt_dag_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the frontier.  The fixture's ``eo_`` outcome-id prefix is
     stripped because in the reference an outcome's id IS its receipt/tx
     id (receipts_and_outcomes.rs) — the prefix is fixture cosmetics."""
+    from ..plans.state import _materialize
+
     t = bronze_tables(spark)
     node = F.regexp_replace(F.col("execution_outcome_id"), "^eo_", "")
     oc = t["execution_outcomes"]
     edges = oc.select(
         node.alias("parent"), F.explode("receipt_ids").alias("child")
-    )
+    ).persist()
     tx = t["transactions"].select(F.col("transaction_hash").alias("node"))
-    frontier = (
+    # each level is eagerly materialized (same lineage-truncation rule as
+    # the state fixpoint, plans/state.py) so the emptiness probe and the
+    # final union never recompute the iteration chain
+    frontier = _materialize(
         oc.select(node.alias("node"))
         .join(tx, "node", "left_semi")
         .select("node", F.lit(0).cast("long").alias("depth"))
     )
     levels = [frontier]
     for depth in range(1, 21):
-        frontier = (
-            frontier.join(edges, frontier["node"] == edges["parent"])
-            .select(F.col("child").alias("node"), F.lit(depth).cast("long").alias("depth"))
+        frontier = _materialize(
+            frontier.join(edges, frontier["node"] == edges["parent"]).select(
+                F.col("child").alias("node"),
+                F.lit(depth).cast("long").alias("depth"),
+            )
         )
         if frontier.isEmpty():
             break
         levels.append(frontier)
+    edges.unpersist()
     walk = levels[0]
     for lvl in levels[1:]:
         walk = walk.unionByName(lvl)
