@@ -1,0 +1,136 @@
+"""Operational CLI — the reference binary's surface re-expressed.
+
+The reference runs as an indexer process configured by flags
+(main.rs:30-50, config.rs:60-80: start/end block, events-only mode,
+``--force`` to ignore the resume checkpoint).  Here the same surface
+drives the Spark pipelines::
+
+    python -m rust_near_indexer_spark ingest --blocks B.jsonl --out DIR \
+        [--start N] [--end N] [--events-only] [--force] [--stream]
+    python -m rust_near_indexer_spark validate --data DIR
+    python -m rust_near_indexer_spark query NAME [--sf-dir DIR]
+
+``ingest`` resumes from ``max(block_height)`` of the existing sink
+unless ``--force`` (R3); ``--stream`` switches to the Structured
+Streaming formulation (checkpointed, restart-safe).  ``validate`` runs
+the validate.sh invariant suite over an ingested directory.  ``query``
+runs any registry entry and prints it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _spark(cpus: int):
+    from .session import get_spark
+
+    return get_spark("cli", cpus=cpus)
+
+
+def cmd_ingest(args) -> int:
+    from pyspark.sql import functions as F
+
+    from . import schemas, sinks
+    from .session import tune
+    from .streaming.pipeline import run_streaming
+
+    spark = _spark(args.cpus)
+    tune(spark)
+    if args.stream:
+        run_streaming(
+            spark,
+            args.blocks,
+            args.out,
+            checkpoint_dir=args.checkpoint or f"{args.out}/_checkpoint",
+            events_only=args.events_only,
+        )
+        print(f"streamed blocks from {args.blocks} into {args.out}")
+        return 0
+
+    blocks = spark.read.schema(schemas.BLOCK).json(args.blocks)
+    last = sinks.last_indexed_height(spark, f"{args.out}/events")
+    start = sinks.resume_start(args.start, args.force, last)
+    if start > args.start:
+        print(f"resuming at {start} (sink has up to {last})", file=sys.stderr)
+    blocks = blocks.where(F.col("block_height") >= start)
+    paths = sinks.ingest_bronze(
+        spark,
+        blocks,
+        args.out,
+        ingest_seq=int(time.time()),
+        block_end=args.end,
+        events_only=args.events_only,
+    )
+    for name, path in sorted(paths.items()):
+        n = spark.read.parquet(path).count()
+        print(f"{name}: {n} rows at {path}")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from . import sinks, validate
+
+    spark = _spark(args.cpus)
+    tables = {
+        name: sinks.read_final(spark, f"{args.data}/{name}", pk)
+        for name, pk in sinks.TABLE_PKS.items()
+    }
+    metrics = validate.validate_bronze(tables)
+    for k, v in sorted(metrics.items()):
+        print(f"{k}\t{v}")
+    try:
+        validate.assert_bronze_invariants(metrics)
+        print("invariants: PASS")
+        return 0
+    except AssertionError as e:
+        print(f"invariants: FAIL ({e})")
+        return 1
+
+
+def cmd_query(args) -> int:
+    from .queries import load_registry
+
+    registry = load_registry()
+    if args.name not in registry:
+        print(f"unknown query {args.name!r}; have: {', '.join(sorted(registry))}")
+        return 2
+    spark = _spark(args.cpus)
+    registry[args.name].spark(spark, args.sf_dir).show(args.rows, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rust_near_indexer_spark")
+    p.add_argument("--cpus", type=int, default=4)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="run the bronze pipeline into a sink dir")
+    ing.add_argument("--blocks", required=True, help="block-stream JSONL path/dir")
+    ing.add_argument("--out", required=True, help="sink base directory")
+    ing.add_argument("--start", type=int, default=0, help="start block height")
+    ing.add_argument("--end", type=int, default=None, help="stop after this height (R5)")
+    ing.add_argument("--events-only", action="store_true", help="R26 mode")
+    ing.add_argument("--force", action="store_true", help="ignore resume checkpoint (R3)")
+    ing.add_argument("--stream", action="store_true", help="Structured Streaming formulation")
+    ing.add_argument("--checkpoint", default=None, help="stream checkpoint dir")
+    ing.set_defaults(fn=cmd_ingest)
+
+    val = sub.add_parser("validate", help="run validate.sh invariants over a sink dir")
+    val.add_argument("--data", required=True)
+    val.set_defaults(fn=cmd_validate)
+
+    q = sub.add_parser("query", help="run a registry query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--rows", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

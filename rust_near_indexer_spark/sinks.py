@@ -173,12 +173,15 @@ def ingest_bronze(
     ingest_seq: int,
     accounts: tuple = schemas.ACCOUNTS_OF_INTEREST,
     block_end: int | None = None,
+    events_only: bool = False,
 ) -> dict[str, str]:
     """Run the bronze pipeline and append every table to its sink — the
     per-batch body of the streaming foreachBatch (SURVEY §3.1)."""
     from .plans.pipeline import run_bronze
 
-    tables = run_bronze(blocks, accounts=accounts, block_end=block_end)
+    tables = run_bronze(
+        blocks, accounts=accounts, block_end=block_end, events_only=events_only
+    )
     paths = {}
     for name, df in tables.items():
         path = os.path.join(base_dir, name)
