@@ -16,7 +16,7 @@ Scale posture: LSH candidate generation is a shuffle on (band, bucket)
 keys — cardinality ≈ docs × bands, each bucket tiny — then verification
 touches only candidate pairs.  At 100 TB this is the standard
 linear-scan + bucketed-join shape; the all-pairs crossJoin never appears.
-Measured at sf0.1 (5.6k docs): max bucket 27 docs, ~107k candidate
+Measured at sf0.1 (5.6k docs): max bucket 22 docs, ~104k candidate
 pairs, zero buckets above 64.  Hot buckets (near-identical boilerplate
 at corpus scale) are dropped by ``cap_hot_buckets`` before the
 self-join — both engines apply the identical cap.
