@@ -96,3 +96,52 @@ def test_cents_roundtrip_exact(spark, cents_values):
     df = spark.createDataFrame([(n, n / 100.0) for n in cents_values], "n long, x double")
     bad = df.where(canonical.cents("x") != df.n).count()
     assert bad == 0
+
+
+def test_compare_detects_value_mismatch(spark):
+    """Meta-test of the gate: an off-by-one result must NOT hash-match —
+    an always-green comparator would make every other green meaningless."""
+    from .oracle_harness import compare, duck_connect
+
+    con = duck_connect("/root/testdata/sf0.001")
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "n long, s string")
+    r = compare(good, con, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(n, s)")
+    assert r["hash_match"]
+
+    r = compare(good, con, "SELECT * FROM (VALUES (1, 'a'), (3, 'b')) t(n, s)")
+    assert not r["hash_match"] and r["rows_match"]
+
+    r = compare(good, con, "SELECT * FROM (VALUES (1, 'a')) t(n, s)")
+    assert not r["hash_match"] and not r["rows_match"]
+
+    r = compare(good, con, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(wrong, s)")
+    assert not r["hash_match"] and not r["cols_match"]
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["hot", "k1", "k2", "k3"]), st.integers(0, 99)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equivalence_property(spark, fact_rows, n_salt):
+    """salted_join ≡ plain join for arbitrary key multisets and salt
+    widths (inner and left)."""
+    from rust_near_indexer_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(fact_rows, "k string, v int")
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("absent", "X")], "k string, attr string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["k"], r["v"], r["attr"]) for r in fact.join(dim, "k", how).collect()
+        )
+        salted = sorted(
+            (r["k"], r["v"], r["attr"])
+            for r in salted_join(fact, dim, "k", n_salt=n_salt, how=how).collect()
+        )
+        assert salted == plain
