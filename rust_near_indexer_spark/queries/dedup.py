@@ -56,19 +56,37 @@ def _hash60(col) -> F.Column:
 
 
 def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents + planted exact dups (every 25th, +200000) and near dups
+    (every 10th, +100000, every 7th word dropped) — ONE corpus scan: each
+    row explodes into its 1-3 variants (a UNION of three scans would read
+    the corpus three times at 100 TB)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = d.where(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
-    )
     words = F.split(F.col("text"), " ")
     # drop every 7th word (1-based positions 7, 14, …)
     near_text = F.concat_ws(" ", F.filter(words, lambda w, i: (i + 1) % 7 != 0))
-    near = d.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), near_text.alias("text")
+    variants = F.array_compact(
+        F.array(
+            F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+            F.when(
+                F.col("doc_id") % 25 == 0,
+                F.struct(
+                    (F.col("doc_id") + 200000).alias("doc_id"),
+                    F.col("text").alias("text"),
+                ),
+            ),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.struct(
+                    (F.col("doc_id") + 100000).alias("doc_id"),
+                    near_text.alias("text"),
+                ),
+            ),
+        )
     )
+    exploded = d.select(F.explode(variants).alias("v")).select("v.doc_id", "v.text")
     # every consumer md5-hashes thousands of shingles per doc — spread the
     # compact scan across the cluster before that compute (no-op at scale)
-    return spread(d.unionByName(exact).unionByName(near), "doc_id")
+    return spread(exploded, "doc_id")
 
 
 # DuckDB rendering of the same augmentation (list lambdas are 1-indexed).

@@ -313,20 +313,30 @@ _AUG_EMB_SQL = """
 
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
-    base = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
-    )
 
     def perturb(x, i):
         # F.transform's 0-based index 63 == DuckDB's 1-based 64
         return F.when(i == 63, x.cast("double") * 0.5).otherwise(x.cast("double"))
 
-    near = emb.where(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(F.col("embedding"), perturb).alias("embedding"),
+    # one corpus scan: each row explodes into base + optional planted near-dup
+    variants = F.array_compact(
+        F.array(
+            F.struct(
+                F.col("vec_id").alias("vec_id"),
+                F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                    "embedding"
+                ),
+            ),
+            F.when(
+                F.col("vec_id") % 20 == 0,
+                F.struct(
+                    (F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform(F.col("embedding"), perturb).alias("embedding"),
+                ),
+            ),
+        )
     )
-    return base.unionByName(near)
+    return emb.select(F.explode(variants).alias("v")).select("v.vec_id", "v.embedding")
 
 
 @register(
