@@ -53,5 +53,6 @@ def load_registry() -> dict[str, Query]:
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import temporal  # noqa: F401
 
     return REGISTRY

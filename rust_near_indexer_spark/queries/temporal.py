@@ -1,0 +1,340 @@
+"""Temporal operators + a cross-engine-deterministic sketch, oracle-gated.
+
+Four north-star operators the reference engine lacks (SURVEY §2B):
+
+- ``purchase_attribution`` — as-of join (operators/temporal.asof_join):
+  each purchase event attributed to the user's latest prior click.
+- ``error_incident_windows`` — keyless interval×point range join
+  (operators/temporal.interval_point_join) over error-derived windows.
+- ``event_rollup_hierarchy`` — hypertable-style multi-resolution
+  rollup: hour re-aggregates MINUTE output, day re-aggregates HOUR
+  output (the continuous-aggregate trick: coarser tiers never rescan
+  raw data), all tiers unioned; the oracle computes every tier from
+  raw, so the gate proves re-aggregation ≡ direct aggregation.
+- ``approx_distinct_hll`` — HyperLogLog built from scratch on the
+  portable md5 hash (canonical.hash60) so Spark and DuckDB compute the
+  IDENTICAL sketch: m=256 registers, integer-scaled 2^(53-ρ) register
+  terms (exact bigint sum — no float accumulation), one final double
+  division.  A sketch whose value is bit-reproducible across engines is
+  also bit-reproducible across cluster sizes — the property that makes
+  it usable in a 100 TB validation gate.
+
+All timestamps are compared in the µs domain on both engines (DuckDB
+reads the TIMESTAMP(NANOS) parquet µs-truncated — the round-1 ADVICE
+precision trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..canonical import cents
+from ..operators.temporal import asof_join, interval_point_join
+from ..tables import load
+from . import register
+
+US_PER_DAY = 86_400_000_000
+
+# --- as-of join -----------------------------------------------------------
+
+ATTR_TOL_US = 48 * 3600 * 10**6  # attribute purchases to clicks ≤48h prior
+
+
+@register(
+    "purchase_attribution",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id, p.user_id, p.ts_us,
+                  c.event_id AS click_event_id, c.ts_us AS click_ts_us,
+                  ROW_NUMBER() OVER (
+                      PARTITION BY p.event_id
+                      ORDER BY c.ts_us DESC NULLS LAST, c.event_id DESC NULLS LAST
+                  ) AS rn
+           FROM p LEFT JOIN c
+             ON p.user_id = c.user_id
+            AND c.ts_us <= p.ts_us
+            AND c.ts_us >= p.ts_us - {ATTR_TOL_US}
+         )
+    SELECT event_id, user_id, ts_us, click_event_id, click_ts_us,
+           ts_us - click_ts_us AS gap_us
+    FROM j WHERE rn = 1
+    ORDER BY event_id
+    """,
+    tags=("asof-join", "beyond-reference"),
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's latest click
+    at or before it, within a 48 h window (classic last-touch
+    attribution).  Spark side is the single-shuffle union+window
+    operator — no join node at all; the oracle is the O(n·m)
+    join+ROW_NUMBER argmax formulation, so the two engines reach the
+    answer by genuinely different plans.  Ties (same user, same µs)
+    break on greatest click event_id in both."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    # payload field order (ts_us, event_id) = the deterministic tie order
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        tolerance=ATTR_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("r.event_id").alias("click_event_id"),
+        F.col("r.ts_us").alias("click_ts_us"),
+        (F.col("ts_us") - F.col("r.ts_us")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+# --- range join -----------------------------------------------------------
+
+GRID_US = 600 * 10**6  # 10-minute incident grid
+PRE_US = 300 * 10**6  # window opens 5 min before the grid slot
+LEN_US = 1200 * 10**6  # 20-minute window ⇒ overlapping windows, points hit ≤2
+
+
+@register(
+    "error_incident_windows",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+         w AS (SELECT DISTINCT (ts_us // {GRID_US}) * {GRID_US} - {PRE_US} AS window_start_us
+               FROM e WHERE event_type = 'error')
+    SELECT w.window_start_us,
+           w.window_start_us + {LEN_US} AS window_end_us,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS distinct_users,
+           CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors
+    FROM w JOIN e
+      ON e.ts_us >= w.window_start_us
+     AND e.ts_us < w.window_start_us + {LEN_US}
+    GROUP BY w.window_start_us
+    ORDER BY w.window_start_us
+    """,
+    tags=("range-join", "beyond-reference"),
+)
+def error_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join: 20-minute incident windows (every 10-minute
+    grid slot containing ≥1 error, opened 5 min early) joined to ALL
+    events falling inside them — no equi key, so naive Spark planning
+    is a BroadcastNestedLoopJoin.  The bucketed operator turns it into
+    an equi-join on grid-bucket ids (each window covers 3 buckets, each
+    event 1).  The oracle runs the plain inequality join."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 1000").alias("ts_us"), "user_id", "event_type"
+    )
+    wins = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            (F.expr(f"ts_us div {GRID_US}") * GRID_US - PRE_US).alias("window_start_us")
+        )
+        .distinct()
+        .withColumn("window_end_us", F.col("window_start_us") + LEN_US)
+    )
+    joined = interval_point_join(
+        wins, ev, "window_start_us", "window_end_us", "ts_us", bucket_width=GRID_US
+    )
+    return (
+        joined.groupBy("window_start_us", "window_end_us")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .orderBy("window_start_us")
+    )
+
+
+# --- hypertable rollup ----------------------------------------------------
+
+US_PER_MIN = 60 * 10**6
+US_PER_HOUR = 3600 * 10**6
+
+
+def _rollup_tier_sql(res: str, width: int) -> str:
+    return f"""
+    SELECT '{res}' AS resolution,
+           (ts_us // {width}) * {width} AS bucket_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(vc) AS BIGINT) AS value_cents
+    FROM e GROUP BY 2, 3"""
+
+
+@register(
+    "event_rollup_hierarchy",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS vc
+               FROM events)
+    {_rollup_tier_sql('1m', US_PER_MIN)}
+    UNION ALL {_rollup_tier_sql('1h', US_PER_HOUR)}
+    UNION ALL {_rollup_tier_sql('1d', US_PER_DAY)}
+    ORDER BY resolution, bucket_start_us, event_type
+    """,
+    tags=("rollup", "hypertable", "beyond-reference"),
+)
+def event_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: minute buckets
+    aggregate raw events ONCE; the hour tier re-aggregates minute
+    output; the day tier re-aggregates hour output.  At 100 TB that is
+    the difference between one raw scan and three: counts and
+    integer-cent sums are decomposable, so re-aggregation is exact.
+    The oracle computes all three tiers directly from raw — the gate
+    therefore proves the rollup identity, not just the arithmetic."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_type",
+        cents("value").alias("vc"),
+    )
+
+    def coarsen(src: DataFrame, res: str, width: int) -> DataFrame:
+        """Re-aggregate a finer tier into `width`-sized buckets."""
+        return (
+            src.groupBy(
+                (F.expr(f"bucket_start_us div {width}") * width).alias(
+                    "bucket_start_us"
+                ),
+                "event_type",
+            )
+            .agg(F.sum("n_events").alias("n_events"), F.sum("value_cents").alias("value_cents"))
+            .withColumn("resolution", F.lit(res))
+        )
+
+    minute = (
+        ev.groupBy(
+            (F.expr(f"ts_us div {US_PER_MIN}") * US_PER_MIN).alias("bucket_start_us"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("vc").alias("value_cents"))
+        .withColumn("resolution", F.lit("1m"))
+    )
+    hour = coarsen(minute, "1h", US_PER_HOUR)
+    day = coarsen(hour, "1d", US_PER_DAY)
+    cols = ["resolution", "bucket_start_us", "event_type", "n_events", "value_cents"]
+    return (
+        minute.select(*cols)
+        .unionByName(hour.select(*cols))
+        .unionByName(day.select(*cols))
+        .orderBy("resolution", "bucket_start_us", "event_type")
+    )
+
+
+# --- HyperLogLog sketch ---------------------------------------------------
+
+HLL_M = 256  # registers (8 index bits off the 60-bit portable hash)
+HLL_REST_BITS = 52  # remaining hash bits feeding ρ (leading-zero rank)
+HLL_SCALE = HLL_REST_BITS + 1  # ρ ∈ [1, 53] ⇒ scale terms by 2^53 to stay integral
+# α_m · m² · 2^53, precomputed so both engines parse ONE identical double
+# literal and perform ONE division by the exact integer register sum.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(2**HLL_SCALE)
+_EMPTY_TERM = 2**HLL_SCALE  # register 0 ⇒ scaled term 2^(53-0)
+
+
+@register(
+    "approx_distinct_hll",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      concat_ws(chr(124), user_id,
+                                epoch_us(ts) // {US_PER_DAY}) AS k
+               FROM events),
+         h AS (SELECT event_type,
+                      (('0x' || substring(md5(k), 1, 15))::BIGINT) AS h
+               FROM e),
+         b AS (SELECT event_type, h % {HLL_M} AS bucket,
+                      h // {HLL_M} AS rest FROM h),
+         r AS (SELECT event_type, bucket,
+                      MAX(CASE WHEN rest = 0 THEN {HLL_REST_BITS + 1}
+                               ELSE {HLL_REST_BITS + 1} - length(bin(rest))
+                          END) AS rho
+               FROM b GROUP BY 1, 2),
+         s AS (SELECT event_type,
+                      CAST(SUM(CAST(1 AS BIGINT) << ({HLL_SCALE} - rho))
+                           + ({HLL_M} - COUNT(*))
+                             * (CAST(1 AS BIGINT) << {HLL_SCALE})
+                           AS BIGINT) AS reg_sum
+               FROM r GROUP BY 1),
+         x AS (SELECT event_type, COUNT(DISTINCT k) AS n_exact FROM e GROUP BY 1)
+    SELECT x.event_type, x.n_exact,
+           CAST(FLOOR({HLL_NUM!r} / reg_sum) AS BIGINT) AS hll_estimate,
+           abs(CAST(FLOOR({HLL_NUM!r} / reg_sum) AS BIGINT) - x.n_exact) * 1000
+               // x.n_exact AS err_permille
+    FROM x JOIN s USING (event_type)
+    ORDER BY x.event_type
+    """,
+    tags=("sketch", "hll", "beyond-reference"),
+)
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog over the portable 60-bit md5 hash:
+    estimates distinct (user, day) pairs per event_type WITHOUT a
+    distinct shuffle — registers fold with map-side partial MAX, so the
+    full pass moves at most m=256 rows per group per partition.
+
+    Register terms are integer-scaled (2^(53-ρ), exact BIGINT sum;
+    empty registers contribute 2^53) and the estimate is one double
+    division of two exact values — bit-identical in Spark and DuckDB,
+    which is what lets a *sketch* pass a hash-equality gate.  Raw HLL
+    estimate (no small/large-range correction: ln() is libm-dependent
+    cross-engine); accuracy is reported honestly as err_permille vs the
+    exact count (expected ≤ ~3·1.04/√256 ≈ 20%)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            "|", F.col("user_id"), F.expr(f"(ts_ns div 1000) div {US_PER_DAY}")
+        ).alias("k"),
+    )
+    from ..canonical import hash60
+
+    hashed = ev.select("event_type", hash60(F.col("k")).alias("h"))
+    rho = F.when(F.col("rest") == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+        F.lit(HLL_REST_BITS + 1) - F.length(F.bin(F.col("rest")))
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            F.expr(f"h % {HLL_M}").alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("rest"),
+        )
+        .withColumn("rho", rho)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    sums = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE} - rho)"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(_EMPTY_TERM)
+        ).alias("reg_sum")
+    )
+    est = sums.select(
+        "event_type",
+        F.floor(F.lit(HLL_NUM) / F.col("reg_sum")).cast("long").alias("hll_estimate"),
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("k").alias("n_exact"))
+    return (
+        exact.join(est, on="event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_estimate",
+            F.expr("(abs(hll_estimate - n_exact) * 1000) div n_exact").alias(
+                "err_permille"
+            ),
+        )
+        .orderBy("event_type")
+    )
