@@ -54,5 +54,6 @@ def load_registry() -> dict[str, Query]:
     from . import similarity  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import temporal  # noqa: F401
+    from . import sampling  # noqa: F401
 
     return REGISTRY

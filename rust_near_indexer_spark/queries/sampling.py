@@ -1,0 +1,212 @@
+"""Deterministic corpus sampling / splitting / distribution statistics.
+
+A training-data pipeline samples, stratifies, and splits its corpus
+constantly, and every one of those operations must be REPRODUCIBLE —
+rerunning the pipeline on a different cluster layout has to pick the
+same documents.  ``df.sample()`` cannot promise that (its Bernoulli
+draw is seeded per-partition, so it changes with partitioning); hashing
+each row's stable key can.  All four queries below rank or bucket on
+the portable 60-bit md5 hash (canonical.hash60), which the DuckDB
+oracle reproduces bit-for-bit — the same property that makes the
+results reproducible across engines makes them reproducible across
+cluster sizes.
+
+- ``corpus_hash_sample`` — 5% uniform sample (hash-threshold Bernoulli).
+- ``stratified_sample_per_source`` — fixed-size per-stratum sample via
+  hash ranking (Spark's WindowGroupLimit pushes the rank≤k filter below
+  the full sort at scale).
+- ``train_val_test_split`` — 80/10/10 split by hash bucket; emitted as
+  per-split aggregates + an order-independent doc_id fingerprint so the
+  gate proves the exact membership, not just the counts.
+- ``doc_length_percentiles`` — exact nearest-rank p50/p90/p99 per
+  language (integer-domain rank arithmetic; no engine-specific
+  interpolation semantics involved).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..canonical import duck_fingerprint, duck_hash60, fingerprint, hash60
+from ..tables import load
+from . import register
+
+SAMPLE_PERMYRIAD = 500  # 5% expressed as parts-per-10000 of the hash space
+_DUCK_DOC_HASH = duck_hash60("CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "corpus_hash_sample",
+    oracle=f"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {duck_fingerprint('doc_id')} AS doc_fingerprint
+    FROM documents
+    WHERE {_DUCK_DOC_HASH} % 10000 < {SAMPLE_PERMYRIAD}
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    tags=("sampling", "llm-pipeline"),
+)
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% deterministic Bernoulli sample: keep a document iff the low
+    hash bits fall under the threshold.  Partitioning-independent (the
+    decision is a pure function of doc_id) and a scan-side filter
+    evaluated before anything moves — at 100 TB this drops 95% of rows
+    ahead of the only shuffle (the aggregate's).  Gate output is
+    per-(source, lang) counts
+    plus the xor-fingerprint of sampled doc_ids — exact membership."""
+    docs = load(spark, sf_dir, "documents")
+    sampled = docs.where(hash60(F.col("doc_id")) % 10000 < SAMPLE_PERMYRIAD)
+    return (
+        sampled.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            fingerprint("doc_id").alias("doc_fingerprint"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+STRATUM_K = 50
+
+
+@register(
+    "stratified_sample_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_DUCK_DOC_HASH}, doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars, rk
+    FROM ranked WHERE rk <= {STRATUM_K}
+    ORDER BY source, rk
+    """,
+    tags=("sampling", "llm-pipeline"),
+)
+def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size stratified sample: exactly K docs per source, chosen
+    by hash rank (uniform within the stratum, reproducible anywhere).
+    The rank≤K filter over a row_number window is recognized by
+    Spark's WindowGroupLimit rule, which keeps a running top-K per
+    partition before the final per-stratum sort — the full sort of
+    each stratum never materializes at scale."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash60(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id", "source", "lang", "n_chars", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= STRATUM_K)
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN {_DUCK_DOC_HASH} % 100 < 80 THEN 'train'
+                    WHEN {_DUCK_DOC_HASH} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {duck_fingerprint('doc_id')} AS doc_fingerprint
+    FROM tagged
+    GROUP BY split, source
+    ORDER BY split, source
+    """,
+    tags=("sampling", "llm-pipeline"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hash bucket: stable under
+    corpus growth (a document's split never changes when others are
+    added — the property random shuffling lacks) and leak-free by
+    construction (disjoint hash ranges).  Gated on per-(split, source)
+    counts plus exact doc_id membership fingerprints."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = hash60(F.col("doc_id")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    ).alias("split")
+    return (
+        docs.select(split, "source", "doc_id", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            fingerprint("doc_id").alias("doc_fingerprint"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _nearest_rank(p: int) -> str:
+    # ceil(n·p/100) in pure integer arithmetic — identical both engines
+    return f"(n * {p} + 99) // 100"
+
+
+@register(
+    "doc_length_percentiles",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT lang, MAX(n) AS n_docs,
+           MAX(CASE WHEN rk = {_nearest_rank(50)} THEN n_chars END) AS p50_chars,
+           MAX(CASE WHEN rk = {_nearest_rank(90)} THEN n_chars END) AS p90_chars,
+           MAX(CASE WHEN rk = {_nearest_rank(99)} THEN n_chars END) AS p99_chars
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("percentiles", "llm-pipeline"),
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles of document length per language:
+    rank = ceil(n·p/100) selected from a row_number window, entirely in
+    integer arithmetic — engines differ in continuous-percentile
+    interpolation (and float quantile sketches are
+    partition-order-dependent), nearest-rank has one answer.  One
+    shuffle on lang; doc_id tie-break pins equal-length orderings."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def at(p: int):
+        target = F.expr(f"(n * {p} + 99) div 100")
+        return F.max(F.when(F.col("rk") == target, F.col("n_chars")))
+
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            at(50).alias("p50_chars"),
+            at(90).alias("p90_chars"),
+            at(99).alias("p99_chars"),
+        )
+        .orderBy("lang")
+    )
