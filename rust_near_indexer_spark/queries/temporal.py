@@ -9,8 +9,10 @@ Four north-star operators the reference engine lacks (SURVEY §2B):
 - ``event_rollup_hierarchy`` — hypertable-style multi-resolution
   rollup: hour re-aggregates MINUTE output, day re-aggregates HOUR
   output (the continuous-aggregate trick: coarser tiers never rescan
-  raw data), all tiers unioned; the oracle computes every tier from
-  raw, so the gate proves re-aggregation ≡ direct aggregation.
+  raw data; tier algebra shared with the incremental streaming
+  maintenance in operators/rollup.py), all tiers unioned; the oracle
+  computes every tier from raw, so the gate proves re-aggregation ≡
+  direct aggregation.
 - ``approx_distinct_hll`` — HyperLogLog built from scratch on the
   portable md5 hash (canonical.hash60) so Spark and DuckDB compute the
   IDENTICAL sketch: m=256 registers, integer-scaled 2^(53-ρ) register
@@ -162,8 +164,7 @@ def error_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- hypertable rollup ----------------------------------------------------
 
-US_PER_MIN = 60 * 10**6
-US_PER_HOUR = 3600 * 10**6
+from ..operators.rollup import US_PER_HOUR, US_PER_MIN, coarsen, minute_tier  # noqa: E402
 
 
 def _rollup_tier_sql(res: str, width: int) -> str:
@@ -203,29 +204,9 @@ def event_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("value").alias("vc"),
     )
 
-    def coarsen(src: DataFrame, res: str, width: int) -> DataFrame:
-        """Re-aggregate a finer tier into `width`-sized buckets."""
-        return (
-            src.groupBy(
-                (F.expr(f"bucket_start_us div {width}") * width).alias(
-                    "bucket_start_us"
-                ),
-                "event_type",
-            )
-            .agg(F.sum("n_events").alias("n_events"), F.sum("value_cents").alias("value_cents"))
-            .withColumn("resolution", F.lit(res))
-        )
-
-    minute = (
-        ev.groupBy(
-            (F.expr(f"ts_us div {US_PER_MIN}") * US_PER_MIN).alias("bucket_start_us"),
-            "event_type",
-        )
-        .agg(F.count("*").alias("n_events"), F.sum("vc").alias("value_cents"))
-        .withColumn("resolution", F.lit("1m"))
-    )
-    hour = coarsen(minute, "1h", US_PER_HOUR)
-    day = coarsen(hour, "1d", US_PER_DAY)
+    minute = minute_tier(ev).withColumn("resolution", F.lit("1m"))
+    hour = coarsen(minute, US_PER_HOUR).withColumn("resolution", F.lit("1h"))
+    day = coarsen(hour, US_PER_DAY).withColumn("resolution", F.lit("1d"))
     cols = ["resolution", "bucket_start_us", "event_type", "n_events", "value_cents"]
     return (
         minute.select(*cols)

@@ -1,0 +1,100 @@
+"""Incremental rollup maintenance: micro-batched sum-merge must equal
+the batch-at-once tier, and coarser tiers derived from the maintained
+minute tier must equal tiers computed directly from raw."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_near_indexer_spark.operators import rollup
+from rust_near_indexer_spark.tables import load
+
+N_CHUNKS = 4
+
+
+def _prepared(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(spark, sf_dir, tmp_path_factory):
+    """events split into ts-ordered parquet chunks — one per micro-batch,
+    so most minute buckets RECUR across batches (ties at chunk edges)."""
+    d = str(tmp_path_factory.mktemp("rollup_stream"))
+    pdf = _prepared(spark, sf_dir).orderBy("ts_us").toPandas()
+    per = (len(pdf) + N_CHUNKS - 1) // N_CHUNKS
+    for c in range(N_CHUNKS):
+        spark.createDataFrame(pdf.iloc[c * per : (c + 1) * per]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(d, f"c{c}"))
+        (part,) = glob.glob(os.path.join(d, f"c{c}", "part-*.parquet"))
+        shutil.move(part, os.path.join(d, f"{c:03d}.parquet"))
+        shutil.rmtree(os.path.join(d, f"c{c}"))
+    return d
+
+
+def _tier_dict(df):
+    return {
+        (r["bucket_start_us"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in df.collect()
+    }
+
+
+def test_streamed_merge_equals_batch_tier(spark, sf_dir, chunk_dir, tmp_path):
+    """foreachBatch maintenance: each micro-batch's partial minute tier is
+    sum-merged into a parquet-backed maintained tier (read → merge →
+    overwrite, the S18 incremental-MV loop)."""
+    state_dir = str(tmp_path / "minute_tier")
+    schema = "ts_us long, event_type string, vc long"
+
+    def on_batch(batch_df, batch_id):
+        delta = rollup.minute_tier(batch_df)
+        if os.path.exists(state_dir):
+            existing = batch_df.sparkSession.read.parquet(state_dir)
+            merged = rollup.merge_tier(existing, delta)
+        else:
+            merged = delta
+        # overwrite-after-read needs a materialized merge (localCheckpoint
+        # breaks the lineage back to the files being replaced)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    maintained = spark.read.parquet(state_dir)
+    batch = rollup.minute_tier(_prepared(spark, sf_dir))
+    assert _tier_dict(maintained) == _tier_dict(batch)
+
+    # coarser tiers from the MAINTAINED minute tier ≡ tiers from raw
+    hour_from_maintained = rollup.coarsen(maintained, rollup.US_PER_HOUR)
+    hour_from_raw = rollup.coarsen(batch, rollup.US_PER_HOUR)
+    assert _tier_dict(hour_from_maintained) == _tier_dict(hour_from_raw)
+
+
+def test_merge_tier_is_order_insensitive(spark, sf_dir):
+    """merge(A, B) == merge(B, A) == tier(A ∪ B) on a real split."""
+    ev = _prepared(spark, sf_dir)
+    a = ev.where(F.col("ts_us") % 2 == 0)
+    b = ev.where(F.col("ts_us") % 2 == 1)
+    ta, tb = rollup.minute_tier(a), rollup.minute_tier(b)
+    ab = _tier_dict(rollup.merge_tier(ta, tb))
+    ba = _tier_dict(rollup.merge_tier(tb, ta))
+    whole = _tier_dict(rollup.minute_tier(ev))
+    assert ab == ba == whole
