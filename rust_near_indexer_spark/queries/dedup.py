@@ -233,10 +233,9 @@ def _minhashes() -> list[F.Column]:
     ]
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH aug AS ({AUG_SQL}),
+# The full shingle→minhash→band→verify chain as DuckDB CTEs (no leading
+# WITH — composed by dedup_minhash_lsh and dedup_clusters below).
+_LSH_CTES = f"""aug AS ({AUG_SQL}),
     sh AS (
         SELECT doc_id, {_SHINGLES_SQL} AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
@@ -266,10 +265,19 @@ def _minhashes() -> list[F.Column]:
                len(list_filter(h_a, x -> list_contains(h_b, x))) AS inter,
                len(h_a) + len(h_b) - len(list_filter(h_a, x -> list_contains(h_b, x))) AS uni
         FROM cand
-    )
-    SELECT doc_a, doc_b, (1000 * inter) // uni AS jaccard_milli
-    FROM verified
-    WHERE (1000 * inter) // uni >= {JACCARD_MILLI_THRESHOLD}
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b, (1000 * inter) // uni AS jaccard_milli
+        FROM verified
+        WHERE (1000 * inter) // uni >= {JACCARD_MILLI_THRESHOLD}
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_LSH_CTES}
+    SELECT doc_a, doc_b, jaccard_milli FROM pairs
     ORDER BY doc_a, doc_b
     """,
     tags=("llm", "dedup"),
@@ -278,6 +286,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection: distinct 3-shingles → 8 minhash
     permutations → 8 bands of 1 row → hot-bucket cap → bucket self-join
     (never all-pairs) → exact-Jaccard verification of candidates only."""
+    return _verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs ``(doc_a, doc_b, jaccard_milli)`` —
+    unsorted; shared by dedup_minhash_lsh and dedup_clusters."""
     hash2 = lambda h: (h % M59 * H2_MUL + H2_ADD) % F.lit(M59)  # noqa: E731
     docs = (
         _doc_shingles(spark, sf_dir)
@@ -325,10 +339,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("h_a", "h_b"))
     uni = F.size("h_a") + F.size("h_b") - inter
     jac = F.floor(1000 * inter / uni).cast("long")
+    return cand.select("doc_a", "doc_b", jac.alias("jaccard_milli")).where(
+        F.col("jaccard_milli") >= JACCARD_MILLI_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters (connected components over the verified pairs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    und AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT s AS node, s AS lbl FROM und
+        UNION
+        SELECT u.d AS node, r.lbl FROM reach r JOIN und u ON u.s = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+    FROM comp
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup *decision*: connected components over the
+    verified MinHash-LSH pair graph (alternating large-star/small-star,
+    operators/graph.py — O(log n) shuffle rounds), one row per cluster
+    with the elected keeper (= min doc_id = the component label) and the
+    sorted member list.  The DuckDB oracle recomputes components with a
+    recursive label-propagation CTE, so the gate proves the star-forest
+    fixpoint equals transitive closure."""
+    from ..operators.graph import connected_components
+
+    comp = connected_components(_verified_pairs(spark, sf_dir), "doc_a", "doc_b")
     return (
-        cand.select("doc_a", "doc_b", jac.alias("jaccard_milli"))
-        .where(F.col("jaccard_milli") >= JACCARD_MILLI_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("member_ids"),
+        )
+        .orderBy("cluster_id")
     )
 
 

@@ -1,0 +1,80 @@
+"""Connected components (operators/graph.py): hand-built graphs with
+known answers, plus seeded random-graph differentials against a DuckDB
+recursive label-propagation oracle."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from rust_near_indexer_spark.operators.graph import connected_components
+
+
+def _cc(spark, pairs, max_rounds=30):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out = connected_components(edges, max_rounds=max_rounds)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def _oracle(pairs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (s BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    rows = con.execute(
+        """
+        WITH RECURSIVE
+        und AS (SELECT s, d FROM e WHERE s != d
+                UNION SELECT d, s FROM e WHERE s != d),
+        reach AS (
+            SELECT s AS node, s AS lbl FROM und
+            UNION
+            SELECT u.d, r.lbl FROM reach r JOIN und u ON u.s = r.node
+        )
+        SELECT node, MIN(lbl) FROM reach GROUP BY node
+        """
+    ).fetchall()
+    return dict(rows)
+
+
+def test_path_graph_collapses_to_min(spark):
+    """A 12-node path needs multiple alternating rounds — every node must
+    land on component 0."""
+    path = [(i, i + 1) for i in range(11)]
+    assert _cc(spark, path) == {i: 0 for i in range(12)}
+
+
+def test_two_components_and_self_loop(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (5, 5)]  # 5 is a pure self-loop
+    got = _cc(spark, pairs)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_star_and_cycle(spark):
+    """High-degree hub + a cycle (worst case for naive propagation)."""
+    star = [(100, v) for v in range(101, 110)]
+    cycle = [(i, i + 1) for i in range(20, 26)] + [(26, 20)]
+    got = _cc(spark, star + cycle)
+    expected = {v: 100 for v in range(100, 110)} | {v: 20 for v in range(20, 27)}
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graph_matches_duckdb_oracle(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    pairs = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(40, 140))
+    ]
+    got = _cc(spark, pairs)
+    assert got == _oracle(pairs)
+
+
+def test_empty_edges(spark):
+    assert _cc(spark, []) == {}
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError):
+        _cc(spark, [(i, i + 1) for i in range(40)], max_rounds=1)
