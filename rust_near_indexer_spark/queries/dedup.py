@@ -497,3 +497,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set).
+# ---------------------------------------------------------------------------
+
+# A training doc sharing this many distinct 5-grams with a benchmark doc
+# is contaminated.  Natural collision odds on this corpus: ~52 5-grams
+# per doc from a 31^5 space, ≈1e-4 shared-gram probability per pair —
+# the planted exact copies share ~all and near-dups ~2/7 of them.
+DECONTAM_MIN_SHARED = 5
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, GREATEST(len(w) - 4, 0) + 1),
+                   i -> array_to_string(w[i:i+4], ' ')))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
+    ),
+    b AS (SELECT doc_id AS bench_doc, shingle FROM sh
+          WHERE doc_id % 25 = 0 AND doc_id < 100000),
+    t AS (SELECT doc_id AS train_doc, shingle FROM sh
+          WHERE NOT (doc_id % 25 = 0 AND doc_id < 100000))
+    SELECT train_doc, bench_doc, CAST(COUNT(*) AS BIGINT) AS n_shared_5grams
+    FROM t JOIN b USING (shingle)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+    ORDER BY 1, 2
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination: flag training documents sharing
+    ≥5 distinct 5-grams with any benchmark document
+    — the standard eval-leak gate before pre-training.  The benchmark
+    set is the original docs with doc_id % 25 == 0; the augmented corpus
+    plants their exact copies (+200000) and near-dup copies (+100000 for
+    doc_id % 50 == 0) in the training side, which is exactly the
+    contamination the operator must surface.
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval sets vs 100 TB), so its exploded distinct shingles BROADCAST
+    to every executor — the corpus-side shingles never shuffle; the only
+    exchange is the final aggregate on flagged (train, bench) pairs,
+    which is collision-sized, not corpus-sized."""
+    aug = augmented_docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    sh5 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 4, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
+        )
+    )
+    sh = aug.select("doc_id", F.explode(sh5).alias("shingle"))
+    is_bench = (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 100000)
+    bench = sh.where(is_bench).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    train = sh.where(~is_bench).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").alias("n_shared_5grams"))
+        .where(F.col("n_shared_5grams") >= DECONTAM_MIN_SHARED)
+        .orderBy("train_doc", "bench_doc")
+    )

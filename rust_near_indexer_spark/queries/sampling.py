@@ -21,6 +21,8 @@ cluster sizes.
 - ``doc_length_percentiles`` — exact nearest-rank p50/p90/p99 per
   language (integer-domain rank arithmetic; no engine-specific
   interpolation semantics involved).
+- ``sequence_packing`` — greedy context-window batching per source
+  shard (applyInPandas sequential fold vs a recursive-CTE oracle).
 """
 
 from __future__ import annotations
@@ -210,3 +212,85 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (context-window batching).
+# ---------------------------------------------------------------------------
+
+# Context-window token budget.  Median doc ≈56 tokens, 25 docs/source →
+# several bins per source at any SF.
+PACK_WINDOW = 512
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE rows_ AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    pack AS (
+        SELECT source, doc_id, n_tokens, rn,
+               CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+        FROM rows_ WHERE rn = 1
+        UNION ALL
+        SELECT r.source, r.doc_id, r.n_tokens, r.rn,
+               CASE WHEN p.bin_fill + r.n_tokens > {PACK_WINDOW}
+                    THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.bin_fill + r.n_tokens > {PACK_WINDOW}
+                    THEN r.n_tokens ELSE p.bin_fill + r.n_tokens END
+        FROM pack p JOIN rows_ r ON r.source = p.source AND r.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin_id, bin_fill
+    FROM pack
+    ORDER BY source, doc_id
+    """,
+    tags=("sampling", "llm-pipeline", "packing"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents (in stable doc_id order
+    within each source shard) to fixed-budget context windows — the
+    batching step that turns a curated corpus into training sequences.
+    Each bin fills until the next doc would overflow PACK_WINDOW tokens;
+    over-long docs get a bin of their own.  The fold is inherently
+    sequential per shard, so it runs as ``applyInPandas`` over the
+    source key — the (b)-tier custom-operator pattern: one shuffle to
+    co-locate each shard, then an Arrow-batched linear scan.  The DuckDB
+    oracle replays the identical fold with a recursive CTE, proving the
+    imperative and relational formulations agree row-for-row.
+
+    Scale shape: parallelism = number of shards; a 100 TB corpus packs
+    thousands of hash shards independently (exactly how real pipelines
+    shard packing), and each shard's fold is O(shard) with no global
+    sequential bottleneck."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and fill + n > PACK_WINDOW:
+                bin_id += 1
+                fill = 0
+            fill += n
+            first = False
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = bins
+        pdf["bin_fill"] = fills
+        return pdf
+
+    out = d.groupBy("source").applyInPandas(
+        pack, "source string, doc_id long, n_tokens long, bin_id long, bin_fill long"
+    )
+    return out.orderBy("source", "doc_id")

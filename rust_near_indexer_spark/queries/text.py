@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..canonical import duck_fingerprint, fingerprint
 from ..tables import load, spread
 from . import register
 from .dedup import AUG_SQL
@@ -255,6 +256,298 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.when(F.size(w) >= 3, fp).otherwise(F.lit(None)).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter.
+# ---------------------------------------------------------------------------
+
+# Cutoffs calibrated on this corpus (natural dup-trigram p90 = 0, max 71
+# milli; top-bigram median 65, p90 133): planted boilerplate lands far
+# above both, natural docs straddle the top-bigram cutoff.
+DUP3_MAX_MILLI = 100
+TOP2_MAX_MILLI = 150
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 8 = 0
+                    THEN text || ' ' || rtrim(repeat(
+                        string_split(text, ' ')[1] || ' ' ||
+                        string_split(text, ' ')[2] || ' ', 6))
+                    ELSE text END AS text
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, GREATEST(len(w) - 2, 0) + 1),
+                              i -> array_to_string(w[i:i+2], ' ')) AS g3,
+               list_transform(range(1, GREATEST(len(w) - 1, 0) + 1),
+                              i -> array_to_string(w[i:i+1], ' ')) AS g2,
+               len(w) AS n
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
+    ),
+    m AS (
+        SELECT doc_id,
+               (1000 * (len(g3) - len(list_distinct(g3)))) // GREATEST(len(g3), 1) AS dup_trigram_milli,
+               (1000 * 2 * list_max(list_transform(
+                   list_distinct(g2), x -> len(list_filter(g2, y -> y = x))))) // GREATEST(n, 1) AS top_bigram_milli
+        FROM g
+    )
+    SELECT doc_id, dup_trigram_milli, top_bigram_milli,
+           CASE WHEN dup_trigram_milli >= {DUP3_MAX_MILLI}
+                  OR top_bigram_milli >= {TOP2_MAX_MILLI}
+                THEN 'filter' ELSE 'keep' END AS verdict
+    FROM m
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: flag documents whose duplicate-
+    trigram fraction or most-common-bigram coverage (both integer milli)
+    exceeds a cutoff — the standard boilerplate/spam gate of a
+    pre-training corpus.  Every 8th doc gains appended boilerplate (its
+    first two words repeated 6×) on BOTH engines, so the planted
+    repetition is what the filter must catch.
+
+    Scale shape: pure per-row higher-order array expressions inside one
+    corpus scan — no shuffle at all (the gate's ORDER BY is
+    presentation-only).  The per-doc bigram count is O(distinct² )
+    within a document, bounded by doc length, never by corpus size."""
+    d = load(spark, sf_dir, "documents")
+    w0 = F.split(F.col("text"), " ")
+    boiler = F.rtrim(
+        F.repeat(F.concat(F.get(w0, 0), F.lit(" "), F.get(w0, 1), F.lit(" ")), 6)
+    )
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 8 == 0, F.concat(F.col("text"), F.lit(" "), boiler)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    w = F.split(F.col("text"), " ")
+    g = aug.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+        ).alias("g3"),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ).alias("g2"),
+        F.size(w).alias("n"),
+    )
+    g2 = F.col("g2")
+    top2_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda x: F.size(F.filter(g2, lambda y: y == x)),
+        )
+    )
+    dup3 = F.floor(
+        1000
+        * (F.size("g3") - F.size(F.array_distinct("g3")))
+        / F.greatest(F.size("g3"), F.lit(1))
+    ).cast("long")
+    top2 = F.floor(1000 * 2 * top2_cnt / F.greatest(F.col("n"), F.lit(1))).cast("long")
+    m = g.select(
+        "doc_id", dup3.alias("dup_trigram_milli"), top2.alias("top_bigram_milli")
+    )
+    return m.select(
+        "doc_id",
+        "dup_trigram_milli",
+        "top_bigram_milli",
+        F.when(
+            (F.col("dup_trigram_milli") >= DUP3_MAX_MILLI)
+            | (F.col("top_bigram_milli") >= TOP2_MAX_MILLI),
+            F.lit("filter"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' '))) AS term
+        FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+    ),
+    tf AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t GROUP BY 1, 2
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src FROM documents),
+    scored AS (
+        SELECT s.source, s.term, s.tf, d.df,
+               (s.tf * 1000 * ns.n_src) // d.df AS score_milli
+        FROM tf s JOIN df d USING (term) CROSS JOIN ns
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY score_milli DESC, term) AS rn
+        FROM scored
+    )
+    SELECT source, term, tf, df, score_milli
+    FROM r WHERE rn <= 10
+    ORDER BY source, score_milli DESC, term
+    """,
+    tags=("llm", "text"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinguishing bigram terms per source by integer tf-idf
+    (idf as the exact ratio n_sources/df in milli-units — a monotone
+    transform of log-idf needing no cross-engine float log).  Terms are
+    bigrams so document frequency actually varies on this corpus.
+
+    Scale shape: explode → two map-side-combined aggregates (tf keyed by
+    (source, term), df keyed by term) → broadcast-join the term-level df
+    (vocabulary ≪ corpus) back onto tf → per-source top-10 via
+    WindowGroupLimit (rank pushed below the sort)."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+    )
+    toks = spread(d, "doc_id").select(
+        "source", F.explode(bigrams).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_src = d.agg(F.countDistinct("source").alias("n_src"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.floor(F.col("tf") * 1000 * F.col("n_src") / F.col("df"))
+            .cast("long")
+            .alias("score_milli"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score_milli"), "term")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") <= 10)
+        .select("source", "term", "tf", "df", "score_milli")
+        .orderBy("source", F.desc("score_milli"), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub.
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+[a-z]"
+PHONE_RE = r"\d{3}-\d{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com or call 555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source, text,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+        FROM aug
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(SUM(length(text) - length(scrubbed)) AS BIGINT) AS chars_delta,
+           {duck_fingerprint("scrubbed")} AS scrub_fingerprint
+    FROM s
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: find-and-replace email and phone
+    patterns, reporting per-source redaction counts plus an
+    order-independent fingerprint of the SCRUBBED text — the gate proves
+    the exact replacement output, not just the counts.  Every 5th doc
+    gains a planted email + phone (same construction on both engines),
+    so the scrubber has real targets.
+
+    Scale shape: one scan, regexp entirely inside whole-stage codegen,
+    one low-cardinality aggregate — embarrassingly parallel at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, planted).otherwise(F.col("text")).alias("text"),
+    )
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    s = aug.select(
+        "source",
+        F.col("text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_emails") + F.col("n_phones") > 0, 1).otherwise(0)
+            ).alias("docs_with_pii"),
+            F.sum("n_emails").alias("emails_redacted"),
+            F.sum("n_phones").alias("phones_redacted"),
+            F.sum(F.length("text") - F.length("scrubbed")).alias("chars_delta"),
+            fingerprint(F.col("scrubbed")).alias("scrub_fingerprint"),
+        )
+        .orderBy("source")
+    )
 
 
 # Funnel cutoffs calibrated to this corpus (score p25≈240, median≈354;
