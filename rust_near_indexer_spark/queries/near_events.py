@@ -335,3 +335,98 @@ def receipt_dag_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lvl in levels[1:]:
         walk = walk.unionByName(lvl)
     return walk.groupBy("depth").agg(F.count("*").alias("n_nodes")).orderBy("depth")
+
+
+# ---------------------------------------------------------------------------
+# Integer-domain PageRank over the receipt DAG.
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 10
+# r0 = 1000 milli; r' = 150 + (850 * Σ_in (r // outdeg)) // 1000 — every
+# step is exact integer arithmetic, so both engines agree bit-for-bit
+# (a float-damped PageRank could never hash-match across engines).
+_PR_STEP = """it{next} AS (
+        SELECT n.node,
+               CAST(150 + (850 * COALESCE(SUM(p.r // ed.outdeg), 0)) // 1000
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges_deg ed ON ed.child = n.node
+        LEFT JOIN it{prev} p ON p.node = ed.parent
+        GROUP BY n.node
+    )"""
+_PR_CTES = ",\n    ".join(
+    ["it0 AS (SELECT node, CAST(1000 AS BIGINT) AS r FROM nodes)"]
+    + [_PR_STEP.format(next=k + 1, prev=k) for k in range(PR_ITERS)]
+)
+
+
+@register(
+    "receipt_pagerank",
+    oracle=f"""
+    WITH
+    oc AS (SELECT {_OC_NODE} AS node, receipt_ids
+           FROM read_parquet('{expected_path("execution_outcomes")}')),
+    edges AS (SELECT node AS parent, unnest(receipt_ids) AS child FROM oc),
+    deg AS (SELECT parent, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    edges_deg AS (SELECT e.parent, e.child, d.outdeg
+                  FROM edges e JOIN deg d USING (parent)),
+    nodes AS (SELECT parent AS node FROM edges
+              UNION SELECT child FROM edges),
+    {_PR_CTES}
+    SELECT node, r AS rank_milli FROM it{PR_ITERS}
+    ORDER BY rank_milli DESC, node
+    """,
+    tags=("graph", "beyond-reference", "iterative"),
+)
+def receipt_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the receipt DAG (edges = outcome → produced
+    receipts), the Pregel-style iterative shape on top of the R16-R18
+    correlation graph: 10 synchronous iterations, damping 0.85, all in
+    exact integer milli-units so the DuckDB oracle (the same 10 steps
+    unrolled as CTEs) matches bit-for-bit.
+
+    Scale shape: per iteration one shuffle keyed by child for the
+    contribution aggregate plus one spine join to keep rank rows for
+    every node (dangling included); each iteration is eagerly
+    materialized (plans/state.py lineage rule) so iteration k never
+    replays 0..k-1.  At cluster scale edges would be hash-partitioned by
+    parent once and reused across all 10 rounds."""
+    from ..plans.state import _materialize
+
+    oc = bronze_tables(spark)["execution_outcomes"]
+    node = F.regexp_replace(F.col("execution_outcome_id"), "^eo_", "")
+    edges = oc.select(node.alias("parent"), F.explode("receipt_ids").alias("child"))
+    deg = edges.groupBy("parent").agg(F.count("*").alias("outdeg"))
+    edges_deg = _materialize(edges.join(deg, "parent"))
+    nodes = _materialize(
+        edges.select(F.col("parent").alias("node"))
+        .unionByName(edges.select(F.col("child").alias("node")))
+        .distinct()
+    )
+    pr = nodes.select("node", F.lit(1000).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            pr.join(edges_deg, pr["node"] == edges_deg["parent"])
+            .select(
+                F.col("child"),
+                F.floor(F.col("r") / F.col("outdeg")).cast("long").alias("c"),
+            )
+            .groupBy("child")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = _materialize(
+            nodes.join(contrib, nodes["node"] == contrib["child"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(150)
+                    + F.floor(850 * F.coalesce(F.col("s"), F.lit(0)) / 1000).cast(
+                        "long"
+                    )
+                ).alias("r"),
+            )
+        )
+    return pr.select("node", F.col("r").alias("rank_milli")).orderBy(
+        F.desc("rank_milli"), "node"
+    )
