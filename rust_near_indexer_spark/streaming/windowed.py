@@ -15,8 +15,12 @@ has no windowed aggregation — SURVEY §2B coverage notes):
   per key stays in state (bounded runs flush it on timeout in a live
   stream).
 
-Both run identically on a batch DataFrame (window/groupBy) — tests
-compare the streamed output against the batch computation.
+- ``dedup_events_stream``: streaming exact dedup via
+  ``dropDuplicatesWithinWatermark`` — at-least-once redelivery in,
+  exactly-once rows out, with per-key state bounded by the watermark.
+
+All run identically on a batch DataFrame (window/groupBy/distinct) —
+tests compare the streamed output against the batch computation.
 """
 
 from __future__ import annotations
@@ -207,3 +211,18 @@ def batch_sessions(events: DataFrame) -> DataFrame:
         )
         .drop("session_id")
     )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the ReplacingMergeTree-on-ingest analog
+    (S20 as a *streaming* operator): ``dropDuplicatesWithinWatermark``
+    on the event key drops re-deliveries arriving within the watermark
+    of the first sighting, so an at-least-once upstream (the reference's
+    blocksapi redelivers on reconnect) yields exactly-once rows in the
+    sink without a full-history state table: state for a key is evicted
+    once the watermark passes it, bounding memory by the lateness window
+    instead of the stream length."""
+    ts = F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts")
+    return events.select(
+        "event_id", "user_id", "event_type", "value", "ts_ns", ts
+    ).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

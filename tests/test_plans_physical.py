@@ -78,3 +78,27 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_decontamination_broadcasts_bench_side(spark, sf_dir):
+    """The held-out benchmark shingles must broadcast (eval sets are tiny
+    vs the corpus); the corpus-side shingles never shuffle for the join."""
+    plan = _plan(spark, "benchmark_decontamination", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    """The term-level df table (vocabulary-sized) broadcasts back onto
+    the (source, term) tf table."""
+    plan = _plan(spark, "tfidf_top_terms", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_filter_is_scan_only(spark, sf_dir):
+    """The repetition filter is a pure per-row projection: no Exchange
+    at all before the presentation sort."""
+    plan = _plan(spark, "text_repetition_filter", sf_dir)
+    # the only Exchange allowed is the presentation sort's range
+    # partitioning; no hash-partitioned shuffle anywhere
+    assert plan.count("Exchange hashpartitioning") == 0

@@ -171,3 +171,36 @@ def test_windowed_counts_stream_matches_batch(spark, sf_dir, event_stream_dir, t
     for k, v in streamed.items():
         assert batch[k] == v, k
     assert len(streamed) >= 0.8 * len(batch)
+
+
+def test_dedup_stream_drops_redeliveries(spark, sf_dir, event_stream_dir, tmp_path):
+    """Every chunk is delivered twice (at-least-once upstream); the
+    streamed dedup must emit each event exactly once == batch distinct."""
+    import shutil
+
+    d = str(tmp_path / "dup_stream")
+    os.makedirs(d)
+    for f in sorted(os.listdir(event_stream_dir)):
+        shutil.copy(os.path.join(event_stream_dir, f), os.path.join(d, f))
+        shutil.copy(
+            os.path.join(event_stream_dir, f),
+            os.path.join(d, f.replace(".parquet", "_redelivery.parquet")),
+        )
+    q = (
+        windowed.dedup_events_stream(_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = [
+        r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_stream").collect()
+    ]
+    expected = [
+        r["event_id"]
+        for r in load(spark, sf_dir, "events").select("event_id").distinct().collect()
+    ]
+    assert sorted(streamed) == sorted(expected)
+    assert len(streamed) == len(set(streamed))
