@@ -180,12 +180,22 @@ def test_dedup_stream_drops_redeliveries(spark, sf_dir, event_stream_dir, tmp_pa
 
     d = str(tmp_path / "dup_stream")
     os.makedirs(d)
+    copies = []
     for f in sorted(os.listdir(event_stream_dir)):
-        shutil.copy(os.path.join(event_stream_dir, f), os.path.join(d, f))
-        shutil.copy(
-            os.path.join(event_stream_dir, f),
-            os.path.join(d, f.replace(".parquet", "_redelivery.parquet")),
+        copies.append(shutil.copy(os.path.join(event_stream_dir, f), os.path.join(d, f)))
+        copies.append(
+            shutil.copy(
+                os.path.join(event_stream_dir, f),
+                os.path.join(d, f.replace(".parquet", "_redelivery.parquet")),
+            )
         )
+    # FileStreamSource orders micro-batches by modification time: pin an
+    # explicit chunk0, chunk0-redelivery, chunk1, ... order so no chunk's
+    # FIRST delivery arrives after a later chunk advanced the watermark
+    # (which would drop the whole chunk as late — redelivery adjacency is
+    # the scenario under test, not cross-chunk reordering)
+    for i, p in enumerate(copies):
+        os.utime(p, (1_000_000_000 + 60 * i, 1_000_000_000 + 60 * i))
     q = (
         windowed.dedup_events_stream(_stream(spark, d))
         .writeStream.format("memory")
