@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..canonical import duck_fingerprint, fingerprint
+from ..canonical import duck_fingerprint, duck_hash60, fingerprint
 from ..tables import load, spread
 from . import register
 from .dedup import AUG_SQL
@@ -660,3 +660,102 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
     ).select(F.lit("4_dedup").alias("stage"), "n_docs", "total_tokens")
     return funnel.unionByName(dedup_stage).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+_CMS_DEPTHS_SQL = ", ".join(str(d) for d in range(CMS_DEPTH))
+
+
+@register(
+    "token_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    t AS (SELECT token FROM toks WHERE token != ''),
+    cells AS (
+        SELECT d, {duck_hash60("concat_ws(chr(124), d, token)")} % {CMS_WIDTH} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cell_n
+        FROM t CROSS JOIN (SELECT unnest([{_CMS_DEPTHS_SQL}]) AS d)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM t GROUP BY 1
+        ORDER BY exact_n DESC, token LIMIT 20
+    ),
+    probe AS (
+        SELECT e.token, e.exact_n, c.cell_n
+        FROM exact e
+        CROSS JOIN (SELECT unnest([{_CMS_DEPTHS_SQL}]) AS d) dd
+        JOIN cells c
+          ON c.d = dd.d
+         AND c.bucket = {duck_hash60("concat_ws(chr(124), dd.d, e.token)")} % {CMS_WIDTH}
+    )
+    SELECT token, exact_n, MIN(cell_n) AS cms_n,
+           MIN(cell_n) - exact_n AS overcount
+    FROM probe
+    GROUP BY token, exact_n
+    ORDER BY exact_n DESC, token
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token counts through a count-min sketch (depth 4 ×
+    width 64, md5-derived row hashes) probed for the exact top-20 —
+    estimate ≥ truth always, and the gate pins the exact overcount of
+    both engines' IDENTICAL sketch.  A CMS whose cells are
+    bit-reproducible across engines is also mergeable across partitions
+    and days: the 100 TB shape aggregates 256 integer cells per shard
+    and sums them, instead of shuffling the full token space.
+
+    Scale shape: one corpus scan fanned out ×4 depths map-side, partial
+    aggregation into ≤256 cells per task, one 256-row shuffle; the
+    exact top-20 here exists only to gate the sketch's error."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        spread(d, "doc_id")
+        .select(F.explode(_words(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    depths = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("d")
+    from ..canonical import hash60
+
+    cells = (
+        toks.select("token", depths)
+        .select("d", (hash60(F.col("d"), F.col("token")) % CMS_WIDTH).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cell_n"))
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(20)
+    )
+    probe = (
+        exact.select("token", "exact_n", depths)
+        .select(
+            "token",
+            "exact_n",
+            "d",
+            (hash60(F.col("d"), F.col("token")) % CMS_WIDTH).alias("bucket"),
+        )
+        .join(F.broadcast(cells), ["d", "bucket"])
+    )
+    return (
+        probe.groupBy("token", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+        .select(
+            "token",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "token")
+    )
