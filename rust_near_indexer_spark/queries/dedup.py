@@ -570,3 +570,115 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared_5grams") >= DECONTAM_MIN_SHARED)
         .orderBy("train_doc", "bench_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against corpus history via a deterministic Bloom filter.
+# ---------------------------------------------------------------------------
+
+# 62 usable bits per word (bit 63 would overflow a signed shift in either
+# engine); 1024 words ≈ 63k bits → with k=3 hashes the FP rate is ~1% at
+# sf0.1's history size, so the gate exercises true negatives, true dups,
+# AND bloom false positives — all resolved identically on both engines
+# because the sketch is bit-identical.
+BLOOM_WORD_BITS = 62
+BLOOM_WORDS = 1024
+BLOOM_BITS = BLOOM_WORD_BITS * BLOOM_WORDS
+BLOOM_K = 3
+_BLOOM_KS_SQL = ", ".join(str(i) for i in range(BLOOM_K))
+
+
+@register(
+    "dedup_incremental_bloom",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    hist AS (SELECT DISTINCT md5(text) AS k FROM aug WHERE doc_id < 100000),
+    inc AS (SELECT doc_id, md5(text) AS k FROM aug WHERE doc_id >= 100000),
+    hbits AS (
+        SELECT ({duck_hash60("concat_ws(chr(124), i, k)")} % {BLOOM_BITS}) AS b
+        FROM (SELECT k, unnest([{_BLOOM_KS_SQL}]) AS i FROM hist)
+    ),
+    bloom AS (
+        SELECT b // {BLOOM_WORD_BITS} AS word,
+               bit_or(1::BIGINT << CAST(b % {BLOOM_WORD_BITS} AS INTEGER)) AS bm
+        FROM hbits GROUP BY 1
+    ),
+    ibits AS (
+        SELECT doc_id, k,
+               ({duck_hash60("concat_ws(chr(124), i, k)")} % {BLOOM_BITS}) AS b
+        FROM (SELECT doc_id, k, unnest([{_BLOOM_KS_SQL}]) AS i FROM inc)
+    ),
+    pj AS (
+        SELECT doc_id, k,
+               bool_and((COALESCE(bm, 0) &
+                         (1::BIGINT << CAST(b % {BLOOM_WORD_BITS} AS INTEGER))) != 0)
+                   AS bloom_candidate
+        FROM ibits LEFT JOIN bloom ON bloom.word = b // {BLOOM_WORD_BITS}
+        GROUP BY doc_id, k
+    )
+    SELECT p.doc_id, p.bloom_candidate,
+           CASE WHEN NOT p.bloom_candidate THEN 'new'
+                WHEN h.k IS NOT NULL THEN 'dup'
+                ELSE 'bloom_fp' END AS verdict
+    FROM pj p LEFT JOIN hist h ON p.bloom_candidate AND h.k = p.k
+    ORDER BY p.doc_id
+    """,
+    tags=("llm", "dedup", "sketch", "incremental"),
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of an incoming batch against corpus
+    HISTORY without anti-joining the history: build a deterministic
+    Bloom filter (k=3 md5-derived hashes, 1024×62-bit words) over the
+    history's content keys, broadcast it (8 KB regardless of history
+    size), and run the exact membership join ONLY for the bloom's
+    candidate docs — at 100 TB the anti-join against all prior data
+    becomes a map-side bitmask probe plus an exact check of the tiny
+    candidate set.  History = the original docs, incoming = the planted
+    +100000/+200000 variants; verdicts distinguish true dups from bloom
+    false positives, and the gate pins the exact FP set (the sketch is
+    bit-identical in both engines)."""
+    aug = augmented_docs(spark, sf_dir)
+    key = F.md5("text")
+    hist = aug.where(F.col("doc_id") < 100000).select(key.alias("k")).distinct()
+    inc = aug.where(F.col("doc_id") >= 100000).select("doc_id", key.alias("k"))
+
+    ks = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+
+    def bits(df):
+        return df.select(*df.columns, ks).withColumn(
+            "b", _hash60(F.concat_ws("|", F.col("i"), F.col("k"))) % BLOOM_BITS
+        )
+
+    bloom = (
+        bits(hist)
+        .select(
+            (F.col("b") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            F.expr(f"shiftleft(1L, CAST(b % {BLOOM_WORD_BITS} AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bm"))
+    )
+    probed = (
+        bits(inc)
+        .withColumn("word", (F.col("b") / BLOOM_WORD_BITS).cast("long"))
+        .withColumn("m", F.expr(f"shiftleft(1L, CAST(b % {BLOOM_WORD_BITS} AS INT))"))
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("doc_id", "k")
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("bm"), F.lit(0)).bitwiseAND(F.col("m")) != 0
+            ).alias("bloom_candidate")
+        )
+    )
+    # exact membership check runs ONLY for the candidate subset
+    cand = probed.where(F.col("bloom_candidate"))
+    seen = hist.withColumn("seen", F.lit(True))
+    resolved = cand.join(seen, "k", "left").select(
+        "doc_id",
+        "bloom_candidate",
+        F.when(F.col("seen"), F.lit("dup")).otherwise(F.lit("bloom_fp")).alias("verdict"),
+    )
+    fresh = probed.where(~F.col("bloom_candidate")).select(
+        "doc_id", "bloom_candidate", F.lit("new").alias("verdict")
+    )
+    return resolved.unionByName(fresh).orderBy("doc_id")
