@@ -289,9 +289,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+# Verified pairs are consumed by dedup_minhash_lsh AND dedup_clusters;
+# cache per (session, sf_dir) so the driver's sequential query loop runs
+# the shingle→minhash→band→verify chain once (same pattern as
+# near_events.bronze_tables).
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs ``(doc_a, doc_b, jaccard_milli)`` —
     unsorted; shared by dedup_minhash_lsh and dedup_clusters."""
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = _verified_pairs_plan(spark, sf_dir).persist()
+    return _PAIRS_CACHE[key]
+
+
+def _verified_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash2 = lambda h: (h % M59 * H2_MUL + H2_ADD) % F.lit(M59)  # noqa: E731
     docs = (
         _doc_shingles(spark, sf_dir)

@@ -290,12 +290,18 @@ TOP2_MAX_MILLI = 150
                len(w) AS n
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
     ),
+    tb AS (
+        SELECT doc_id, MAX(c) AS top2cnt
+        FROM (SELECT doc_id, b, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(g2) AS b FROM g)
+              GROUP BY doc_id, b)
+        GROUP BY doc_id
+    ),
     m AS (
-        SELECT doc_id,
+        SELECT g.doc_id,
                (1000 * (len(g3) - len(list_distinct(g3)))) // GREATEST(len(g3), 1) AS dup_trigram_milli,
-               (1000 * 2 * list_max(list_transform(
-                   list_distinct(g2), x -> len(list_filter(g2, y -> y = x))))) // GREATEST(n, 1) AS top_bigram_milli
-        FROM g
+               (1000 * 2 * tb.top2cnt) // GREATEST(n, 1) AS top_bigram_milli
+        FROM g JOIN tb ON tb.doc_id = g.doc_id
     )
     SELECT doc_id, dup_trigram_milli, top_bigram_milli,
            CASE WHEN dup_trigram_milli >= {DUP3_MAX_MILLI}
@@ -316,9 +322,16 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure per-row higher-order array expressions inside one
     corpus scan — no shuffle at all (the gate's ORDER BY is
-    presentation-only).  The per-doc bigram count is O(distinct² )
-    within a document, bounded by doc length, never by corpus size."""
-    d = load(spark, sf_dir, "documents")
+    presentation-only).  The most-common-bigram count is a single
+    O(d log d) run-length pass over the doc's SORTED bigram array —
+    never the O(d²) count-each-distinct nested loop (measured 5×
+    slower in interpreted higher-order eval); the relational
+    unnest→group→max alternative would cost two corpus-wide shuffles.
+    The DuckDB oracle uses that relational form, so the gate also
+    proves the run-length fold equals the straightforward count.
+    The compact scan is spread() before the array-heavy projection so
+    the interpreted higher-order eval parallelizes (no-op at scale)."""
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
     w0 = F.split(F.col("text"), " ")
     boiler = F.rtrim(
         F.repeat(F.concat(F.get(w0, 0), F.lit(" "), F.get(w0, 1), F.lit(" ")), 6)
@@ -344,12 +357,23 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g2"),
         F.size(w).alias("n"),
     )
-    g2 = F.col("g2")
-    top2_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(g2),
-            lambda x: F.size(F.filter(g2, lambda y: y == x)),
+    # max multiplicity via run-length over the sorted array: one linear
+    # fold instead of filter-per-distinct-element (O(d log d) vs O(d²))
+    def _rl_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
+
+    top2_cnt = F.aggregate(
+        F.array_sort(F.col("g2")),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _rl_step,
+        lambda acc: acc["best"],
     )
     dup3 = F.floor(
         1000
