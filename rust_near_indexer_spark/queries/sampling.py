@@ -294,3 +294,79 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack, "source string, doc_id long, n_tokens long, bin_id long, bin_fill long"
     )
     return out.orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS (probability-proportional-to-size) sampling.
+# ---------------------------------------------------------------------------
+
+PPS_PER_SOURCE = 5  # target draws per source shard
+
+
+@register(
+    "pps_systematic_sample",
+    oracle=f"""
+    WITH f AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n_tokens) OVER (PARTITION BY source) AS total
+        FROM f
+    )
+    SELECT source, doc_id, n_tokens, cum
+    FROM c
+    WHERE (cum - n_tokens) // GREATEST(total // {PPS_PER_SOURCE}, 1)
+          < cum // GREATEST(total // {PPS_PER_SOURCE}, 1)
+    ORDER BY source, doc_id
+    """,
+    tags=("sampling", "llm-pipeline"),
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: within each
+    source shard, documents are laid on a token-count number line and
+    one document is drawn per stride of ``total_tokens/PPS_PER_SOURCE`` — long
+    documents are proportionally more likely to straddle a stride
+    boundary, the classic PPS estimator for token-weighted corpus
+    statistics.  All integer arithmetic (prefix sums + floor division),
+    so membership is exactly reproducible across engines and cluster
+    layouts — like every sampler here, the decision is a pure function
+    of the data, never of partitioning.
+
+    Scale shape: one shuffle keyed by source (the stratification key);
+    each shard's prefix sum is a window scan.  There is deliberately no
+    GLOBAL prefix sum — a corpus-wide systematic sample would serialize
+    100 TB through one ordering, so sharding first is the only shape
+    that survives scale (identical to how sequence_packing shards)."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    c = d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w_cum).alias("cum"),
+        F.sum("n_tokens").over(w_tot).alias("total"),
+    )
+    stride = F.greatest(
+        F.floor(F.col("total") / PPS_PER_SOURCE).cast("long"), F.lit(1)
+    )
+    before = F.floor((F.col("cum") - F.col("n_tokens")) / stride).cast("long")
+    after = F.floor(F.col("cum") / stride).cast("long")
+    return (
+        c.where(before < after)
+        .select("source", "doc_id", "n_tokens", "cum")
+        .orderBy("source", "doc_id")
+    )
