@@ -151,6 +151,31 @@ def compact(spark: SparkSession, path: str, pk: tuple) -> None:
     shutil.rmtree(old)
 
 
+def retain(path: str, min_height: int) -> int:
+    """TTL retention — the ``ALTER TABLE ... DROP PARTITION`` /
+    MergeTree-``TTL`` analog: drop every height-bucket partition that
+    lies entirely below ``min_height``.  A partition-level metadata
+    operation (whole directories unlinked, zero rows rewritten) — at
+    100 TB retention must never be a filtered rewrite of the table.
+    The bucket containing ``min_height`` is kept (it straddles the
+    cutoff); returns the number of dropped buckets.  Idempotent."""
+    import shutil
+
+    cutoff_bucket = min_height // HEIGHT_BUCKET_SIZE
+    dropped = 0
+    for d in os.listdir(path):
+        if not d.startswith("height_bucket="):
+            continue
+        try:
+            bucket = int(d.split("=", 1)[1])
+        except ValueError:
+            continue  # month-partitioned layout — not height-addressable
+        if bucket < cutoff_bucket:
+            shutil.rmtree(os.path.join(path, d))
+            dropped += 1
+    return dropped
+
+
 def last_indexed_height(spark: SparkSession, path: str) -> int | None:
     """SELECT max(block_height) on the sink (R3, database.rs:14-39)."""
     if not os.path.exists(path):

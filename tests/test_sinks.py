@@ -94,3 +94,23 @@ def test_retry_policy():
 
     with pytest.raises(ZeroDivisionError):
         sinks.with_retries(lambda: 1 / 0, attempts=3, sleep=sleeps.append)
+
+
+def test_retain_drops_whole_buckets(spark, tmp_path):
+    """Retention unlinks only buckets entirely below the cutoff; the
+    straddling bucket and everything above survive byte-identical."""
+    import os
+
+    rows = [(h, f"e{h}") for h in (5_000, 15_000, 25_000, 35_000)]
+    df = spark.createDataFrame(rows, "block_height long, event_id string")
+    base = str(tmp_path / "t")
+    sinks.append(df, base, ingest_seq=1)
+    assert sorted(
+        d for d in os.listdir(base) if d.startswith("height_bucket=")
+    ) == ["height_bucket=0", "height_bucket=1", "height_bucket=2", "height_bucket=3"]
+
+    dropped = sinks.retain(base, min_height=25_000)
+    assert dropped == 2  # buckets 0 and 1; bucket 2 straddles the cutoff
+    kept = {r["block_height"] for r in spark.read.parquet(base).collect()}
+    assert kept == {25_000, 35_000}
+    assert sinks.retain(base, min_height=25_000) == 0  # idempotent
