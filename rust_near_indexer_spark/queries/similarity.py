@@ -472,6 +472,97 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def l2_normalize(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Replace ``col`` with its L2-normalized form (zero vectors → null).
+
+    The hygiene step every embedding pipeline runs before cosine ANN:
+    after it, dot == cosine and the integer-nano dot contract above is
+    valid.  Pure ``transform``/``aggregate`` — JVM-side, no shuffle, no
+    Python; at 100 TB this is a free map over the scan.
+    """
+    sq = F.aggregate(
+        F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = F.sqrt(sq)
+    return df.withColumn(
+        col,
+        F.when(
+            norm > 0,
+            F.transform(F.col(col), lambda x: (x.cast("double") / norm).cast("float")),
+        ),
+    )
+
+
+# norm² in integer nano-units: permutation-invariant BIGINT fold, exact
+# cross-engine (same per-component rounding contract as the dot product)
+_NORM2_NANO_SQL = (
+    "list_sum(list_transform(embedding, "
+    "x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9) AS BIGINT)))"
+)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH n AS (SELECT label, {_NORM2_NANO_SQL} AS norm2_nano FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           MIN(norm2_nano) AS min_norm2_nano,
+           MAX(norm2_nano) AS max_norm2_nano,
+           CAST(SUM(norm2_nano) // COUNT(*) AS BIGINT) AS avg_norm2_nano,
+           CAST(SUM(CASE WHEN ABS(norm2_nano - 1000000000) <= 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS unit_norm_count,
+           MAX(ABS(norm2_nano - 1000000000)) AS max_unit_dev_nano
+    FROM n GROUP BY label ORDER BY label
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-hygiene audit: per-label L2-norm² distribution in integer
+    nano-units (min / max / truncated mean), plus how many vectors are
+    within 1e-3 of unit norm and the worst deviation — the check a
+    training pipeline runs before trusting dot-product == cosine.
+
+    Scale posture: one narrow map (64 multiplies/row) then a tiny
+    groupBy on ``label`` — map-side partial aggregation makes the
+    shuffle a few rows per partition regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * x.cast("double") * 1e9).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    unit_dev = F.abs(F.col("norm2_nano") - F.lit(1_000_000_000))
+    return (
+        emb.select("label", norm2.alias("norm2_nano"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("norm2_nano").alias("min_norm2_nano"),
+            F.max("norm2_nano").alias("max_norm2_nano"),
+            F.sum("norm2_nano").alias("_sum"),
+            F.sum(F.when(unit_dev <= 1_000_000, 1).otherwise(0)).alias("unit_norm_count"),
+            F.max(unit_dev).alias("max_unit_dev_nano"),
+        )
+        # `div` truncates toward zero like DuckDB's integer `//`
+        .select(
+            "label",
+            "n_vectors",
+            "min_norm2_nano",
+            "max_norm2_nano",
+            F.expr("_sum div n_vectors").alias("avg_norm2_nano"),
+            "unit_norm_count",
+            "max_unit_dev_nano",
+        )
+        .orderBy("label")
+    )
+
+
 @register(
     "ann_quantized_topk",
     oracle=f"""

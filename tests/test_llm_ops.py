@@ -21,6 +21,7 @@ LLM_QUERIES = [
     "ann_bruteforce_topk",
     "ann_lsh_bucketed_topk",
     "embedding_label_centroids",
+    "embedding_norm_stats",
     "multimodal_features",
 ]
 
@@ -86,6 +87,24 @@ def test_lsh_ann_is_subset_of_bruteforce_space(spark, sf_dir):
     for r in lsh:
         if r["rank"] == 1:
             assert r["cosine_nano"] <= bf_best[r["query_id"]]
+
+
+def test_l2_normalize_restores_unit_norm(spark):
+    """Scaled vectors come back unit-norm; the zero vector becomes null."""
+    from rust_near_indexer_spark.queries.similarity import l2_normalize
+
+    rows = [
+        (1, [3.0, 4.0, 0.0]),
+        (2, [0.5, 0.5, 0.5]),
+        (3, [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["embedding"] for r in l2_normalize(df).collect()}
+    assert out[3] is None
+    for vid in (1, 2):
+        norm2 = sum(x * x for x in out[vid])
+        assert abs(norm2 - 1.0) < 1e-6
+    assert abs(out[1][0] - 0.6) < 1e-6 and abs(out[1][1] - 0.8) < 1e-6
 
 
 def test_multimodal_stubs_raise():
