@@ -55,5 +55,6 @@ def load_registry() -> dict[str, Query]:
     from . import multimodal  # noqa: F401
     from . import temporal  # noqa: F401
     from . import sampling  # noqa: F401
+    from . import clustering  # noqa: F401
 
     return REGISTRY

@@ -370,3 +370,160 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_tokens", "cum")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted corpus mixture (epoch-aware up/down-sampling per source).
+# ---------------------------------------------------------------------------
+
+# weight_milli(srcN) = 500 + 100·(N mod 20) → 0.5×…2.4× per source
+_W_MILLI = "(500 + 100 * (CAST(SUBSTR(source, 4) AS BIGINT) % 20))"
+
+
+@register(
+    "corpus_mixture",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               {_W_MILLI} // 1000
+               + CASE WHEN {_DUCK_DOC_HASH} % 1000 < {_W_MILLI} % 1000
+                      THEN 1 ELSE 0 END AS repeats
+        FROM documents
+    ),
+    mixed AS (
+        SELECT source, doc_id, n_chars,
+               unnest(range(1, repeats + 1)) AS epoch
+        FROM w WHERE repeats >= 1
+    )
+    SELECT source, CAST(epoch AS BIGINT) AS epoch,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {duck_fingerprint('doc_id')} AS doc_fingerprint
+    FROM mixed
+    GROUP BY source, epoch
+    ORDER BY source, epoch
+    """,
+    tags=("sampling", "llm-pipeline", "mixture"),
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixing — the step that turns per-source sampling
+    weights into an actual training stream.  Each source carries a
+    milli-weight (0.5×…2.4× here, derived from the source id so both
+    engines agree); a document is emitted ``floor(w)`` times plus one
+    more iff its hash fraction falls under ``frac(w)`` — deterministic
+    fractional epochs, the standard upsampling trick (e.g. Pile/LLaMA
+    style mixtures), reproducible under any partitioning because the
+    extra-epoch decision is a pure function of doc_id.
+
+    Scale shape: the repeat count is computed scan-side and the explode
+    multiplies rows map-side (no shuffle until the audit aggregate);
+    a 2.4× source never materializes through the driver.  Gate output
+    proves exact membership of every epoch, not just counts."""
+    docs = load(spark, sf_dir, "documents")
+    w_milli = F.lit(500) + 100 * (F.substring("source", 4, 10).cast("long") % 20)
+    repeats = (w_milli / 1000).cast("long") + F.when(
+        hash60(F.col("doc_id")) % 1000 < w_milli % 1000, 1
+    ).otherwise(0)
+    mixed = (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            repeats.alias("repeats"),
+        )
+        .where(F.col("repeats") >= 1)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("repeats"))
+            ).alias("epoch"),
+        )
+    )
+    return (
+        mixed.groupBy("source", "epoch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            fingerprint("doc_id").alias("doc_fingerprint"),
+        )
+        .orderBy("source", "epoch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget output sharding (training-export file sizing).
+# ---------------------------------------------------------------------------
+
+SHARD_TOKENS = 2000  # target tokens per output shard
+
+
+@register(
+    "token_budget_shards",
+    oracle=f"""
+    WITH f AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {_DUCK_DOC_HASH} AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM f
+    )
+    SELECT source,
+           (cum - n_tokens) // {SHARD_TOKENS} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           {duck_fingerprint('doc_id')} AS doc_fingerprint
+    FROM c
+    GROUP BY source, shard_id
+    ORDER BY source, shard_id
+    """,
+    tags=("sampling", "llm-pipeline", "sharding"),
+)
+def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget export sharding: lay each source's documents on a
+    token number line (hash-shuffled order, so shards are topic-mixed)
+    and cut a shard every {SHARD_TOKENS} tokens — the sizing step before
+    writing training shards, where downstream loaders want uniform
+    files.  A document belongs to the shard its *starting* offset falls
+    in, so every shard except a source's last holds ≥ the budget minus
+    one document — deterministic, integer-exact, reproducible across
+    engines and cluster layouts.
+
+    Scale shape: identical to ``pps_systematic_sample`` — shuffle once
+    on the stratification key, per-shard window prefix-sum, no global
+    ordering anywhere.  The actual file write would be
+    ``partitionBy(source, shard_id)`` on this frame (sinks.py)."""
+    docs = load(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        hash60(F.col("doc_id")).alias("h"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = f.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w_cum).alias("cum"),
+    )
+    shard = F.floor((F.col("cum") - F.col("n_tokens")) / SHARD_TOKENS).cast("long")
+    return (
+        c.groupBy("source", shard.alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            fingerprint("doc_id").alias("doc_fingerprint"),
+        )
+        .orderBy("source", "shard_id")
+    )

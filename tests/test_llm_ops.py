@@ -161,3 +161,60 @@ def test_sample_frames_slices_and_strides(spark):
         (7, 2): bytes(range(8, 12)).hex().upper(),
         (7, 4): bytes(range(16, 20)).hex().upper(),
     }
+
+
+def test_kmeans_partitions_the_corpus(spark, sf_dir):
+    """Final k-means assignment must partition the embeddings table:
+    cluster sizes sum to the row count and ids stay within 0..K-1."""
+    from rust_near_indexer_spark.queries.clustering import K
+    from rust_near_indexer_spark.tables import load
+
+    reg = load_registry()
+    rows = reg["embedding_kmeans"].spark(spark, sf_dir).collect()
+    n_emb = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_emb
+    assert all(0 <= r["cluster"] < K for r in rows)
+    assert all(r["inertia"] >= 0 for r in rows)
+
+
+def test_corpus_mixture_epoch_semantics(spark, sf_dir):
+    """Sources with weight ≥ 1.0 (srcN, N ≥ 5) keep every document in
+    epoch 1; no document exceeds ceil(max weight) = 3 epochs."""
+    reg = load_registry()
+    rows = reg["corpus_mixture"].spark(spark, sf_dir).collect()
+    assert max(r["epoch"] for r in rows) <= 3
+    import duckdb
+
+    con = duck_connect(sf_dir)
+    per_source = dict(
+        con.sql("SELECT source, COUNT(*) FROM documents GROUP BY source").fetchall()
+    )
+    for r in rows:
+        n = int(r["source"][3:])
+        if r["epoch"] == 1 and n % 20 >= 5:
+            assert r["n_docs"] == per_source[r["source"]], r
+
+
+def test_token_budget_shards_conserve_tokens(spark, sf_dir):
+    """Shard ids are contiguous from 0 per source and shard token totals
+    sum to the source's total token count."""
+    from collections import defaultdict
+
+    reg = load_registry()
+    rows = reg["token_budget_shards"].spark(spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    import duckdb
+
+    con = duck_connect(sf_dir)
+    totals = dict(
+        con.sql(
+            "SELECT source, CAST(SUM(len(string_split(text,' '))) AS BIGINT)"
+            " FROM documents GROUP BY source"
+        ).fetchall()
+    )
+    for src, shards in by_src.items():
+        ids = sorted(s["shard_id"] for s in shards)
+        assert ids == list(range(len(ids))), src
+        assert sum(s["shard_tokens"] for s in shards) == totals[src], src
