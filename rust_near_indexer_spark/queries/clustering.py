@@ -1,4 +1,4 @@
-"""K-means clustering over the ``embeddings`` table (north-star §LLM).
+"""K-means clustering + semantic dedup over ``embeddings`` (north-star §LLM).
 
 Semantic clustering is the backbone of several training-data operations
 — SemDeDup-style semantic dedup, topic-balanced mixture design, and IVF
@@ -6,6 +6,9 @@ index construction (``similarity.ann_ivf_topk`` consumes exactly this
 kind of coarse quantizer).  This module runs Lloyd's algorithm as a
 DataFrame loop: broadcast the K centroids, assign each vector map-side,
 re-estimate centroids with one partial-aggregated shuffle, repeat.
+``semantic_dedup`` then composes the trained clusters with
+cluster-bounded pairwise cosine — the SemDeDup recipe (cluster first so
+the pair space is |cluster|², never corpus²).
 
 Determinism (the oracle gate is exact): embeddings are quantized once
 to integer micro-units per component, so every distance is an exact
@@ -93,15 +96,87 @@ _KM_CTES = ",\n    ".join(
             _km_update(f"a{it + 1}", f"c{it + 1}"),
         )
     ]
-    + [_km_assign(f"c{KM_ITERS}", f"a{KM_ITERS + 1}")]
 )
+
+# ---- Spark-side building blocks -------------------------------------------
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1e6).cast("long")
+        ).alias("qe"),
+    )
+
+
+def _assign(vec: DataFrame, cen: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids, score
+    map-side, argmin via min(struct) — combines map-side, unlike a
+    window sort.  ``carry`` columns ride along through the argmin
+    (cluster id is unique per candidate row, so they are never compared)."""
+    sq = F.zip_with("qe", "ce", lambda x, y: (x - y) * (x - y))
+    dist = F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = vec.crossJoin(F.broadcast(cen)).select(
+        "vec_id", "qe", *carry, "cluster", dist.alias("dist")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cluster", "qe", *carry)).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        "m.qe",
+        *[f"m.{c}" for c in carry],
+        F.col("m.cluster").alias("cluster"),
+        F.col("m.dist").alias("dist"),
+    )
+
+
+_CEN_CACHE: dict = {}
+
+
+def _final_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the KM_ITERS Lloyd rounds once per (session, sf_dir); the
+    resulting K-row centroid table is localCheckpointed, so reuse by
+    ``semantic_dedup`` costs nothing (same sharing rule as the LSH
+    pair cache in dedup.py)."""
+    from ..plans.state import _materialize
+
+    key = (id(spark), sf_dir)
+    if key not in _CEN_CACHE:
+        vec = _quantized(spark, sf_dir)
+        cen = _materialize(
+            vec.where(
+                (F.col("vec_id") % SEED_STRIDE == 0)
+                & (F.col("vec_id") < K * SEED_STRIDE)
+            ).select(
+                F.expr(f"vec_id div {SEED_STRIDE}").alias("cluster"),
+                F.col("qe").alias("ce"),
+            )
+        )
+        for _ in range(KM_ITERS):
+            assigned = _assign(vec, cen)
+            agg = assigned.groupBy("cluster").agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.get("qe", i)).alias(f"s{i}") for i in range(DIM)],
+            )
+            cen = _materialize(
+                agg.select(
+                    "cluster",
+                    F.array(*[F.expr(f"s{i} div n") for i in range(DIM)]).alias("ce"),
+                )
+            )
+        _CEN_CACHE[key] = cen
+    return _CEN_CACHE[key]
 
 
 @register(
     "embedding_kmeans",
     oracle=f"""
     WITH
-    {_KM_CTES}
+    {_KM_CTES},
+    {_km_assign(f"c{KM_ITERS}", f"a{KM_ITERS + 1}")}
     SELECT cluster, COUNT(*) AS n_vectors,
            CAST(SUM(dist) AS BIGINT) AS inertia,
            {duck_fingerprint('vec_id')} AS member_fingerprint
@@ -120,58 +195,130 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating div on both engines).  Emits per-cluster size, integer
     inertia, and the exact member-set fingerprint — the gate proves the
     full partition of the corpus, not just the counts."""
-    from ..plans.state import _materialize
-
-    emb = spread(load(spark, sf_dir, "embeddings"))
-    vec = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1e6).cast("long")
-        ).alias("qe"),
-    )
-
-    cen = vec.where(
-        (F.col("vec_id") % SEED_STRIDE == 0) & (F.col("vec_id") < K * SEED_STRIDE)
-    ).select(
-        F.expr(f"vec_id div {SEED_STRIDE}").alias("cluster"), F.col("qe").alias("ce")
-    )
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        sq = F.zip_with("qe", "ce", lambda x, y: (x - y) * (x - y))
-        dist = F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v)
-        scored = vec.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "qe", "cluster", dist.alias("dist")
-        )
-        # argmin via min(struct): combines map-side, unlike a window sort
-        best = scored.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cluster", "qe")).alias("m")
-        )
-        return best.select(
-            "vec_id", "m.qe", F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        agg = assigned.groupBy("cluster").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.get("qe", i)).alias(f"s{i}") for i in range(DIM)],
-        )
-        return _materialize(
-            agg.select(
-                "cluster",
-                F.array(*[F.expr(f"s{i} div n") for i in range(DIM)]).alias("ce"),
-            )
-        )
-
-    cen = _materialize(cen)
-    for _ in range(KM_ITERS):
-        cen = update(assign(cen))
-    final = assign(cen)
+    vec = _quantized(spark, sf_dir)
+    final = _assign(vec, _final_centroids(spark, sf_dir))
     return (
         final.groupBy("cluster")
         .agg(
             F.count("*").alias("n_vectors"),
             F.sum("dist").alias("inertia"),
             fingerprint("vec_id").alias("member_fingerprint"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bounded pairwise cosine over the augmented corpus.
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle() -> str:
+    from .similarity import _AUG_EMB_SQL, _DOT_NANO_SQL, NEAR_DUP_COSINE_NANO
+
+    dot = _DOT_NANO_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH
+    {_KM_CTES},
+    augq AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> CAST(ROUND(x * 1e6) AS BIGINT)) AS qe
+        FROM ({_AUG_EMB_SQL})
+    ),
+    sa_d AS (
+        SELECT v.vec_id, v.embedding, c.cluster,
+               CAST(list_sum(list_transform(list_zip(v.qe, c.ce),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+        FROM augq v CROSS JOIN c{KM_ITERS} c
+    ),
+    sa AS (
+        SELECT vec_id, embedding, cluster FROM (
+            SELECT vec_id, embedding, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rk
+            FROM sa_d
+        ) WHERE rk = 1
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM sa a JOIN sa b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {dot} >= {NEAR_DUP_COSINE_NANO}
+    ),
+    kept AS (
+        SELECT sa.cluster, sa.vec_id FROM sa
+        LEFT JOIN dup ON dup.vec_id = sa.vec_id
+        WHERE dup.vec_id IS NULL
+    )
+    SELECT b.cluster, b.n_vectors, k.n_kept,
+           b.n_vectors - k.n_kept AS n_dropped, k.kept_fingerprint
+    FROM (SELECT cluster, COUNT(*) AS n_vectors FROM sa GROUP BY cluster) b
+    JOIN (SELECT cluster, COUNT(*) AS n_kept,
+                 {duck_fingerprint('vec_id')} AS kept_fingerprint
+          FROM kept GROUP BY cluster) k USING (cluster)
+    ORDER BY cluster
+    """
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("clustering", "dedup", "llm-pipeline", "beyond-reference"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign every vector (original corpus + the planted
+    near-dups from similarity.py's augmented view) to its nearest
+    trained k-means centroid, then search for near-duplicates ONLY
+    inside each cluster — pairwise work is Σ|cluster|², never corpus².
+    A vector is dropped iff a same-cluster neighbor with a smaller
+    vec_id has cosine ≥ 0.9; the smallest id of every duplicate group
+    survives.  Emits per-cluster totals plus the exact kept-set
+    fingerprint.
+
+    Scale shape: one broadcast assignment pass over the corpus, one
+    shuffle on cluster to co-locate members, then a per-cluster
+    self-join — at 100 TB clusters are the unit of parallelism, and a
+    skewed giant cluster would be split by raising K (the SemDeDup
+    paper's K ≈ corpus/√corpus keeps clusters bounded)."""
+    from .similarity import NEAR_DUP_COSINE_NANO, _augmented_embeddings, _dot_nano
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    augq = aug.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: F.round(x * 1e6).cast("long")).alias("qe"),
+    )
+    assigned = _assign(
+        augq, _final_centroids(spark, sf_dir), carry=("embedding",)
+    ).select("vec_id", "embedding", "cluster")
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "cluster"
+    )
+    dup = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_dot_nano(F.col("emb_a"), F.col("emb_b")) >= NEAR_DUP_COSINE_NANO)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    kept = assigned.join(dup, "vec_id", "left_anti")
+    base = assigned.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    keptagg = kept.groupBy("cluster").agg(
+        F.count("*").alias("n_kept"),
+        fingerprint("vec_id").alias("kept_fingerprint"),
+    )
+    return (
+        base.join(keptagg, "cluster")
+        .select(
+            "cluster",
+            "n_vectors",
+            "n_kept",
+            (F.col("n_vectors") - F.col("n_kept")).alias("n_dropped"),
+            "kept_fingerprint",
         )
         .orderBy("cluster")
     )

@@ -218,3 +218,20 @@ def test_token_budget_shards_conserve_tokens(spark, sf_dir):
         ids = sorted(s["shard_id"] for s in shards)
         assert ids == list(range(len(ids))), src
         assert sum(s["shard_tokens"] for s in shards) == totals[src], src
+
+
+def test_semantic_dedup_drops_planted_neardups(spark, sf_dir):
+    """The augmented corpus plants one 0.99-cosine near-dup per
+    vec_id % 20 == 0; semantic dedup must drop (nearly) all of them —
+    a planted dup survives only if assignment split it from its base."""
+    from rust_near_indexer_spark.tables import load
+
+    reg = load_registry()
+    rows = reg["semantic_dedup"].spark(spark, sf_dir).collect()
+    n_emb = load(spark, sf_dir, "embeddings").count()
+    n_planted = (
+        load(spark, sf_dir, "embeddings").where(F.expr("vec_id % 20 = 0")).count()
+    )
+    assert sum(r["n_vectors"] for r in rows) == n_emb + n_planted
+    dropped = sum(r["n_dropped"] for r in rows)
+    assert dropped >= int(0.8 * n_planted), (dropped, n_planted)
