@@ -322,3 +322,123 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top principal component via integer power iteration.
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 4
+
+_PCA_BASE_CTES = f"""qm AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qe
+        FROM embeddings
+    ),
+    mu AS (
+        SELECT t.i, CAST(SUM(qe[t.i]) // COUNT(*) AS BIGINT) AS m
+        FROM qm CROSS JOIN range(1, {DIM + 1}) t(i)
+        GROUP BY t.i
+    ),
+    x AS (
+        SELECT vec_id, t.i, qe[t.i] - mu.m AS xi
+        FROM qm CROSS JOIN range(1, {DIM + 1}) t(i)
+        JOIN mu ON mu.i = t.i
+    ),
+    cov AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.xi * b.xi) AS BIGINT) AS c
+        FROM x a JOIN x b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ),
+    v0 AS (
+        SELECT t.i, CAST(CASE WHEN t.i = 1 THEN 1000 ELSE 0 END AS BIGINT) AS val
+        FROM range(1, {DIM + 1}) t(i)
+    )"""
+
+_PCA_STEP = """w{k} AS (
+        SELECT c.i, CAST(SUM(c.c * v.val) AS BIGINT) AS s
+        FROM cov c JOIN v{p} v ON v.i = c.j
+        GROUP BY c.i
+    ),
+    m{k} AS (SELECT MAX(ABS(s)) AS mm FROM w{k}),
+    v{k} AS (
+        SELECT i, CAST((s * 1000) // mm AS BIGINT) AS val
+        FROM w{k}, m{k}
+    )"""
+
+_PCA_CTES = ",\n    ".join(
+    [_PCA_BASE_CTES]
+    + [_PCA_STEP.format(k=k, p=k - 1) for k in range(1, PCA_ITERS + 1)]
+)
+
+
+@register(
+    "embedding_pca_top_component",
+    oracle=f"""
+    WITH
+    {_PCA_CTES}
+    SELECT CAST(i AS BIGINT) AS dim, val AS loading_milli
+    FROM v{PCA_ITERS}
+    ORDER BY dim
+    """,
+    tags=("clustering", "llm-pipeline", "beyond-reference", "iterative"),
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by power
+    iteration — the whitening / dimensionality-audit step of an
+    embedding pipeline, done as relational linear algebra: center the
+    milli-quantized vectors, build the 64×64 scatter matrix as an
+    (i, j, c) table, then {PCA_ITERS} rounds of matrix-vector multiply +
+    infinity-norm normalization, all exact integer arithmetic (milli
+    loadings, truncating div) so the DuckDB oracle — the identical
+    rounds unrolled as CTEs — matches bit-for-bit.
+
+    Scale shape: the only corpus-sized steps are the mean (one
+    map-combined aggregate) and the scatter matrix (posexplode to
+    (vec_id, dim, x) then a co-partitioned self-join — at 100 TB you'd
+    swap this one stage for a block-matrix treeAggregate, MLlib
+    RowMatrix style, without touching the iteration).  Every power
+    step runs on the fixed 64×64 table: broadcast joins, no shuffle
+    growth, localCheckpoint per round (plans/state.py lineage rule)."""
+    from ..plans.state import _materialize
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    qm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1e3).cast("long")
+        ).alias("qe"),
+    )
+    xs = qm.select("vec_id", F.posexplode("qe").alias("pos", "q")).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), "q"
+    )
+    mu = xs.groupBy("i").agg(F.expr("sum(q) div count(*)").cast("long").alias("m"))
+    x = xs.join(mu, "i").select("vec_id", "i", (F.col("q") - F.col("m")).alias("xi"))
+    a = x.select("vec_id", F.col("i").alias("ai"), F.col("xi").alias("ax"))
+    b = x.select("vec_id", F.col("i").alias("bj"), F.col("xi").alias("bx"))
+    cov = _materialize(
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("c"))
+    )
+    v = spark.range(1, DIM + 1).select(
+        F.col("id").alias("i"),
+        F.when(F.col("id") == 1, 1000).otherwise(0).cast("long").alias("val"),
+    )
+    for _ in range(PCA_ITERS):
+        w = (
+            cov.join(F.broadcast(v), cov["j"] == v["i"])
+            .groupBy(cov["i"].alias("wi"))
+            .agg(F.sum(cov["c"] * v["val"]).alias("s"))
+        )
+        m = w.agg(F.max(F.abs(F.col("s"))).alias("mm"))
+        v = _materialize(
+            w.crossJoin(F.broadcast(m)).select(
+                F.col("wi").alias("i"),
+                F.expr("(s * 1000) div mm").cast("long").alias("val"),
+            )
+        )
+    return v.select(F.col("i").cast("long").alias("dim"), F.col("val").alias("loading_milli")).orderBy(
+        "dim"
+    )
