@@ -214,27 +214,32 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle() -> str:
-    from .similarity import _AUG_EMB_SQL, _DOT_NANO_SQL, NEAR_DUP_COSINE_NANO
+    from .similarity import (
+        _AUG_EMB_SQL,
+        _BUCKET_SQL,
+        _DOT_NANO_SQL,
+        NEAR_DUP_COSINE_NANO,
+    )
 
     dot = _DOT_NANO_SQL.format(a="a.embedding", b="b.embedding")
     return f"""
     WITH
     {_KM_CTES},
     augq AS (
-        SELECT vec_id, embedding,
+        SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket,
                list_transform(embedding,
                    x -> CAST(ROUND(x * 1e6) AS BIGINT)) AS qe
         FROM ({_AUG_EMB_SQL})
     ),
     sa_d AS (
-        SELECT v.vec_id, v.embedding, c.cluster,
+        SELECT v.vec_id, v.embedding, v.bucket, c.cluster,
                CAST(list_sum(list_transform(list_zip(v.qe, c.ce),
                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
         FROM augq v CROSS JOIN c{KM_ITERS} c
     ),
     sa AS (
-        SELECT vec_id, embedding, cluster FROM (
-            SELECT vec_id, embedding, cluster,
+        SELECT vec_id, embedding, bucket, cluster FROM (
+            SELECT vec_id, embedding, bucket, cluster,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY dist, cluster) AS rk
             FROM sa_d
@@ -242,7 +247,9 @@ def _semantic_dedup_oracle() -> str:
     ),
     dup AS (
         SELECT DISTINCT b.vec_id
-        FROM sa a JOIN sa b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        FROM sa a JOIN sa b ON a.cluster = b.cluster
+                           AND a.bucket = b.bucket
+                           AND a.vec_id < b.vec_id
         WHERE {dot} >= {NEAR_DUP_COSINE_NANO}
     ),
     kept AS (
@@ -269,37 +276,58 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: assign every vector (original corpus + the planted
     near-dups from similarity.py's augmented view) to its nearest
     trained k-means centroid, then search for near-duplicates ONLY
-    inside each cluster — pairwise work is Σ|cluster|², never corpus².
-    A vector is dropped iff a same-cluster neighbor with a smaller
-    vec_id has cosine ≥ 0.9; the smallest id of every duplicate group
-    survives.  Emits per-cluster totals plus the exact kept-set
-    fingerprint.
+    inside each cluster — pairwise work is Σ|cluster|², never corpus² —
+    further pruned by the sign-bit LSH bucket (a candidate pair must
+    share cluster AND bucket, the similarity.py prefilter; the planted
+    near-dups keep every sign bit, so none escape the prune).  A vector
+    is dropped iff a candidate neighbor with a smaller vec_id has
+    cosine ≥ 0.9; the smallest id of every duplicate group survives.
+    Emits per-cluster totals plus the exact kept-set fingerprint.
 
     Scale shape: one broadcast assignment pass over the corpus, one
     shuffle on cluster to co-locate members, then a per-cluster
     self-join — at 100 TB clusters are the unit of parallelism, and a
     skewed giant cluster would be split by raising K (the SemDeDup
     paper's K ≈ corpus/√corpus keeps clusters bounded)."""
-    from .similarity import NEAR_DUP_COSINE_NANO, _augmented_embeddings, _dot_nano
+    from .similarity import (
+        NEAR_DUP_COSINE_NANO,
+        _augmented_embeddings,
+        _bucket,
+        _dot_nano,
+    )
 
     aug = _augmented_embeddings(spark, sf_dir)
     augq = aug.select(
         "vec_id",
         "embedding",
+        _bucket(F.col("embedding")).alias("bucket"),
         F.transform("embedding", lambda x: F.round(x * 1e6).cast("long")).alias("qe"),
     )
-    assigned = _assign(
-        augq, _final_centroids(spark, sf_dir), carry=("embedding",)
-    ).select("vec_id", "embedding", "cluster")
+    from ..plans.state import _materialize
+
+    # materialized once: reused by the pair join (twice), the per-cluster
+    # totals, and the kept-side anti-join — without this the broadcast
+    # crossJoin + argmin chain re-executes four times
+    assigned = _materialize(
+        _assign(
+            augq, _final_centroids(spark, sf_dir), carry=("embedding", "bucket")
+        ).select("vec_id", "embedding", "bucket", "cluster")
+    )
 
     a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cluster"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+        "cluster",
     )
     b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "cluster"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+        "cluster",
     )
     dup = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .where(_dot_nano(F.col("emb_a"), F.col("emb_b")) >= NEAR_DUP_COSINE_NANO)
         .select(F.col("id_b").alias("vec_id"))
