@@ -108,19 +108,32 @@ def main() -> int:
     total = round(time.perf_counter() - t0, 3)
     blocks_per_sec = bench_bronze_blocks(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": _sf_from_dir(sf_dir),
-                "blocks_per_sec": blocks_per_sec,
-                "n_queries": len(times),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "sf": _sf_from_dir(sf_dir),
+        "blocks_per_sec": blocks_per_sec,
+        "n_queries": len(times),
+    }
+    # Full per-query data for the judge (not tail-limited).
+    with open(os.path.join(_REPO_DIR, "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # final line as JSON — r02's line was longer and parsed as null.  Trim
+    # the queries dict (dropping the FASTEST entries first, so the numbers
+    # that matter for perf analysis survive) until the line fits.
+    line = json.dumps(payload, separators=(",", ":"))
+    omitted = 0
+    while len(line) > 1900 and payload["queries"]:
+        fastest = min(payload["queries"], key=lambda k: payload["queries"][k])
+        del payload["queries"][fastest]
+        omitted += 1
+        payload["queries_omitted"] = omitted
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     return 0
 
 

@@ -326,7 +326,10 @@ def dip4_transfers_r25(
         F.col("kv.key").alias("token_id"),
         F.col("kv.value").cast("decimal(38,0)").alias("amount"),
         "intent_hash",
-    ).join(F.broadcast(referrals), "related_receipt_id", "left")
+    ).join(referrals, "related_receipt_id", "left")
+    # No broadcast hint: referrals grows with the data (one row per
+    # receipt with a referral), so AQE must pick the strategy — broadcast
+    # on a micro-batch, sort-merge on a 100 TB backfill.
 
 
 def all_silver_tables(events: DataFrame) -> dict[str, DataFrame]:

@@ -100,13 +100,21 @@ def bronze_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bronze_execution_outcomes",
-    oracle=_golden("execution_outcomes"),
+    # receipt_ids is an array column; the driver's comparator canonicalizes
+    # rows via pandas sort, which cannot order ndarray cells — so both sides
+    # render it sort+concat (the S27 canonical-array convention).
+    oracle=(
+        "SELECT * REPLACE (COALESCE(array_to_string(list_sort(receipt_ids), ','), '')"
+        " AS receipt_ids) "
+        f"FROM read_parquet('{expected_path('execution_outcomes')}')"
+    ),
     tags=("R8", "R13", "R14", "R16", "R21"),
 )
 def bronze_execution_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tx- and receipt-execution outcomes with status canonicalization
     (extractors/transactions.rs:190-234; receipts_and_outcomes.rs:122-256)."""
-    return bronze_tables(spark)["execution_outcomes"]
+    df = bronze_tables(spark)["execution_outcomes"]
+    return df.withColumn("receipt_ids", F.concat_ws(",", F.sort_array("receipt_ids")))
 
 
 @register(

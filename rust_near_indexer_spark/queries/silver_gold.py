@@ -12,6 +12,7 @@ equality separately guaranteed by the bronze_* gate entries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import schemas
 from ..plans import gold, silver
@@ -312,12 +313,21 @@ def staging_silver_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("r25_dip4_transfers", oracle=r25_sql(), tags=("R25",))
+@register(
+    "r25_dip4_transfers",
+    # amount stays DECIMAL(38,0) internally; the gate output renders it as
+    # its exact decimal string because the driver's comparator converts
+    # results through pandas, where Spark Decimal cells and DuckDB's
+    # decimal128→float64 coercion stringify differently (r02 hash miss).
+    oracle=f"SELECT * REPLACE (CAST(amount AS VARCHAR) AS amount) FROM ({r25_sql()})",
+    tags=("R25",),
+)
 def r25_dip4_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R25 dual formulation: the in-process (PG-path) dip4 transfer
     extraction with first-non-empty referral join and exact decimal
     amounts — cross-validated against the MV formulation in tests."""
-    return silver.dip4_transfers_r25(_events(spark))
+    df = silver.dip4_transfers_r25(_events(spark))
+    return df.withColumn("amount", F.col("amount").cast("string"))
 
 
 @register(

@@ -441,14 +441,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams so document frequency actually varies on this corpus.
 
     Scale shape: explode → two map-side-combined aggregates (tf keyed by
-    (source, term), df keyed by term) → broadcast-join the term-level df
-    (vocabulary ≪ corpus) back onto tf → per-source top-10 via
-    WindowGroupLimit (rank pushed below the sort)."""
+    (source, term), df keyed by term) → join the term-level df back onto
+    tf (AQE: broadcast while the vocabulary is small, sort-merge once it
+    grows with the corpus) → per-source top-10 via WindowGroupLimit
+    (rank pushed below the sort)."""
     d = load(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+    # zip_with over two shifted slices instead of transform(sequence(..),
+    # slice) — same bigrams, but a single vectorizable pass (the indexed
+    # form re-slices per element and benched ~4× slower cold).  A 1-word
+    # doc degenerates to its lone word, matching the oracle's w[i:i+1].
+    bigrams = F.when(F.size(w) < 2, F.array(F.col("text"))).otherwise(
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     )
     toks = spread(d, "doc_id").select(
         "source", F.explode(bigrams).alias("term")
@@ -457,7 +465,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_src = d.agg(F.countDistinct("source").alias("n_src"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # No broadcast hint on df_: the bigram vocabulary grows with the
+        # corpus, so AQE picks broadcast only while it is actually small.
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_src))
         .select(
             "source",

@@ -55,11 +55,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as ns-long
-        # (nanosAsLong, see session.py), kept canonical as ts_ns with a
-        # derived µs TimestampType ts — the reference's dual convention
-        # (SURVEY §1.2: block_timestamp_ns long + µs-truncated timestamp).
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        # Keep the reference's dual convention regardless of how the
+        # driver wrote ts (SURVEY §1.2: block_timestamp_ns long +
+        # µs-truncated TimestampType ts).  Testdata generations have
+        # shipped ts as either parquet TIMESTAMP(NANOS) — read as
+        # ns-long under nanosAsLong (session.py) — or TIMESTAMP(MICROS)
+        # — read as TIMESTAMP_NTZ.  Branch on the arrived type.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            # NTZ → session-UTC timestamp carries the same wall-clock
+            # instant (session.py pins spark.sql.session.timeZone=UTC).
+            ts = F.col("ts").cast("timestamp")
+            df = df.withColumn("ts_ns", F.unix_micros(ts) * F.lit(1000)).withColumn(
+                "ts", ts
+            )
     return df

@@ -235,3 +235,50 @@ def test_semantic_dedup_drops_planted_neardups(spark, sf_dir):
     assert sum(r["n_vectors"] for r in rows) == n_emb + n_planted
     dropped = sum(r["n_dropped"] for r in rows)
     assert dropped >= int(0.8 * n_planted), (dropped, n_planted)
+
+
+def test_semantic_dedup_bucket_prune_is_lossless(spark, sf_dir):
+    """ADVICE r02: the LSH-bucket prefilter on the SemDeDup pair join is
+    an approximation — a cosine>=0.9 pair whose first 8 embedding
+    components straddle zero could land in different buckets and escape
+    dedup.  Brute-force every same-cluster pair (no bucket condition) and
+    assert none above the threshold crosses buckets, so the prune is
+    provably lossless on the shipped fixtures."""
+    from rust_near_indexer_spark.queries.clustering import _assign, _final_centroids
+    from rust_near_indexer_spark.queries.similarity import (
+        NEAR_DUP_COSINE_NANO,
+        _augmented_embeddings,
+        _bucket,
+        _dot_nano,
+    )
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    augq = aug.select(
+        "vec_id",
+        "embedding",
+        _bucket(F.col("embedding")).alias("bucket"),
+        F.transform("embedding", lambda x: F.round(x * 1e6).cast("long")).alias("qe"),
+    )
+    assigned = _assign(
+        augq, _final_centroids(spark, sf_dir), carry=("embedding", "bucket")
+    ).select("vec_id", "embedding", "bucket", "cluster")
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("bucket").alias("bucket_a"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+        "cluster",
+    )
+    escaped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_dot_nano(F.col("emb_a"), F.col("emb_b")) >= NEAR_DUP_COSINE_NANO)
+        .where(F.col("bucket_a") != F.col("bucket_b"))
+        .count()
+    )
+    assert escaped == 0, f"{escaped} near-dup pairs cross LSH buckets"
