@@ -527,3 +527,79 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking with overlap (RAG / context-window export prep).
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64  # window size
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive windows
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n,
+               CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                    ELSE (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+               END AS n_chunks,
+               w
+        FROM d
+    ),
+    x AS (
+        SELECT doc_id, n, n_chunks,
+               unnest(range(0, n_chunks)) AS chunk_idx,
+               w
+        FROM c
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(LEAST({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE}) AS BIGINT) AS chunk_tokens,
+           ('0x' || substring(md5(array_to_string(
+               w[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+               ' ')), 1, 15))::BIGINT AS chunk_fp
+    FROM x
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("sampling", "llm-pipeline", "chunking"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows per document — the RAG /
+    context-window chunker: stride 48 over windows of 64 tokens, last
+    window ragged, every token covered by >= 1 chunk.  Emits the exact
+    chunk fingerprint so the gate proves chunk CONTENT, not just counts.
+
+    Scale shape: one corpus scan, chunks generated row-locally by
+    explode (no shuffle; ~n/stride output rows per doc); the gate's
+    ORDER BY is presentation-only.  At 100 TB chunking is embarrassingly
+    parallel and stays inside whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_TOKENS + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("long") + 1
+    )
+    x = d.select(
+        "doc_id",
+        n.alias("n"),
+        w.alias("w"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("w"), (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"), CHUNK_TOKENS
+    )
+    return x.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.lit(CHUNK_TOKENS).cast("long"), F.col("n") - F.col("chunk_idx") * CHUNK_STRIDE)
+        .alias("chunk_tokens"),
+        F.conv(F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")

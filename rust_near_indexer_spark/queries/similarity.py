@@ -635,3 +635,91 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label vote (embedding-space classification eval).
+# ---------------------------------------------------------------------------
+
+KNN_QUERY_MOD = 25  # vec_id % 25 == 0 are the held-out query vectors
+KNN_K = 5
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS true_label, embedding AS q_emb
+        FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, q.true_label, c.vec_id, c.label,
+               {_DOT_NANO_SQL.format(a="q.q_emb", b="c.embedding")} AS cosine_nano
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_nano DESC, vec_id) AS rank
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, true_label, label, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM ranked WHERE rank <= {KNN_K}
+        GROUP BY query_id, true_label, label
+    )
+    SELECT query_id, true_label, label AS predicted_label, votes
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, label) AS vr
+          FROM votes)
+    WHERE vr = 1
+    ORDER BY query_id
+    """,
+    tags=("llm", "similarity", "classification"),
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority label of the 5 nearest neighbors
+    (cosine, integer nano-units; ties → smaller vec_id, then
+    lexicographically smaller label) — the standard embedding-quality
+    probe a training-data pipeline runs after re-embedding a corpus.
+
+    Scale shape: the query set (1/25 of the corpus here) is the
+    broadcast side of one corpus scan; per-query top-k via
+    WindowGroupLimit so the rank filter rides inside the shuffle; the
+    vote is a tiny second aggregation keyed by (query, label).  At
+    100 TB swap the brute-force scan for the IVF/LSH candidate join —
+    the vote stage is unchanged."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    q = emb.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "vec_id",
+            "label",
+            _dot_nano(F.col("q_emb"), F.col("embedding")).alias("cosine_nano"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_nano"), "vec_id")
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    vw = Window.partitionBy("query_id").orderBy(F.desc("votes"), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id", "true_label", F.col("label").alias("predicted_label"), "votes"
+        )
+        .orderBy("query_id")
+    )

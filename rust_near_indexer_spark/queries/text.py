@@ -793,3 +793,74 @@ def token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode-light text normalization + dedup on the normalized key.
+# ---------------------------------------------------------------------------
+
+# lower → strip everything outside [a-z0-9 ] → collapse runs of spaces →
+# trim: the canonicalization pass run before exact-dedup so trivial
+# formatting variants (case, punctuation, spacing) collapse together.
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _norm_col() -> F.Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+
+
+@register(
+    "text_normalized_dedup",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    g AS (
+        SELECT ('0x' || substring(md5(norm), 1, 15))::BIGINT AS norm_fp,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               {duck_fingerprint('doc_id')} AS member_fingerprint
+        FROM n GROUP BY norm
+    )
+    SELECT * FROM g WHERE n_docs > 1 OR norm_fp % 50 = 0
+    ORDER BY norm_fp
+    """,
+    tags=("llm", "text", "dedup", "normalize"),
+)
+def text_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: canonicalize each document
+    (case-fold, strip punctuation, collapse whitespace) and group by the
+    normalized content key — keeper is the smallest doc_id, and the
+    member fingerprint proves exact group membership.  Groups of one are
+    sampled (norm_fp % 50) so the result stays bounded while singleton
+    handling is still gated.
+
+    Scale shape: scan-side projection (regex runs inside codegen, no
+    Python), then ONE map-side-combined aggregation on the 60-bit
+    normalized-content hash — identical to dedup_exact's shape, so the
+    normalization pass adds zero extra shuffles at 100 TB."""
+    n = load(spark, sf_dir, "documents").select("doc_id", _norm_col().alias("norm"))
+    g = n.groupBy("norm").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").alias("n_docs"),
+        fingerprint("doc_id").alias("member_fingerprint"),
+    )
+    return (
+        g.select(
+            F.conv(F.substring(F.md5("norm"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("norm_fp"),
+            "keeper_id",
+            "n_docs",
+            "member_fingerprint",
+        )
+        .where((F.col("n_docs") > 1) | (F.col("norm_fp") % 50 == 0))
+        .orderBy("norm_fp")
+    )

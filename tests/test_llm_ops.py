@@ -23,6 +23,9 @@ LLM_QUERIES = [
     "embedding_label_centroids",
     "embedding_norm_stats",
     "multimodal_features",
+    "doc_chunk_windows",
+    "knn_label_vote",
+    "text_normalized_dedup",
 ]
 
 
@@ -282,3 +285,32 @@ def test_semantic_dedup_bucket_prune_is_lossless(spark, sf_dir):
         .count()
     )
     assert escaped == 0, f"{escaped} near-dup pairs cross LSH buckets"
+
+
+def test_doc_chunk_windows_cover_every_token(spark, sf_dir):
+    """Chunking invariants: chunk_idx is dense from 0, every chunk holds
+    1..64 tokens, consecutive chunks overlap by exactly 16 (except the
+    ragged tail), and the last chunk ends exactly at the doc's length."""
+    from rust_near_indexer_spark.queries.sampling import CHUNK_STRIDE, CHUNK_TOKENS
+    from rust_near_indexer_spark.tables import load
+
+    reg = load_registry()
+    rows = reg["doc_chunk_windows"].spark(spark, sf_dir).collect()
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert all(1 <= c["chunk_tokens"] <= CHUNK_TOKENS for c in chunks)
+        last = chunks[-1]
+        assert last["chunk_idx"] * CHUNK_STRIDE + last["chunk_tokens"] == n_tokens[doc_id]
+        # all but the ragged tail are full windows
+        assert all(c["chunk_tokens"] == CHUNK_TOKENS for c in chunks[:-1])
