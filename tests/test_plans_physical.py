@@ -99,6 +99,39 @@ def test_repetition_filter_is_scan_only(spark, sf_dir):
     """The repetition filter is a pure per-row projection: no Exchange
     at all before the presentation sort."""
     plan = _plan(spark, "text_repetition_filter", sf_dir)
-    # the only Exchange allowed is the presentation sort's range
-    # partitioning; no hash-partitioned shuffle anywhere
-    assert plan.count("Exchange hashpartitioning") == 0
+    # no data-driven hash shuffle (joins/aggregations); the only
+    # hashpartitioning is spread()'s explicit REPARTITION_BY_NUM widening
+    # of the compact scan (self-disabling at scale), plus the
+    # presentation sort's rangepartitioning
+    import re
+    hashes = [
+        ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
+    ]
+    assert all("REPARTITION_BY_NUM" in ln for ln in hashes), hashes
+    assert len(hashes) <= 1
+
+
+def test_chunking_is_scan_only(spark, sf_dir):
+    """Chunk generation is row-local explode: no hash shuffle before the
+    presentation sort."""
+    plan = _plan(spark, "doc_chunk_windows", sf_dir)
+    assert plan.count("Arguments: hashpartitioning") == 0
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    """The kNN scan broadcasts the query set over one corpus pass; the
+    unbounded corpus side never becomes a cartesian input."""
+    plan = _plan(spark, "knn_label_vote", sf_dir)
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_normalized_dedup_single_aggregation(spark, sf_dir):
+    """Normalize-then-dedup costs exactly one hash shuffle (the groupBy
+    on the normalized key) — the regex pass adds no exchange.  Formatted
+    explain names the partitioning in Arguments lines, so count the
+    hashpartitioning mentions (1 Exchange) and allow the presentation
+    sort's rangepartitioning."""
+    plan = _plan(spark, "text_normalized_dedup", sf_dir)
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("Exchange") <= 4  # tree node + detail, x2 exchanges
