@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..canonical import duck_fingerprint, duck_hash60, fingerprint
 from ..tables import load, spread
@@ -863,4 +864,165 @@ def text_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n_docs") > 1) | (F.col("norm_fp") % 50 == 0))
         .orderBy("norm_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift detection (distribution shift between corpus halves).
+# ---------------------------------------------------------------------------
+
+# chi-square-ish integer drift score: per source, compare the lang
+# distribution of the even-doc_id half (the "reference snapshot") with
+# the odd half (the "incoming batch").  Scaled to micro-units with all
+# arithmetic in BIGINT so both engines agree bit-for-bit.
+_DRIFT_SCALE = 1_000_000
+
+
+@register(
+    "corpus_drift_stats",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, lang, doc_id % 2 AS half FROM documents
+    ),
+    c AS (
+        SELECT source, lang,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM h GROUP BY source, lang
+    ),
+    t AS (
+        SELECT source, CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+        FROM c GROUP BY source
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           MAX(t.ta) AS n_ref_docs,
+           MAX(t.tb) AS n_new_docs,
+           CAST(SUM(CASE WHEN (a + b) > 0 AND ta > 0 AND tb > 0
+                    THEN ((a * tb - b * ta) * (a * tb - b * ta) * {_DRIFT_SCALE})
+                         // (ta * tb * (a + b))
+                    ELSE 0 END) AS BIGINT) AS drift_micro
+    FROM c JOIN t USING (source)
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+    tags=("llm", "text", "quality", "drift"),
+)
+def corpus_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: chi-square-style integer score of the
+    language mix between the even-doc_id half (reference snapshot) and
+    the odd half (incoming batch), per source — the check a continuously
+    ingesting training pipeline runs before accepting a new crawl drop.
+    All arithmetic BIGINT micro-units; zero-marginal cells contribute 0.
+
+    Scale shape: one scan → map-side-combined count per (source, lang,
+    half) — cardinality sources×langs×2, tiny at any corpus size — then
+    the score folds per source.  The corpus never shuffles; only counts
+    do."""
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.select("source", "lang", (F.col("doc_id") % 2).alias("half"))
+        .groupBy("source", "lang")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"),
+        )
+    )
+    w = Window.partitionBy("source")
+    scored = c.select(
+        "source",
+        "a",
+        "b",
+        F.sum("a").over(w).alias("ta"),
+        F.sum("b").over(w).alias("tb"),
+    )
+    num = (F.col("a") * F.col("tb") - F.col("b") * F.col("ta"))
+    term = F.when(
+        ((F.col("a") + F.col("b")) > 0) & (F.col("ta") > 0) & (F.col("tb") > 0),
+        F.floor(
+            num * num * _DRIFT_SCALE / (F.col("ta") * F.col("tb") * (F.col("a") + F.col("b")))
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_langs"),
+            F.max("ta").alias("n_ref_docs"),
+            F.max("tb").alias("n_new_docs"),
+            F.sum(term).alias("drift_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (posting lists per term).
+# ---------------------------------------------------------------------------
+
+POSTING_DF_MIN = 3
+POSTING_DF_MAX = 12
+
+
+@register(
+    "term_posting_lists",
+    # bigram terms: the synthetic corpus has only ~31 distinct unigrams,
+    # every one corpus-wide frequent — bigrams are where a discriminative
+    # mid-frequency band exists (same term definition as tfidf_top_terms)
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    t AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' '))) AS term
+        FROM d
+    ),
+    p AS (
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
+        FROM t GROUP BY term
+    )
+    SELECT * FROM p
+    WHERE df BETWEEN {POSTING_DF_MIN} AND {POSTING_DF_MAX}
+    ORDER BY term
+    """,
+    tags=("llm", "text", "index", "S27"),
+)
+def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: exact posting list (sorted doc ids) per
+    term, restricted to the discriminative mid-frequency band
+    (3 <= df <= 12) — the retrieval-side structure of a contamination /
+    attribution check, with the full posting emitted so the gate proves
+    exact membership (S27 canonical-array convention).
+
+    Scale shape: explode → per-partition DISTINCT (map-side) → one
+    shuffle keyed by term → collect_list per term.  Posting lists of
+    stop-terms are the classic skew risk: the df band prunes them here;
+    at 100 TB the same prune applies BEFORE collect_list via a
+    two-pass count-then-collect (count is map-side-combinable), so no
+    hot term ever materializes an unbounded list."""
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
+    w = F.split(F.col("text"), " ")
+    bigrams = F.when(F.size(w) < 2, F.array(F.col("text"))).otherwise(
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    t = d.select("doc_id", F.explode(bigrams).alias("term")).distinct()
+    p = t.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+    )
+    return (
+        p.where(F.col("df").between(POSTING_DF_MIN, POSTING_DF_MAX))
+        .select("term", "df", "first_doc", "last_doc", "postings")
+        .orderBy("term")
     )

@@ -26,6 +26,8 @@ LLM_QUERIES = [
     "doc_chunk_windows",
     "knn_label_vote",
     "text_normalized_dedup",
+    "corpus_drift_stats",
+    "term_posting_lists",
 ]
 
 
