@@ -92,16 +92,32 @@ def main() -> int:
 
     spark = get_spark("bench", cpus=cpus)
 
-    # Warm the JVM / codegen cache once so per-query times measure the
-    # plan, not first-call JIT; the warmup query is re-timed below.
+    # Warm the JVM / whole-stage-codegen caches by running every query
+    # once at the SMALLEST sf first, so the timed sf0.1 pass measures the
+    # plan, not first-call JIT compilation (which benched 3-10x the
+    # steady-state cost).  Fixture-driven queries (bronze/silver/gold/r25)
+    # are excluded: they ignore sf_dir and share a session-scoped cache,
+    # so a warmup run would pre-materialize exactly what the timed run
+    # measures — their pipeline cost is what blocks_per_sec reports.
+    import time as _t
+
     from rust_near_indexer_spark.queries import load_registry
 
     registry = load_registry()
-    warm = registry.get("pricing_summary") or next(iter(registry.values()))
-    try:
-        warm.spark(spark, sf_dir).collect()
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] warmup failed: {e}", file=sys.stderr)
+    warm_sf = "/root/testdata/sf0.001"
+    _fixture_prefixes = ("bronze_", "silver_", "staging_", "gold_", "r25_", "receipt_")
+    t_warm = _t.perf_counter()
+    for name in sorted(registry):
+        if name.startswith(_fixture_prefixes):
+            continue
+        try:
+            registry[name].spark(spark, warm_sf).collect()
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] warmup {name} failed: {e}", file=sys.stderr)
+    print(
+        f"[bench] warmup pass at sf0.001: {_t.perf_counter() - t_warm:.1f}s",
+        file=sys.stderr,
+    )
 
     t0 = time.perf_counter()
     times = bench_queries(spark, sf_dir)

@@ -23,3 +23,30 @@ def test_entry_module_contract():
     assert e.FLAGSHIP in qs
     # oracles must be non-trivial SQL text
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+
+
+def test_gate_priority_prefix():
+    """The driver's t2 gate evaluates a 50-entry registry prefix; the
+    curated GATE_PRIORITY must be exactly that prefix, name a real query
+    each, and cover the NEAR pipeline end-to-end plus every named LLM
+    operator class."""
+    from rust_near_indexer_spark.queries import GATE_PRIORITY
+
+    reg = load_registry()
+    names = list(reg)
+    assert len(GATE_PRIORITY) == 50
+    assert tuple(names[: len(GATE_PRIORITY)]) == GATE_PRIORITY
+    prefix = set(GATE_PRIORITY)
+    # end-to-end NEAR pipeline present
+    assert {"bronze_transactions", "silver_transfers", "gold_intents_metrics",
+            "r25_dip4_transfers"} <= prefix
+    # all five named dedup variants + clusters + SemDeDup
+    assert {"dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+            "dedup_ngram_jaccard", "dedup_embedding_cosine",
+            "dedup_clusters", "semantic_dedup"} <= prefix
+    # similarity, multimodal, text, temporal-join classes
+    assert {"ann_bruteforce_topk", "ann_lsh_bucketed_topk",
+            "multimodal_features", "multimodal_frame_sample",
+            "text_stats", "text_language_id", "text_quality_score",
+            "text_fingerprint", "purchase_attribution",
+            "error_incident_windows"} <= prefix
