@@ -999,12 +999,12 @@ def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution check, with the full posting emitted so the gate proves
     exact membership (S27 canonical-array convention).
 
-    Scale shape: explode → per-partition DISTINCT (map-side) → one
-    shuffle keyed by term → collect_list per term.  Posting lists of
-    stop-terms are the classic skew risk: the df band prunes them here;
-    at 100 TB the same prune applies BEFORE collect_list via a
-    two-pass count-then-collect (count is map-side-combinable), so no
-    hot term ever materializes an unbounded list."""
+    Scale shape: two passes over the exploded (doc, term) pairs.  Pass 1
+    computes df per term — map-side combinable, so a corpus-wide stop
+    term costs one long per partition.  Pass 2 collects postings ONLY
+    for terms the df band admits (left-semi prune before any
+    collect_list), so no hot term ever materializes an unbounded list —
+    the classic inverted-index skew killer."""
     d = spread(load(spark, sf_dir, "documents"), "doc_id")
     w = F.split(F.col("text"), " ")
     bigrams = F.when(F.size(w) < 2, F.array(F.col("text"))).otherwise(
@@ -1015,14 +1015,27 @@ def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = d.select("doc_id", F.explode(bigrams).alias("term")).distinct()
-    p = t.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+    # pass 1: df per term — map-side combinable, so a corpus-wide stop
+    # term costs one long per partition, never a row list
+    stats = (
+        t.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("df").between(POSTING_DF_MIN, POSTING_DF_MAX))
+    )
+    # pass 2: collect postings ONLY for surviving mid-band terms (the
+    # semi-join prunes hot terms before any list materializes; AQE
+    # broadcasts the tiny surviving-term set)
+    postings = (
+        t.join(stats.select("term"), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"))
     )
     return (
-        p.where(F.col("df").between(POSTING_DF_MIN, POSTING_DF_MAX))
+        stats.join(postings, "term")
         .select("term", "df", "first_doc", "last_doc", "postings")
         .orderBy("term")
     )
