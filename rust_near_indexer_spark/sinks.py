@@ -213,3 +213,65 @@ def ingest_bronze(
         with_retries(lambda d=df, p=path: append(d, p, ingest_seq))
         paths[name] = path
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered write (multi-column data skipping).
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # per-dimension rank resolution (256 buckets per column)
+
+
+def zorder_key(cols: list, bits: int = ZORDER_BITS):
+    """Morton (bit-interleaved) key over per-column integer ranks.
+
+    Each column is first reduced to a ``bits``-wide rank; the key
+    interleaves the rank bits so rows close in ANY clustered column land
+    close in the sort order — range partition + sort on this key and
+    every parquet file's min/max zone map stays narrow in EVERY
+    clustered column simultaneously, which is what lets a 100 TB scan
+    skip row groups for predicates on either column.  (The OPTIMIZE
+    ZORDER technique of the lakehouse engines, expressed as plain
+    DataFrame ops: rank → interleave → repartitionByRange → sortWithin.)
+    Expects the rank columns already scaled to [0, 2^bits); callers use
+    ntile/percent_rank for arbitrary distributions.
+    """
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for ci, c in enumerate(cols):
+            src_bit = F.shiftrightunsigned(c.cast("long"), bit) % 2
+            key = key + F.shiftleft(src_bit, bit * len(cols) + ci)
+    return key
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: tuple, n_files: int = 8, bits: int = ZORDER_BITS
+) -> None:
+    """Cluster ``df`` by the Z-order of ``cols`` and write ``n_files``
+    range-partitioned parquet files, so every file covers a narrow
+    min/max span of EACH clustered column (zone-map data skipping for
+    predicates on any of them) — proven by tests/test_sinks.py.
+
+    Ranks come from sample-based ``approxQuantile`` boundaries
+    (distribution-free: skewed columns still spread over the full rank
+    space) — the same driver-side sampling ``repartitionByRange``
+    itself uses, NOT a global window (a windowless ``percent_rank``
+    would serialize the table through one partition).  The per-row rank
+    is a 2^bits-way branchless boundary count inside codegen."""
+    n_buckets = 1 << bits
+    rank_exprs = []
+    for c in cols:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.stat.approxQuantile(c, qs, 1.0 / (4 * n_buckets))
+        blit = F.lit(bounds)  # array<double> literal, broadcast with the plan
+        rank_exprs.append(
+            F.size(F.filter(blit, lambda b: b <= F.col(c).cast("double")))
+        )
+    keyed = df.withColumn("__zkey", zorder_key(rank_exprs, bits))
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -145,3 +145,53 @@ def test_salted_join_equivalence_property(spark, fact_rows, n_salt):
             for r in salted_join(fact, dim, "k", n_salt=n_salt, how=how).collect()
         )
         assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operator math properties (pure formulas, no Spark needed).
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=1, max_value=100_000))
+def test_chunk_window_formula_covers_every_token(n):
+    """The chunk-count formula used by doc_chunk_windows (Spark AND
+    DuckDB sides) yields full coverage: chunks tile [1, n] with stride S,
+    the last chunk ends exactly at n, and no chunk is empty."""
+    from rust_near_indexer_spark.queries.sampling import CHUNK_STRIDE as S
+    from rust_near_indexer_spark.queries.sampling import CHUNK_TOKENS as W
+
+    n_chunks = 1 if n <= W else (n - W + S - 1) // S + 1
+    starts = [i * S + 1 for i in range(n_chunks)]
+    lengths = [min(W, n - i * S) for i in range(n_chunks)]
+    assert all(l >= 1 for l in lengths)
+    # contiguity/overlap: next start is inside (or adjacent to) the
+    # previous window, so coverage has no gaps
+    for i in range(1, n_chunks):
+        assert starts[i] <= starts[i - 1] + W
+    assert starts[-1] + lengths[-1] - 1 == n
+    # and no extra chunk would start inside the document beyond coverage
+    assert n_chunks == 1 or starts[-1] <= n
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 400)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_drift_score_zero_iff_proportional(cells):
+    """The integer chi-square of corpus_drift_stats is 0 when the two
+    halves have identical lang proportions, positive when any lang's
+    proportions differ by at least one scaled unit, and never negative."""
+    SCALE = 1_000_000
+    ta = sum(a for a, _ in cells)
+    tb = sum(b for _, b in cells)
+    score = sum(
+        ((a * tb - b * ta) ** 2 * SCALE) // (ta * tb * (a + b))
+        for a, b in cells
+        if (a + b) > 0 and ta > 0 and tb > 0
+    )
+    assert score >= 0
+    if ta > 0 and tb > 0 and all(a * tb == b * ta for a, b in cells):
+        assert score == 0

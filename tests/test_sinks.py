@@ -114,3 +114,55 @@ def test_retain_drops_whole_buckets(spark, tmp_path):
     kept = {r["block_height"] for r in spark.read.parquet(base).collect()}
     assert kept == {25_000, 35_000}
     assert sinks.retain(base, min_height=25_000) == 0  # idempotent
+
+
+def test_zorder_write_narrows_per_file_spans(spark, tmp_path, sf_dir):
+    """Z-order clustering on (o_custkey, o_totalprice_cents) must leave
+    every parquet file with a min/max span far narrower than the global
+    span in BOTH columns — the zone-map property that lets a scan skip
+    files for predicates on either column.  A plain write has no such
+    guarantee on the second column."""
+    import pyarrow.parquet as pq
+
+    from rust_near_indexer_spark.sinks import write_zordered
+    from rust_near_indexer_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_cents"),
+    )
+    out = str(tmp_path / "zorders")
+    write_zordered(orders, out, ("o_custkey", "o_totalprice_cents"), n_files=16)
+
+    import glob
+
+    spans = {"o_custkey": [], "o_totalprice_cents": []}
+    globals_ = {
+        c: (
+            orders.agg(F.min(c)).collect()[0][0],
+            orders.agg(F.max(c)).collect()[0][0],
+        )
+        for c in spans
+    }
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 4
+    for f in files:
+        md = pq.read_metadata(f)
+        for c in spans:
+            idx = md.schema.names.index(c)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans[c].append(max(maxs) - min(mins))
+    for c, (g_min, g_max) in globals_.items():
+        g_span = g_max - g_min
+        avg_span = sum(spans[c]) / len(spans[c])
+        # 16 files over a 2-D Morton curve: ideal per-dim narrowing is
+        # ~(1/16)^0.5 = 0.25; curve jumps cost real ground, so demand a
+        # conservative 0.7 — the point is BOTH dims narrow at once,
+        # which no single-column sort achieves (that gives 1/16 on one
+        # dim and ~1.0 on the other)
+        assert avg_span < 0.7 * g_span, (c, avg_span, g_span)
