@@ -603,3 +603,86 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "dedup_chunk_boilerplate",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n,
+               CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                    ELSE (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+               END AS n_chunks, w
+        FROM d
+    ),
+    x AS (
+        SELECT doc_id,
+               unnest(range(0, n_chunks)) AS chunk_idx, w
+        FROM c
+    ),
+    fp AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(array_to_string(
+                   w[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                   ' ')), 1, 15))::BIGINT AS chunk_fp
+        FROM x
+    ),
+    g AS (
+        SELECT chunk_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM fp GROUP BY chunk_fp
+    )
+    SELECT * FROM g WHERE n_docs >= 2
+    ORDER BY chunk_fp
+    """,
+    tags=("sampling", "llm-pipeline", "chunking", "dedup"),
+)
+def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup: fingerprint every overlapping
+    64-token window (same chunker as doc_chunk_windows) and surface the
+    chunks shared by >= 2 distinct documents — cross-document boilerplate
+    that document-level dedup cannot see, removed before packing in a
+    pre-training pipeline.
+
+    Scale shape: chunker's row-local explode, then ONE aggregation keyed
+    by the 60-bit chunk fingerprint (count + distinct-doc count both
+    map-side combinable via partial aggregation).  The shared-chunk
+    result is vanishingly small next to the corpus, so the filter
+    discards almost everything before the presentation sort."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_TOKENS + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("long") + 1
+    )
+    x = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("w"), (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"), CHUNK_TOKENS
+    )
+    fp = x.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("chunk_fp"),
+    )
+    return (
+        fp.groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("chunk_fp")
+    )

@@ -28,6 +28,7 @@ LLM_QUERIES = [
     "text_normalized_dedup",
     "corpus_drift_stats",
     "term_posting_lists",
+    "dedup_chunk_boilerplate",
 ]
 
 
