@@ -11,8 +11,9 @@ cluster-bounded pairwise cosine — the SemDeDup recipe (cluster first so
 the pair space is |cluster|², never corpus²).
 
 Determinism (the oracle gate is exact): embeddings are quantized once
-to integer micro-units per component, so every distance is an exact
-BIGINT and both engines agree bit-for-bit.  Seeding is deterministic
+to integer micro-units per component with the rounding-mode-free
+``FLOOR(x*1e6 + 0.5)`` (similarity.py's round-4 contract), so every
+distance is an exact BIGINT and both engines agree bit-for-bit.  Seeding is deterministic
 (the vectors at ``vec_id ∈ {0,50,…,350}``), iteration count is fixed,
 and ties in the argmin break on cluster id — a float k-means with
 random init could never hash-match across engines.  The DuckDB oracle
@@ -47,7 +48,7 @@ K = 8
 _Q_CTE = """q AS (
         SELECT vec_id,
                list_transform(embedding,
-                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS qe
         FROM embeddings
     )"""
 
@@ -102,13 +103,10 @@ _KM_CTES = ",\n    ".join(
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _qvec
+
     emb = spread(load(spark, sf_dir, "embeddings"))
-    return emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1e6).cast("long")
-        ).alias("qe"),
-    )
+    return emb.select("vec_id", _qvec(F.col("embedding")).alias("qe"))
 
 
 def _assign(vec: DataFrame, cen: DataFrame, carry: tuple = ()) -> DataFrame:
@@ -217,29 +215,31 @@ def _semantic_dedup_oracle() -> str:
     from .similarity import (
         _AUG_EMB_SQL,
         _BUCKET_SQL,
-        _DOT_NANO_SQL,
-        NEAR_DUP_COSINE_NANO,
+        _DOT_PICO_SQL,
+        _QVEC_SQL,
+        NEAR_DUP_COSINE_PICO,
     )
 
-    dot = _DOT_NANO_SQL.format(a="a.embedding", b="b.embedding")
+    # the once-quantized qe serves BOTH the centroid assignment and the
+    # near-dup dot — no second float path anywhere
+    dot = _DOT_PICO_SQL.format(a="a.qe", b="b.qe")
     return f"""
     WITH
     {_KM_CTES},
     augq AS (
-        SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket,
-               list_transform(embedding,
-                   x -> CAST(ROUND(x * 1e6) AS BIGINT)) AS qe
+        SELECT vec_id, {_BUCKET_SQL} AS bucket,
+               {_QVEC_SQL.format(v="embedding")} AS qe
         FROM ({_AUG_EMB_SQL})
     ),
     sa_d AS (
-        SELECT v.vec_id, v.embedding, v.bucket, c.cluster,
+        SELECT v.vec_id, v.qe, v.bucket, c.cluster,
                CAST(list_sum(list_transform(list_zip(v.qe, c.ce),
                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
         FROM augq v CROSS JOIN c{KM_ITERS} c
     ),
     sa AS (
-        SELECT vec_id, embedding, bucket, cluster FROM (
-            SELECT vec_id, embedding, bucket, cluster,
+        SELECT vec_id, qe, bucket, cluster FROM (
+            SELECT vec_id, qe, bucket, cluster,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY dist, cluster) AS rk
             FROM sa_d
@@ -250,7 +250,7 @@ def _semantic_dedup_oracle() -> str:
         FROM sa a JOIN sa b ON a.cluster = b.cluster
                            AND a.bucket = b.bucket
                            AND a.vec_id < b.vec_id
-        WHERE {dot} >= {NEAR_DUP_COSINE_NANO}
+        WHERE {dot} >= {NEAR_DUP_COSINE_PICO}
     ),
     kept AS (
         SELECT sa.cluster, sa.vec_id FROM sa
@@ -290,46 +290,47 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed giant cluster would be split by raising K (the SemDeDup
     paper's K ≈ corpus/√corpus keeps clusters bounded)."""
     from .similarity import (
-        NEAR_DUP_COSINE_NANO,
+        NEAR_DUP_COSINE_PICO,
         _augmented_embeddings,
         _bucket,
-        _dot_nano,
+        _dot_pico,
+        _qvec,
     )
 
     aug = _augmented_embeddings(spark, sf_dir)
     augq = aug.select(
         "vec_id",
-        "embedding",
         _bucket(F.col("embedding")).alias("bucket"),
-        F.transform("embedding", lambda x: F.round(x * 1e6).cast("long")).alias("qe"),
+        _qvec(F.col("embedding")).alias("qe"),
     )
     from ..plans.state import _materialize
 
     # materialized once: reused by the pair join (twice), the per-cluster
     # totals, and the kept-side anti-join — without this the broadcast
-    # crossJoin + argmin chain re-executes four times
+    # crossJoin + argmin chain re-executes four times.  The quantized qe
+    # rides through the assignment and feeds the near-dup dot directly.
     assigned = _materialize(
-        _assign(
-            augq, _final_centroids(spark, sf_dir), carry=("embedding", "bucket")
-        ).select("vec_id", "embedding", "bucket", "cluster")
+        _assign(augq, _final_centroids(spark, sf_dir), carry=("bucket",)).select(
+            "vec_id", "qe", "bucket", "cluster"
+        )
     )
 
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
+        F.col("qe").alias("qe_a"),
         "bucket",
         "cluster",
     )
     b = assigned.select(
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
+        F.col("qe").alias("qe_b"),
         "bucket",
         "cluster",
     )
     dup = (
         a.join(b, ["cluster", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(_dot_nano(F.col("emb_a"), F.col("emb_b")) >= NEAR_DUP_COSINE_NANO)
+        .where(_dot_pico(F.col("qe_a"), F.col("qe_b")) >= NEAR_DUP_COSINE_PICO)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -361,7 +362,7 @@ PCA_ITERS = 4
 _PCA_BASE_CTES = f"""qm AS (
         SELECT vec_id,
                list_transform(embedding,
-                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qe
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3 + 0.5) AS BIGINT)) AS qe
         FROM embeddings
     ),
     mu AS (
@@ -435,7 +436,8 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     qm = emb.select(
         "vec_id",
         F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1e3).cast("long")
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e3 + F.lit(0.5)).cast("long"),
         ).alias("qe"),
     )
     xs = qm.select("vec_id", F.posexplode("qe").alias("pos", "q")).select(

@@ -7,16 +7,25 @@ the query's bucket — the IVF shape), and per-label centroid accumulation
 (the k-means/recall-eval building block).
 
 All dot products run JVM-side via ``zip_with`` + ``aggregate`` on array
-columns — no Python UDFs, no ``collect()``.  For determinism each
-per-component product is rounded to integer nano-units and summed as
-BIGINT: permutation-invariant and bit-identical across engines (the
-embeddings are unit-norm, so nano-dot == nano-cosine).
+columns — no Python UDFs, no ``collect()``.
+
+Determinism contract (round-4, replaces the round-3 per-pair ROUND):
+each vector component is quantized ONCE to integer micro-units with
+``FLOOR(x * 1e6 + 0.5)`` — pure IEEE double arithmetic plus ``floor``,
+which has no rounding *mode* and is therefore bit-identical in Spark
+and DuckDB (Spark's HALF_UP ``round`` vs the driver DuckDB's ``ROUND``
+disagreed on per-pair float products; see VERDICT r3 §What's wrong).
+Every downstream dot product is then a pure BIGINT multiply-accumulate
+in pico-units (1e-12): |dot| ≤ 64·1e12 ≪ 2^63, permutation-invariant,
+exact.  The embeddings are unit-norm, so pico-dot ≈ pico-cosine.
 
 Scale posture: brute-force is queries×corpus — fine for a broadcast query
 set, linear scan over the corpus (the baseline you validate recall
 against).  The LSH variant prunes the corpus by bucket equi-join: at
 100 TB the corpus is hash-partitioned by bucket and each query reads one
-partition's worth of candidates.
+partition's worth of candidates.  Quantizing once at the scan (instead
+of per pair) also moves the only float math out of the O(queries×corpus)
+inner loop.
 """
 
 from __future__ import annotations
@@ -32,17 +41,29 @@ N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
 N_BUCKET_BITS = 8  # sign bits of the first 8 components → 256 buckets
 
-# dot(a, b) in integer nano-units, permutation-invariant
-_DOT_NANO_SQL = (
-    "list_sum(list_transform(list_zip({a}, {b}), "
-    "p -> CAST(ROUND(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e9) AS BIGINT)))"
+# Component quantizer: integer micro-units, rounding-mode-free.
+# FLOOR(x*1e6 + 0.5) is half-up for all signs on BOTH engines because it
+# never consults a rounding mode — just an IEEE multiply, add, floor.
+_QVEC_SQL = (
+    "list_transform({v}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
 )
 
+# dot(a, b) over micro-quantized vectors → integer pico-units (1e-12)
+_DOT_PICO_SQL = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
 
-def _dot_nano(a, b) -> F.Column:
-    prods = F.zip_with(
-        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * 1e9).cast("long")
+
+def _qvec(col) -> F.Column:
+    """Micro-quantize an array<float> column: floor(x*1e6 + 0.5) per
+    component.  The ONLY float arithmetic in this module — everything
+    after it is exact BIGINT."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
     )
+
+
+def _dot_pico(a, b) -> F.Column:
+    """Pure integer multiply-accumulate over two micro-quantized vectors."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
@@ -61,18 +82,22 @@ _BUCKET_SQL = " + ".join(
 
 
 _BRUTE_ORACLE = f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+    WITH qv AS (
+        SELECT vec_id, label, {_QVEC_SQL.format(v="embedding")} AS qe
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, qe AS q_qe FROM qv WHERE vec_id < {N_QUERIES}),
     scored AS (
         SELECT q.query_id, c.vec_id, c.label,
-               {_DOT_NANO_SQL.format(a="q.q_emb", b="c.embedding")} AS cosine_nano
-        FROM q CROSS JOIN embeddings c
+               {_DOT_PICO_SQL.format(a="q.q_qe", b="c.qe")} AS cosine_pico
+        FROM q CROSS JOIN qv c
         WHERE c.vec_id != q.query_id
     ),
     ranked AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_nano DESC, vec_id) AS rank
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_pico DESC, vec_id) AS rank
         FROM scored
     )
-    SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label, cosine_nano
+    SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label, cosine_pico
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """
@@ -81,25 +106,25 @@ _BRUTE_ORACLE = f"""
 @register("ann_bruteforce_topk", oracle=_BRUTE_ORACLE, tags=("llm", "similarity"))
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set, linear-scan the
-    corpus, rank per query (vec_id tie-break)."""
-    # 64 rounded multiplies per (query, corpus) row — spread the compact
-    # corpus scan across cores before the dot-product projection
+    corpus, rank per query (vec_id tie-break).  Vectors are quantized
+    once at the scan; the O(queries×corpus) inner loop is integer-only."""
     emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    qv = emb.select("vec_id", "label", _qvec(F.col("embedding")).alias("qe"))
+    q = qv.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(emb)
+        .crossJoin(qv)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
             "label",
-            _dot_nano(F.col("q_emb"), F.col("embedding")).alias("cosine_nano"),
+            _dot_pico(F.col("q_qe"), F.col("qe")).alias("cosine_pico"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_nano"), "vec_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pico"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -108,7 +133,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            "cosine_nano",
+            "cosine_pico",
         )
         .orderBy("query_id", "rank")
     )
@@ -117,18 +142,22 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_bucketed_topk",
     oracle=f"""
-    WITH b AS (SELECT *, {_BUCKET_SQL} AS bucket FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < {N_QUERIES}),
+    WITH b AS (
+        SELECT vec_id, {_BUCKET_SQL} AS bucket,
+               {_QVEC_SQL.format(v="embedding")} AS qe
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, qe AS q_qe, bucket FROM b WHERE vec_id < {N_QUERIES}),
     scored AS (
         SELECT q.query_id, c.vec_id,
-               {_DOT_NANO_SQL.format(a="q.q_emb", b="c.embedding")} AS cosine_nano
+               {_DOT_PICO_SQL.format(a="q.q_qe", b="c.qe")} AS cosine_pico
         FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.query_id
     ),
     ranked AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_nano DESC, vec_id) AS rank
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_pico DESC, vec_id) AS rank
         FROM scored
     )
-    SELECT query_id, rank, vec_id AS neighbor_id, cosine_nano
+    SELECT query_id, rank, vec_id AS neighbor_id, cosine_pico
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """,
@@ -138,13 +167,17 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH-bucketed ANN: 8 hyperplane sign bits (here: component
     signs — a fixed orthogonal basis) → 256 buckets; each query scores
     only its own bucket.  The equi-join on bucket is the partition-pruning
-    path that replaces the full scan at scale."""
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _bucket(F.col("embedding"))
+    path that replaces the full scan at scale.  Buckets hash the RAW
+    float signs (before quantization — a 0.4 µ-unit component still has
+    a sign); scoring uses the quantized vectors."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _bucket(F.col("embedding")).alias("bucket"),
+        _qvec(F.col("embedding")).alias("qe"),
     )
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("qe").alias("q_qe"),
         "bucket",
     )
     scored = (
@@ -154,14 +187,14 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            _dot_nano(F.col("q_emb"), F.col("embedding")).alias("cosine_nano"),
+            _dot_pico(F.col("q_qe"), F.col("qe")).alias("cosine_pico"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_nano"), "vec_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pico"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cosine_nano")
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cosine_pico")
         .orderBy("query_id", "rank")
     )
 
@@ -171,19 +204,23 @@ N_PROBE = 4  # closest lists each query scans
 CENTROID_BASE = 100
 
 _IVF_ASSIGN_SQL = f"""
-    cent AS (
-        SELECT vec_id - {CENTROID_BASE} AS list_id, embedding AS c_emb
+    qv AS (
+        SELECT vec_id, label, {_QVEC_SQL.format(v="embedding")} AS qe
         FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id - {CENTROID_BASE} AS list_id, qe AS c_qe
+        FROM qv
         WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_LIST}
     ),
     assigned AS (
-        SELECT vec_id, label, embedding, list_id FROM (
-            SELECT e.vec_id, e.label, e.embedding, c.list_id,
+        SELECT vec_id, label, qe, list_id FROM (
+            SELECT e.vec_id, e.label, e.qe, c.list_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY {_DOT_NANO_SQL.format(a="e.embedding", b="c.c_emb")} DESC, c.list_id
+                       ORDER BY {_DOT_PICO_SQL.format(a="e.qe", b="c.c_qe")} DESC, c.list_id
                    ) AS rn
-            FROM embeddings e CROSS JOIN cent c
+            FROM qv e CROSS JOIN cent c
         ) WHERE rn = 1
     )
 """
@@ -191,27 +228,27 @@ _IVF_ASSIGN_SQL = f"""
 
 _IVF_ORACLE = f"""
     WITH {_IVF_ASSIGN_SQL},
-    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+    q AS (SELECT vec_id AS query_id, qe AS q_qe FROM qv WHERE vec_id < {N_QUERIES}),
     probes AS (
-        SELECT query_id, q_emb, list_id FROM (
-            SELECT q.query_id, q.q_emb, c.list_id,
+        SELECT query_id, q_qe, list_id FROM (
+            SELECT q.query_id, q.q_qe, c.list_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.query_id
-                       ORDER BY {_DOT_NANO_SQL.format(a="q.q_emb", b="c.c_emb")} DESC, c.list_id
+                       ORDER BY {_DOT_PICO_SQL.format(a="q.q_qe", b="c.c_qe")} DESC, c.list_id
                    ) AS rn
             FROM q CROSS JOIN cent c
         ) WHERE rn <= {N_PROBE}
     ),
     scored AS (
         SELECT p.query_id, a.vec_id, a.label,
-               {_DOT_NANO_SQL.format(a="p.q_emb", b="a.embedding")} AS cosine_nano
+               {_DOT_PICO_SQL.format(a="p.q_qe", b="a.qe")} AS cosine_pico
         FROM probes p JOIN assigned a ON a.list_id = p.list_id AND a.vec_id != p.query_id
     ),
     ranked AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_nano DESC, vec_id) AS rank
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_pico DESC, vec_id) AS rank
         FROM scored
     )
-    SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label, cosine_nano
+    SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label, cosine_pico
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """
@@ -233,41 +270,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table (nlist rows) broadcasts everywhere.  Assignment is a
     corpus×nlist broadcast nested loop, one pass, map-only."""
     emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
-    cent = emb.where(
+    qv = emb.select("vec_id", "label", _qvec(F.col("embedding")).alias("qe"))
+    cent = qv.where(
         (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + N_LIST)
     ).select(
         (F.col("vec_id") - CENTROID_BASE).alias("list_id"),
-        F.col("embedding").alias("c_emb"),
+        F.col("qe").alias("c_qe"),
     )
     aw = Window.partitionBy("vec_id").orderBy(F.desc("c_dot"), "list_id")
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
+        qv.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "label",
-            "embedding",
+            "qe",
             "list_id",
-            _dot_nano(F.col("embedding"), F.col("c_emb")).alias("c_dot"),
+            _dot_pico(F.col("qe"), F.col("c_qe")).alias("c_dot"),
         )
         .withColumn("rn", F.row_number().over(aw))
         .where(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "list_id")
+        .select("vec_id", "label", "qe", "list_id")
     )
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = qv.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
     )
     pw = Window.partitionBy("query_id").orderBy(F.desc("c_dot"), "list_id")
     probes = (
         q.crossJoin(F.broadcast(cent))
         .select(
             "query_id",
-            "q_emb",
+            "q_qe",
             "list_id",
-            _dot_nano(F.col("q_emb"), F.col("c_emb")).alias("c_dot"),
+            _dot_pico(F.col("q_qe"), F.col("c_qe")).alias("c_dot"),
         )
         .withColumn("rn", F.row_number().over(pw))
         .where(F.col("rn") <= N_PROBE)
-        .select("query_id", "q_emb", "list_id")
+        .select("query_id", "q_qe", "list_id")
     )
     scored = (
         F.broadcast(probes)
@@ -277,10 +315,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "label",
-            _dot_nano(F.col("q_emb"), F.col("embedding")).alias("cosine_nano"),
+            _dot_pico(F.col("q_qe"), F.col("qe")).alias("cosine_pico"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_nano"), "vec_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pico"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -289,13 +327,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            "cosine_nano",
+            "cosine_pico",
         )
         .orderBy("query_id", "rank")
     )
 
 
-NEAR_DUP_COSINE_NANO = 900_000_000  # cosine ≥ 0.9 (unnormalized dot here)
+NEAR_DUP_COSINE_PICO = 900_000_000_000  # cosine ≥ 0.9 (unnormalized dot here)
 
 # Random unit vectors are near-orthogonal, so the corpus has no natural
 # near-dups: plant one per vec_id % 20 == 0 (+100000) by halving the last
@@ -343,14 +381,18 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle=f"""
     WITH aug AS ({_AUG_EMB_SQL}),
-    b AS (SELECT *, {_BUCKET_SQL} AS bucket FROM aug),
+    b AS (
+        SELECT vec_id, {_BUCKET_SQL} AS bucket,
+               {_QVEC_SQL.format(v="embedding")} AS qe
+        FROM aug
+    ),
     pairs AS (
         SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-               {_DOT_NANO_SQL.format(a="a.embedding", b="c.embedding")} AS cosine_nano
+               {_DOT_PICO_SQL.format(a="a.qe", b="c.qe")} AS cosine_pico
         FROM b a JOIN b c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
     )
-    SELECT vec_a, vec_b, cosine_nano
-    FROM pairs WHERE cosine_nano >= {NEAR_DUP_COSINE_NANO}
+    SELECT vec_a, vec_b, cosine_pico
+    FROM pairs WHERE cosine_pico >= {NEAR_DUP_COSINE_PICO}
     ORDER BY vec_a, vec_b
     """,
     tags=("llm", "dedup", "similarity"),
@@ -360,24 +402,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space (same-bucket self-join, never all-pairs), then candidates
     are verified against a cosine threshold — the semantic-dedup stage of
     a training-data pipeline."""
-    emb = _augmented_embeddings(spark, sf_dir).withColumn(
-        "bucket", _bucket(F.col("embedding"))
+    emb = _augmented_embeddings(spark, sf_dir).select(
+        "vec_id",
+        _bucket(F.col("embedding")).alias("bucket"),
+        _qvec(F.col("embedding")).alias("qe"),
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
-    )
-    c = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
-    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qe_a"), "bucket")
+    c = emb.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qe_b"), "bucket")
     return (
         a.join(c, "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            _dot_nano(F.col("emb_a"), F.col("emb_b")).alias("cosine_nano"),
+            _dot_pico(F.col("qe_a"), F.col("qe_b")).alias("cosine_pico"),
         )
-        .where(F.col("cosine_nano") >= NEAR_DUP_COSINE_NANO)
+        .where(F.col("cosine_pico") >= NEAR_DUP_COSINE_PICO)
         .orderBy("vec_a", "vec_b")
     )
 
@@ -429,15 +469,18 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_label_centroids",
-    oracle="""
-    WITH flat AS (
+    oracle=f"""
+    WITH qv AS (
+        SELECT label, {_QVEC_SQL.format(v="embedding")} AS qe FROM embeddings
+    ),
+    flat AS (
         SELECT label,
-               unnest(range(1, len(embedding) + 1)) AS dim,
-               unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e9) AS BIGINT))) AS nano
-        FROM embeddings
+               unnest(range(1, len(qe) + 1)) AS dim,
+               unnest(qe) AS micro
+        FROM qv
     )
-    SELECT label, dim, COUNT(*) AS n, CAST(SUM(nano) AS BIGINT) AS sum_nano,
-           CAST(SUM(nano) // COUNT(*) AS BIGINT) AS centroid_nano
+    SELECT label, dim, COUNT(*) AS n, CAST(SUM(micro) AS BIGINT) AS sum_micro,
+           CAST(SUM(micro) // COUNT(*) AS BIGINT) AS centroid_micro
     FROM flat
     GROUP BY label, dim
     ORDER BY label, dim
@@ -445,28 +488,29 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity"),
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid accumulation in integer nano-units (k-means /
-    recall-eval building block): posexplode the vector, aggregate per
-    (label, dim) — map-side partial aggregation keeps the shuffle tiny."""
+    """Per-label centroid accumulation in integer micro-units (k-means /
+    recall-eval building block): posexplode the quantized vector,
+    aggregate per (label, dim) — map-side partial aggregation keeps the
+    shuffle tiny."""
     emb = load(spark, sf_dir, "embeddings")
     flat = emb.select(
-        "label", F.posexplode(F.col("embedding")).alias("dim0", "x")
+        "label", F.posexplode(_qvec(F.col("embedding"))).alias("dim0", "micro")
     ).select(
         "label",
         (F.col("dim0") + 1).alias("dim"),  # 1-based like the oracle
-        F.round(F.col("x").cast("double") * 1e9).cast("long").alias("nano"),
+        "micro",
     )
     return (
         flat.groupBy("label", "dim")
-        .agg(F.count("*").alias("n"), F.sum("nano").alias("sum_nano"))
+        .agg(F.count("*").alias("n"), F.sum("micro").alias("sum_micro"))
         # `div` truncates toward zero on both engines (DuckDB's `//` on
         # integers truncates too — floor() would differ on negative sums)
         .select(
             "label",
             "dim",
             "n",
-            "sum_nano",
-            F.expr("sum_nano div n").alias("centroid_nano"),
+            "sum_micro",
+            F.expr("sum_micro div n").alias("centroid_micro"),
         )
         .orderBy("label", "dim")
     )
@@ -476,9 +520,9 @@ def l2_normalize(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Replace ``col`` with its L2-normalized form (zero vectors → null).
 
     The hygiene step every embedding pipeline runs before cosine ANN:
-    after it, dot == cosine and the integer-nano dot contract above is
-    valid.  Pure ``transform``/``aggregate`` — JVM-side, no shuffle, no
-    Python; at 100 TB this is a free map over the scan.
+    after it, dot == cosine and the integer-micro quantization contract
+    above is valid.  Pure ``transform``/``aggregate`` — JVM-side, no
+    shuffle, no Python; at 100 TB this is a free map over the scan.
     """
     sq = F.aggregate(
         F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
@@ -495,33 +539,32 @@ def l2_normalize(df: DataFrame, col: str = "embedding") -> DataFrame:
     )
 
 
-# norm² in integer nano-units: permutation-invariant BIGINT fold, exact
-# cross-engine (same per-component rounding contract as the dot product)
-_NORM2_NANO_SQL = (
-    "list_sum(list_transform(embedding, "
-    "x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9) AS BIGINT)))"
+# norm² over the once-quantized components → integer pico-units: the
+# same exact-BIGINT contract as the dot product (q·q for each component)
+_NORM2_PICO_SQL = (
+    f"list_sum(list_transform({_QVEC_SQL.format(v='embedding')}, x -> x * x))"
 )
 
 
 @register(
     "embedding_norm_stats",
     oracle=f"""
-    WITH n AS (SELECT label, {_NORM2_NANO_SQL} AS norm2_nano FROM embeddings)
+    WITH n AS (SELECT label, {_NORM2_PICO_SQL} AS norm2_pico FROM embeddings)
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           MIN(norm2_nano) AS min_norm2_nano,
-           MAX(norm2_nano) AS max_norm2_nano,
-           CAST(SUM(norm2_nano) // COUNT(*) AS BIGINT) AS avg_norm2_nano,
-           CAST(SUM(CASE WHEN ABS(norm2_nano - 1000000000) <= 1000000 THEN 1 ELSE 0 END)
+           MIN(norm2_pico) AS min_norm2_pico,
+           MAX(norm2_pico) AS max_norm2_pico,
+           CAST(SUM(norm2_pico) // COUNT(*) AS BIGINT) AS avg_norm2_pico,
+           CAST(SUM(CASE WHEN ABS(norm2_pico - 1000000000000) <= 1000000000 THEN 1 ELSE 0 END)
                 AS BIGINT) AS unit_norm_count,
-           MAX(ABS(norm2_nano - 1000000000)) AS max_unit_dev_nano
+           MAX(ABS(norm2_pico - 1000000000000)) AS max_unit_dev_pico
     FROM n GROUP BY label ORDER BY label
     """,
     tags=("llm", "similarity"),
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-hygiene audit: per-label L2-norm² distribution in integer
-    nano-units (min / max / truncated mean), plus how many vectors are
+    pico-units (min / max / truncated mean), plus how many vectors are
     within 1e-3 of unit norm and the worst deviation — the check a
     training pipeline runs before trusting dot-product == cosine.
 
@@ -530,34 +573,33 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle a few rows per partition regardless of corpus size."""
     emb = load(spark, sf_dir, "embeddings")
     norm2 = F.aggregate(
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * x.cast("double") * 1e9).cast("long"),
-        ),
+        F.transform(_qvec(F.col("embedding")), lambda q: q * q),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    unit_dev = F.abs(F.col("norm2_nano") - F.lit(1_000_000_000))
+    unit_dev = F.abs(F.col("norm2_pico") - F.lit(1_000_000_000_000))
     return (
-        emb.select("label", norm2.alias("norm2_nano"))
+        emb.select("label", norm2.alias("norm2_pico"))
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.min("norm2_nano").alias("min_norm2_nano"),
-            F.max("norm2_nano").alias("max_norm2_nano"),
-            F.sum("norm2_nano").alias("_sum"),
-            F.sum(F.when(unit_dev <= 1_000_000, 1).otherwise(0)).alias("unit_norm_count"),
-            F.max(unit_dev).alias("max_unit_dev_nano"),
+            F.min("norm2_pico").alias("min_norm2_pico"),
+            F.max("norm2_pico").alias("max_norm2_pico"),
+            F.sum("norm2_pico").alias("_sum"),
+            F.sum(F.when(unit_dev <= 1_000_000_000, 1).otherwise(0)).alias(
+                "unit_norm_count"
+            ),
+            F.max(unit_dev).alias("max_unit_dev_pico"),
         )
         # `div` truncates toward zero like DuckDB's integer `//`
         .select(
             "label",
             "n_vectors",
-            "min_norm2_nano",
-            "max_norm2_nano",
-            F.expr("_sum div n_vectors").alias("avg_norm2_nano"),
+            "min_norm2_pico",
+            "max_norm2_pico",
+            F.expr("_sum div n_vectors").alias("avg_norm2_pico"),
             "unit_norm_count",
-            "max_unit_dev_nano",
+            "max_unit_dev_pico",
         )
         .orderBy("label")
     )
@@ -568,7 +610,8 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q8 AS (
         SELECT vec_id, label,
-               list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS qe
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT)) AS qe
         FROM embeddings
     ),
     q AS (SELECT vec_id AS query_id, qe AS q_qe FROM q8 WHERE vec_id < {N_QUERIES}),
@@ -590,11 +633,12 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized ANN: int8 symmetric quantization (unit-norm
-    components × 127, rounded) then integer dot products — the
+    components × 127, floor(·+0.5) — the same rounding-mode-free
+    quantizer as the micro contract) then integer dot products — the
     memory-bandwidth scale path (4× smaller vectors than float32, 16×
     smaller than the float64 compute domain; SIMD-friendly integer
     accumulation).  Integer arithmetic is exact, so scores are
-    bit-identical across engines with no nano-rounding contract needed.
+    bit-identical across engines.
 
     Scale posture: identical to the brute-force scan (broadcast query
     set, linear corpus scan) but each partition reads a quarter of the
@@ -605,7 +649,8 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.transform(
-            F.col("embedding"), lambda x: F.round(x.cast("double") * 127).cast("long")
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 127 + F.lit(0.5)).cast("long"),
         ).alias("qe"),
     )
     q = q8.where(F.col("vec_id") < N_QUERIES).select(
@@ -648,19 +693,23 @@ KNN_K = 5
 @register(
     "knn_label_vote",
     oracle=f"""
-    WITH q AS (
-        SELECT vec_id AS query_id, label AS true_label, embedding AS q_emb
-        FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+    WITH qv AS (
+        SELECT vec_id, label, {_QVEC_SQL.format(v="embedding")} AS qe
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label AS true_label, qe AS q_qe
+        FROM qv WHERE vec_id % {KNN_QUERY_MOD} = 0
     ),
     scored AS (
         SELECT q.query_id, q.true_label, c.vec_id, c.label,
-               {_DOT_NANO_SQL.format(a="q.q_emb", b="c.embedding")} AS cosine_nano
-        FROM q CROSS JOIN embeddings c
+               {_DOT_PICO_SQL.format(a="q.q_qe", b="c.qe")} AS cosine_pico
+        FROM q CROSS JOIN qv c
         WHERE c.vec_id != q.query_id
     ),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine_nano DESC, vec_id) AS rank
+                                     ORDER BY cosine_pico DESC, vec_id) AS rank
         FROM scored
     ),
     votes AS (
@@ -679,7 +728,7 @@ KNN_K = 5
 )
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN classification by majority label of the 5 nearest neighbors
-    (cosine, integer nano-units; ties → smaller vec_id, then
+    (cosine, integer pico-units; ties → smaller vec_id, then
     lexicographically smaller label) — the standard embedding-quality
     probe a training-data pipeline runs after re-embedding a corpus.
 
@@ -690,24 +739,25 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB swap the brute-force scan for the IVF/LSH candidate join —
     the vote stage is unchanged."""
     emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
-    q = emb.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+    qv = emb.select("vec_id", "label", _qvec(F.col("embedding")).alias("qe"))
+    q = qv.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
-        F.col("embedding").alias("q_emb"),
+        F.col("qe").alias("q_qe"),
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(emb)
+        .crossJoin(qv)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "true_label",
             "vec_id",
             "label",
-            _dot_nano(F.col("q_emb"), F.col("embedding")).alias("cosine_nano"),
+            _dot_pico(F.col("q_qe"), F.col("qe")).alias("cosine_pico"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_nano"), "vec_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pico"), "vec_id")
     votes = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= KNN_K)

@@ -26,6 +26,12 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("gate", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     reg = load_registry()
+    if len(sys.argv) > 1:  # optional substring filters: run only matching names
+        reg = {
+            n: q
+            for n, q in reg.items()
+            if any(pat in n for pat in sys.argv[1:])
+        }
     con = duck_connect(sf_dir)
     failures: list[str] = []
     for name in sorted(reg):

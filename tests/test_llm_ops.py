@@ -89,10 +89,10 @@ def test_lsh_ann_is_subset_of_bruteforce_space(spark, sf_dir):
     reg = load_registry()
     bf = reg["ann_bruteforce_topk"].spark(spark, sf_dir).collect()
     lsh = reg["ann_lsh_bucketed_topk"].spark(spark, sf_dir).collect()
-    bf_best = {r["query_id"]: r["cosine_nano"] for r in bf if r["rank"] == 1}
+    bf_best = {r["query_id"]: r["cosine_pico"] for r in bf if r["rank"] == 1}
     for r in lsh:
         if r["rank"] == 1:
-            assert r["cosine_nano"] <= bf_best[r["query_id"]]
+            assert r["cosine_pico"] <= bf_best[r["query_id"]]
 
 
 def test_l2_normalize_restores_unit_norm(spark):
@@ -252,38 +252,38 @@ def test_semantic_dedup_bucket_prune_is_lossless(spark, sf_dir):
     provably lossless on the shipped fixtures."""
     from rust_near_indexer_spark.queries.clustering import _assign, _final_centroids
     from rust_near_indexer_spark.queries.similarity import (
-        NEAR_DUP_COSINE_NANO,
+        NEAR_DUP_COSINE_PICO,
         _augmented_embeddings,
         _bucket,
-        _dot_nano,
+        _dot_pico,
+        _qvec,
     )
 
     aug = _augmented_embeddings(spark, sf_dir)
     augq = aug.select(
         "vec_id",
-        "embedding",
         _bucket(F.col("embedding")).alias("bucket"),
-        F.transform("embedding", lambda x: F.round(x * 1e6).cast("long")).alias("qe"),
+        _qvec(F.col("embedding")).alias("qe"),
     )
-    assigned = _assign(
-        augq, _final_centroids(spark, sf_dir), carry=("embedding", "bucket")
-    ).select("vec_id", "embedding", "bucket", "cluster")
+    assigned = _assign(augq, _final_centroids(spark, sf_dir), carry=("bucket",)).select(
+        "vec_id", "qe", "bucket", "cluster"
+    )
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
+        F.col("qe").alias("qe_a"),
         F.col("bucket").alias("bucket_a"),
         "cluster",
     )
     b = assigned.select(
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
+        F.col("qe").alias("qe_b"),
         F.col("bucket").alias("bucket_b"),
         "cluster",
     )
     escaped = (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(_dot_nano(F.col("emb_a"), F.col("emb_b")) >= NEAR_DUP_COSINE_NANO)
+        .where(_dot_pico(F.col("qe_a"), F.col("qe_b")) >= NEAR_DUP_COSINE_PICO)
         .where(F.col("bucket_a") != F.col("bucket_b"))
         .count()
     )
