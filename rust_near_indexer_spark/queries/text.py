@@ -404,6 +404,19 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _bigram_terms(w) -> F.Column:
+    """Bigram term array from a token-array column.  For <2 tokens both
+    slices are zero-length, so the result is an empty array (no terms) —
+    the same negative space as the oracles' ``range(1, len(w))``, which
+    is empty for a 1-token doc (ADVICE r03: the two sides previously
+    disagreed on that case)."""
+    return F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
 @register(
     "tfidf_top_terms",
     oracle="""
@@ -450,15 +463,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.col("text"), " ")
     # zip_with over two shifted slices instead of transform(sequence(..),
     # slice) — same bigrams, but a single vectorizable pass (the indexed
-    # form re-slices per element and benched ~4× slower cold).  A 1-word
-    # doc degenerates to its lone word, matching the oracle's w[i:i+1].
-    bigrams = F.when(F.size(w) < 2, F.array(F.col("text"))).otherwise(
-        F.zip_with(
-            F.slice(w, 1, F.size(w) - 1),
-            F.slice(w, 2, F.size(w) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    )
+    # form re-slices per element and benched ~4× slower cold).  A <2-token
+    # doc yields zero-length slices → an empty bigram array → no terms,
+    # exactly like the oracle's empty range(1, len(w)).
+    bigrams = _bigram_terms(w)
     toks = spread(d, "doc_id").select(
         "source", F.explode(bigrams).alias("term")
     )
@@ -468,6 +476,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         # No broadcast hint on df_: the bigram vocabulary grows with the
         # corpus, so AQE picks broadcast only while it is actually small.
+        # `div` = exact integer division, bit-identical to DuckDB's `//`
+        # (float `/` + floor can land one off when the double quotient
+        # grazes an integer).
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n_src))
         .select(
@@ -475,9 +486,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf",
             "df",
-            F.floor(F.col("tf") * 1000 * F.col("n_src") / F.col("df"))
-            .cast("long")
-            .alias("score_milli"),
+            F.expr("tf * 1000 * n_src div df").alias("score_milli"),
         )
     )
     from pyspark.sql.window import Window
@@ -899,8 +908,10 @@ _DRIFT_SCALE = 1_000_000
            MAX(t.ta) AS n_ref_docs,
            MAX(t.tb) AS n_new_docs,
            CAST(SUM(CASE WHEN (a + b) > 0 AND ta > 0 AND tb > 0
-                    THEN ((a * tb - b * ta) * (a * tb - b * ta) * {_DRIFT_SCALE})
-                         // (ta * tb * (a + b))
+                    THEN ((CAST(a AS HUGEINT) * tb - CAST(b AS HUGEINT) * ta)
+                          * (CAST(a AS HUGEINT) * tb - CAST(b AS HUGEINT) * ta)
+                          * {_DRIFT_SCALE})
+                         // (CAST(ta AS HUGEINT) * tb * (a + b))
                     ELSE 0 END) AS BIGINT) AS drift_micro
     FROM c JOIN t USING (source)
     GROUP BY c.source
@@ -913,7 +924,12 @@ def corpus_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     language mix between the even-doc_id half (reference snapshot) and
     the odd half (incoming batch), per source — the check a continuously
     ingesting training pipeline runs before accepting a new crawl drop.
-    All arithmetic BIGINT micro-units; zero-marginal cells contribute 0.
+    The per-cell score runs in 128-bit integer space — Spark
+    DECIMAL(38,0) mirroring the oracle's HUGEINT — with truncating
+    integer division on both sides, so the result is exact at any count
+    (ADVICE r03: plain long multiplication wraps past |a·tb−b·ta| ≈ 3e6
+    and float `/` loses exactness past 2^53); zero-marginal cells
+    contribute 0.
 
     Scale shape: one scan → map-side-combined count per (source, lang,
     half) — cardinality sources×langs×2, tiny at any corpus size — then
@@ -936,22 +952,48 @@ def corpus_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").over(w).alias("ta"),
         F.sum("b").over(w).alias("tb"),
     )
-    num = (F.col("a") * F.col("tb") - F.col("b") * F.col("ta"))
-    term = F.when(
-        ((F.col("a") + F.col("b")) > 0) & (F.col("ta") > 0) & (F.col("tb") > 0),
-        F.floor(
-            num * num * _DRIFT_SCALE / (F.col("ta") * F.col("tb") * (F.col("a") + F.col("b")))
-        ).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
     return (
-        scored.groupBy("source")
+        drift_cell_terms(scored)
+        .groupBy("source")
         .agg(
             F.count("*").alias("n_langs"),
             F.max("ta").alias("n_ref_docs"),
             F.max("tb").alias("n_new_docs"),
-            F.sum(term).alias("drift_micro"),
+            F.sum("term").alias("drift_micro"),
         )
         .orderBy("source")
+    )
+
+
+def drift_cell_terms(counts: DataFrame) -> DataFrame:
+    """Add the exact chi-square cell score ``term`` to a (a, b, ta, tb)
+    counts DataFrame.  128-bit integer space (DECIMAL(38,0) ≙ the
+    oracle's HUGEINT); ``div`` on decimals is BigDecimal's
+    divideToIntegralValue — the exact truncated quotient, matching
+    DuckDB's integer ``//`` (a plain decimal ``/`` would round HALF_UP
+    at the result scale first, and long arithmetic wraps past
+    |a·tb−b·ta| ≈ 3e6).  Both engines share the 128-bit ceiling: exact
+    up to |a·tb−b·ta| < 1e16 (num²·SCALE < 1e38), and both raise rather
+    than silently wrap beyond it."""
+    d38 = "decimal(38,0)"
+    num = (
+        F.col("a").cast(d38) * F.col("tb").cast(d38)
+        - F.col("b").cast(d38) * F.col("ta").cast(d38)
+    )
+    den = (
+        F.col("ta").cast(d38)
+        * F.col("tb").cast(d38)
+        * (F.col("a") + F.col("b")).cast(d38)
+    )
+    term = F.when(
+        ((F.col("a") + F.col("b")) > 0) & (F.col("ta") > 0) & (F.col("tb") > 0),
+        F.expr("_drift_num div _drift_den"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        counts.withColumn("_drift_num", num * num * F.lit(_DRIFT_SCALE).cast(d38))
+        .withColumn("_drift_den", den)
+        .withColumn("term", term)
+        .drop("_drift_num", "_drift_den")
     )
 
 
@@ -1007,14 +1049,7 @@ def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic inverted-index skew killer."""
     d = spread(load(spark, sf_dir, "documents"), "doc_id")
     w = F.split(F.col("text"), " ")
-    bigrams = F.when(F.size(w) < 2, F.array(F.col("text"))).otherwise(
-        F.zip_with(
-            F.slice(w, 1, F.size(w) - 1),
-            F.slice(w, 2, F.size(w) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    )
-    t = d.select("doc_id", F.explode(bigrams).alias("term")).distinct()
+    t = d.select("doc_id", F.explode(_bigram_terms(w)).alias("term")).distinct()
     # pass 1: df per term — map-side combinable, so a corpus-wide stop
     # term costs one long per partition, never a row list
     stats = (

@@ -195,3 +195,35 @@ def test_drift_score_zero_iff_proportional(cells):
     assert score >= 0
     if ta > 0 and tb > 0 and all(a * tb == b * ta for a, b in cells):
         assert score == 0
+
+
+def test_drift_terms_exact_at_huge_counts(spark):
+    """ADVICE r03: the Spark cell score must match arbitrary-precision
+    Python at counts where long multiplication wraps (|a·tb−b·ta| ≫ 3e6)
+    and double division loses exactness (quotients past 2^53)."""
+    from rust_near_indexer_spark.queries.text import drift_cell_terms
+
+    SCALE = 1_000_000
+    # counts chosen so |a·tb−b·ta| ≈ 5e15: far past the long-wrap
+    # threshold (~3e6) and the 2^53 double domain, while num²·SCALE
+    # still fits the shared 128-bit space (DECIMAL(38,0) ≙ HUGEINT —
+    # both engines overflow at the same point, which is the contract)
+    cells = [
+        (30_000_000, 1),
+        (7, 40_000_000),
+        (2**25, 2**25 + 1),
+        (12_345_678, 98_765_432),
+        (0, 0),
+    ]
+    ta = sum(a for a, _ in cells)
+    tb = sum(b for _, b in cells)
+    expected = [
+        ((a * tb - b * ta) ** 2 * SCALE) // (ta * tb * (a + b)) if (a + b) > 0 else 0
+        for a, b in cells
+    ]
+    df = spark.createDataFrame(
+        [("s", i, a, b, ta, tb) for i, (a, b) in enumerate(cells)],
+        "source string, i long, a long, b long, ta long, tb long",
+    )
+    got = {r["i"]: r["term"] for r in drift_cell_terms(df).collect()}
+    assert [got[i] for i in range(len(cells))] == expected

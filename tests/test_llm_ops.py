@@ -317,3 +317,45 @@ def test_doc_chunk_windows_cover_every_token(spark, sf_dir):
         assert last["chunk_idx"] * CHUNK_STRIDE + last["chunk_tokens"] == n_tokens[doc_id]
         # all but the ragged tail are full windows
         assert all(c["chunk_tokens"] == CHUNK_TOKENS for c in chunks[:-1])
+
+
+def test_bigram_queries_handle_short_docs(spark, tmp_path):
+    """ADVICE r03: a corpus containing 1-word and empty-text documents
+    must still hash-match — both sides emit zero bigram terms for a
+    <2-token doc (the oracles' range(1, len(w)) is empty; the Spark
+    slices are zero-length)."""
+    docs = [
+        (1, "alpha beta gamma alpha beta", "en", "web", 27),
+        (2, "alpha beta alpha beta gamma", "en", "web", 27),
+        (3, "solo", "en", "books", 4),  # 1-word doc: no bigrams
+        (4, "", "en", "books", 0),  # empty text: split→[""], no bigrams
+        (5, "beta gamma beta gamma alpha", "en", "books", 27),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path)
+    cols = list(zip(*docs))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.int64()),
+                "text": pa.array(cols[1], pa.string()),
+                "lang": pa.array(cols[2], pa.string()),
+                "source": pa.array(cols[3], pa.string()),
+                "n_chars": pa.array(cols[4], pa.int64()),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    reg = load_registry()
+    con = duck_connect(sf)
+    for name in ("tfidf_top_terms", "term_posting_lists"):
+        q = reg[name]
+        r = compare(q.spark(spark, sf), con, q.oracle)
+        assert r["hash_match"], (name, r)
+        # the 1-word and empty docs must not surface as lone-word terms
+        terms = {
+            row["term"] for row in q.spark(spark, sf).select("term").collect()
+        }
+        assert "solo" not in terms and "" not in terms
