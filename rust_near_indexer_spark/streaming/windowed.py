@@ -169,9 +169,14 @@ class _SessionProcessor(StatefulProcessor):
 def sessionize_tws(events: DataFrame) -> DataFrame:
     """``sessionize`` via ``transformWithStateInPandas`` (requires the
     RocksDB state-store provider AND ``google.protobuf`` for the Python
-    state-server protocol — the equivalence test self-skips where
-    protobuf is unavailable; the applyInPandasWithState formulation is
-    the gated one)."""
+    state-server protocol — the end-to-end equivalence test self-skips
+    where protobuf is unavailable; there,
+    ``test_session_processor_logic_without_state_server`` executes the
+    processor against a fake typed-state handle and
+    ``test_sessionize_tws_plan_contract`` pins the analyzed streaming
+    plan + output schema, so only the Spark-internal state transport is
+    untested.  The applyInPandasWithState formulation is the gated
+    one."""
     return (
         events.select("user_id", "ts_ns")
         .groupBy("user_id")

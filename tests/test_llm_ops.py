@@ -243,13 +243,11 @@ def test_semantic_dedup_drops_planted_neardups(spark, sf_dir):
     assert dropped >= int(0.8 * n_planted), (dropped, n_planted)
 
 
-def test_semantic_dedup_bucket_prune_is_lossless(spark, sf_dir):
-    """ADVICE r02: the LSH-bucket prefilter on the SemDeDup pair join is
-    an approximation — a cosine>=0.9 pair whose first 8 embedding
-    components straddle zero could land in different buckets and escape
-    dedup.  Brute-force every same-cluster pair (no bucket condition) and
-    assert none above the threshold crosses buckets, so the prune is
-    provably lossless on the shipped fixtures."""
+def _escaped_neardup_count(spark, sf_dir) -> int:
+    """Brute-force recall audit of the SemDeDup bucket prefilter: count
+    same-cluster pairs above the cosine threshold that land in DIFFERENT
+    sign-bit buckets — exactly the pairs the cluster+bucket pair join
+    would silently miss.  0 ⇒ the prune is lossless on this corpus."""
     from rust_near_indexer_spark.queries.clustering import _assign, _final_centroids
     from rust_near_indexer_spark.queries.similarity import (
         NEAR_DUP_COSINE_PICO,
@@ -280,14 +278,73 @@ def test_semantic_dedup_bucket_prune_is_lossless(spark, sf_dir):
         F.col("bucket").alias("bucket_b"),
         "cluster",
     )
-    escaped = (
+    return (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
         .where(_dot_pico(F.col("qe_a"), F.col("qe_b")) >= NEAR_DUP_COSINE_PICO)
         .where(F.col("bucket_a") != F.col("bucket_b"))
         .count()
     )
+
+
+def test_semantic_dedup_bucket_prune_is_lossless(spark, sf_dir):
+    """ADVICE r02: the LSH-bucket prefilter on the SemDeDup pair join is
+    an approximation — a cosine>=0.9 pair whose first 8 embedding
+    components straddle zero could land in different buckets and escape
+    dedup.  Brute-force every same-cluster pair (no bucket condition) and
+    assert none above the threshold crosses buckets, so the prune is
+    provably lossless on the shipped fixtures."""
+    escaped = _escaped_neardup_count(spark, sf_dir)
     assert escaped == 0, f"{escaped} near-dup pairs cross LSH buckets"
+
+
+def test_semantic_dedup_recall_audit_catches_planted_straddler(spark, tmp_path):
+    """Red-team of the lossless assertion (VERDICT r03 item 3): plant a
+    near-dup pair whose first component straddles zero (+eps vs -eps, all
+    else equal) — cosine ~ 1 but different sign-bit buckets.  The recall
+    audit must report it as escaped, proving the audit actually detects
+    the class of recall loss the bucket prune can cause."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 64
+    clustering = __import__(
+        "rust_near_indexer_spark.queries.clustering", fromlist=["_CEN_CACHE"]
+    )
+
+    def unit(vals):
+        n = math.sqrt(sum(x * x for x in vals))
+        return [x / n for x in vals]
+
+    rng_base = [
+        unit([((7 * i + 3 * j) % 13) - 6.0 for j in range(dim)]) for i in range(8)
+    ]
+    # vectors 3 and 7 (avoid %20==0 so augmentation doesn't clone them):
+    # identical except component 0 flips sign at tiny magnitude
+    common = unit([0.0] + [((5 * j) % 11) - 5.0 for j in range(1, dim)])
+    v_pos = unit([1e-3] + common[1:])
+    v_neg = unit([-1e-3] + common[1:])
+    vecs = list(rng_base)
+    vecs[3] = v_pos
+    vecs[7] = v_neg
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(8), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * 8, pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    clustering._CEN_CACHE.clear()  # keyed by (session, sf_dir); drop stale state
+    try:
+        escaped = _escaped_neardup_count(spark, str(tmp_path))
+    finally:
+        clustering._CEN_CACHE.clear()
+    assert escaped >= 1, "recall audit failed to flag a bucket-straddling near-dup"
 
 
 def test_doc_chunk_windows_cover_every_token(spark, sf_dir):

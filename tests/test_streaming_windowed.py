@@ -214,3 +214,94 @@ def test_dedup_stream_drops_redeliveries(spark, sf_dir, event_stream_dir, tmp_pa
     ]
     assert sorted(streamed) == sorted(expected)
     assert len(streamed) == len(set(streamed))
+
+
+class _FakeValueState:
+    """Minimal ValueState double mirroring the TWS handle contract
+    (exists/get/update) so _SessionProcessor's logic executes without the
+    protobuf state-server protocol."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self) -> bool:
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_session_processor_logic_without_state_server(spark, sf_dir):
+    """VERDICT r03 item 4: google.protobuf is absent here, so the
+    transformWithStateInPandas runtime cannot execute — instead, drive
+    _SessionProcessor directly through a fake typed-state handle (the
+    exact init/handleInputRows/close surface Spark calls) and assert it
+    emits the same closed sessions as the batch oracle, per user."""
+    import pandas as pd
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts_ns")
+        .orderBy("ts_ns")
+        .toPandas()
+    )
+    batch = {
+        (r["user_id"], r["session_start_ns"]): (r["session_end_ns"], r["n_events"])
+        for r in windowed.batch_sessions(load(spark, sf_dir, "events")).collect()
+    }
+    emitted = {}
+    open_state = {}
+    for user_id, g in ev.groupby("user_id"):
+        proc = windowed._SessionProcessor()
+        handle = _FakeHandle()
+        proc.init(handle)
+        # split each user's time-ordered rows into 3 sequential batches
+        # to exercise state carry across micro-batches
+        k = (len(g) + 2) // 3
+        parts = [g.iloc[i * k : (i + 1) * k] for i in range(3)]
+        parts = [p for p in parts if len(p)]
+        # Spark feeds per-batch row iterators; chunk each batch in two
+        for p in parts:
+            half = max(1, len(p) // 2)
+            chunks = iter([p.iloc[:half], p.iloc[half:]])
+            for out in proc.handleInputRows((user_id,), chunks, None):
+                for r in out.itertuples(index=False):
+                    emitted[(r.user_id, r.session_start_ns)] = (
+                        r.session_end_ns,
+                        r.n_events,
+                    )
+        proc.close()
+        st = handle.states["session"]
+        if st.exists():
+            start_ns, last_ns, n = st.get()
+            open_state[(user_id, start_ns)] = (last_ns, n)
+    # emitted ∪ open-state must equal the batch sessions exactly
+    assert emitted and open_state
+    assert not (set(emitted) & set(open_state))
+    combined = {**emitted, **open_state}
+    assert combined == batch
+
+
+def test_sessionize_tws_plan_contract(spark, event_stream_dir):
+    """The sessionize_tws wiring analyzes end-to-end without protobuf:
+    the analyzed streaming plan contains the TransformWithStateInPandas
+    operator keyed by user_id, and its output schema is SESSION_SCHEMA
+    (protobuf is only a run-time requirement of the state server)."""
+    df = windowed.sessionize_tws(_stream(spark, event_stream_dir))
+    assert df.isStreaming
+    assert df.schema == windowed.SESSION_SCHEMA
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # Spark 4.1 names the logical node TransformWithStateInPySpark
+    assert "transformwithstatein" in plan.lower()
+    assert "user_id" in plan
