@@ -8,12 +8,34 @@ pushdown, column pruning and partition-sized splits for free.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import tune
+
+_log = logging.getLogger(__name__)
+
+# one schema-probe log line per (sf_dir, table) per process — the r02
+# gate lost 8 queries to a silent testdata dtype flip-flop; this makes
+# the next one visible in any log the driver keeps
+_PROBED: set[tuple[str, str]] = set()
+
+
+def _probe_schema(sf_dir: str, name: str, path: str) -> None:
+    if (sf_dir, name) in _PROBED:
+        return
+    _PROBED.add((sf_dir, name))
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        arrived = ", ".join(f"{f.name}:{f.type}" for f in schema)
+        _log.info("[tables] %s/%s.parquet arrived as (%s)", sf_dir, name, arrived)
+    except Exception as e:  # never let observability break the read
+        _log.info("[tables] schema probe failed for %s: %s", path, e)
 
 TABLE_NAMES = (
     "region",
@@ -53,8 +75,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     tune(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    _probe_schema(sf_dir, name, path)
+    df = spark.read.parquet(path)
+    if name == "embeddings":
+        # Canonical schema regardless of the arrived element width:
+        # float32→float64 upcast is exact in BOTH engines (DuckDB's
+        # CAST(x AS DOUBLE) sees the identical values), so every
+        # downstream quantizer/bucket expression computes the same
+        # integers whichever width the driver ships.  ids widen to long.
+        df = df.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("label").cast("int").alias("label"),
+        )
+    elif name == "documents":
+        # ids/counters long, text columns as-is (large_string arrives as
+        # plain string through Spark's parquet reader already)
+        df = df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("text").cast("string").alias("text"),
+            F.col("lang").cast("string").alias("lang"),
+            F.col("source").cast("string").alias("source"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    elif name == "events":
         # Keep the reference's dual convention regardless of how the
         # driver wrote ts (SURVEY §1.2: block_timestamp_ns long +
         # µs-truncated TimestampType ts).  Testdata generations have
