@@ -84,6 +84,62 @@ def bench_bronze_blocks(spark, n_blocks: int = 2000) -> float:
     return round(n_blocks / elapsed, 2)
 
 
+def bench_streaming_latency(spark, n_blocks: int = 2000, n_chunks: int = 4) -> dict:
+    """End-to-end micro-batch latency of the streaming indexer: chunked
+    block files drained under Trigger.AvailableNow with one file per
+    trigger, so elapsed / n_chunks is the per-micro-batch wall time
+    (scan → extract → state join → upsert sink, checkpoint included) —
+    the like-for-like anchor for the reference's blocks/s streaming
+    numbers."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from rust_near_indexer_spark import fixtures
+    from rust_near_indexer_spark.streaming import run_streaming
+
+    blocks, _ = fixtures.generate(n_blocks=n_blocks)
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        per = (len(blocks) + n_chunks - 1) // n_chunks
+        for c in range(n_chunks):
+            with open(os.path.join(tmp, f"chunk-{c:03d}.jsonl"), "w") as f:
+                for b in blocks[c * per : (c + 1) * per]:
+                    f.write(_json.dumps(b, separators=(",", ":")) + "\n")
+        out = os.path.join(tmp, "out")
+        t0 = time.perf_counter()
+        run_streaming(spark, tmp, out, checkpoint_dir=os.path.join(tmp, "ckpt"))
+        elapsed = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    batch_s = round(elapsed / n_chunks, 3)
+    print(
+        f"[bench] streaming: {n_blocks} blocks / {n_chunks} micro-batches in "
+        f"{elapsed:.2f}s = {batch_s:.2f}s/batch, {n_blocks / elapsed:.1f} blocks/s",
+        file=sys.stderr,
+    )
+    return {
+        "streaming_batch_seconds": batch_s,
+        "streaming_blocks_per_sec": round(n_blocks / elapsed, 2),
+    }
+
+
+def _warmup_dir(sf_dir: str) -> str:
+    """Smallest sibling sf directory (for JIT warmup), else sf_dir itself —
+    no hard-coded layout (ADVICE r03)."""
+    parent = os.path.dirname(sf_dir.rstrip("/")) or "."
+    try:
+        sibs = [
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith("sf") and os.path.isdir(os.path.join(parent, d))
+        ]
+    except OSError:
+        return sf_dir
+    sized = sorted((s for s in sibs if _sf_from_dir(s) > 0), key=_sf_from_dir)
+    return sized[0] if sized else sf_dir
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -104,7 +160,7 @@ def main() -> int:
     from rust_near_indexer_spark.queries import load_registry
 
     registry = load_registry()
-    warm_sf = "/root/testdata/sf0.001"
+    warm_sf = _warmup_dir(sf_dir)
     _fixture_prefixes = ("bronze_", "silver_", "staging_", "gold_", "r25_", "receipt_")
     t_warm = _t.perf_counter()
     for name in sorted(registry):
@@ -115,7 +171,7 @@ def main() -> int:
         except Exception as e:  # pragma: no cover
             print(f"[bench] warmup {name} failed: {e}", file=sys.stderr)
     print(
-        f"[bench] warmup pass at sf0.001: {_t.perf_counter() - t_warm:.1f}s",
+        f"[bench] warmup pass at {warm_sf}: {_t.perf_counter() - t_warm:.1f}s",
         file=sys.stderr,
     )
 
@@ -123,6 +179,7 @@ def main() -> int:
     times = bench_queries(spark, sf_dir)
     total = round(time.perf_counter() - t0, 3)
     blocks_per_sec = bench_bronze_blocks(spark)
+    streaming = bench_streaming_latency(spark)
 
     payload = {
         "metric": "total_query_seconds",
@@ -131,6 +188,7 @@ def main() -> int:
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": _sf_from_dir(sf_dir),
         "blocks_per_sec": blocks_per_sec,
+        **streaming,
         "n_queries": len(times),
     }
     # Full per-query data for the judge (not tail-limited).

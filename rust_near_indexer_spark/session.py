@@ -34,11 +34,21 @@ RUNTIME_CONFS: dict[str, str] = {
     # shuffle partitions, far too many for the local core count (AQE
     # coalesces post-shuffle, but the initial task count still costs).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # Also applied at tune() time for driver-held sessions: the codegen
+    # class cache is sized lazily at first use, so setting it before the
+    # first query still takes effect (see BUILD_CONFS note).
+    "spark.sql.codegen.cache.maxEntries": "2000",
 }
 
 BUILD_CONFS: dict[str, str] = {
     # Broadcast joins for dimension tables (region/nation/assets…).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # The generated-class cache defaults to 100 entries; a session that
+    # runs the full 89-query registry (bench warmup + timed pass) holds
+    # several hundred codegen units, so the default thrashes and heavy
+    # queries pay 3-5 s of Janino recompilation in the timed pass
+    # (text_fingerprint benched 6× its warm time from exactly this).
+    "spark.sql.codegen.cache.maxEntries": "2000",
     # Nested-schema pruning for the deeply nested block messages.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     "spark.sql.parquet.aggregatePushdown": "true",

@@ -81,7 +81,12 @@ def process_batch(
     if blocks.isEmpty():
         return
 
-    flat_txs = bronze.flatten_transactions(blocks)
+    # One JSON parse per batch: blocks feeds the two flattens and the
+    # max-height agg, and flat_txs feeds three consumers (seeds,
+    # transaction rows, tx-outcome rows) — without caching, each action
+    # re-parses the JSON micro-batch from scratch.
+    blocks = blocks.persist()
+    flat_txs = bronze.flatten_transactions(blocks).persist()
     flat_outcomes = bronze.flatten_outcomes(blocks).persist()
 
     carried = _load_state(spark, state_dir)
@@ -134,6 +139,8 @@ def process_batch(
         mappings.where(F.col("write_block") >= max_h - ttl_blocks), state_dir
     )
     flat_outcomes.unpersist()
+    flat_txs.unpersist()
+    blocks.unpersist()
 
 
 def run_streaming(

@@ -78,3 +78,30 @@ def test_empty_edges(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError):
         _cc(spark, [(i, i + 1) for i in range(40)], max_rounds=1)
+
+
+def test_connected_components_under_reliable_checkpoint(spark, tmp_path):
+    """The observe-based convergence probe must also report under the
+    reliable-checkpoint branch of _materialize (cluster posture) — a
+    non-firing Observation would hang the fixpoint loop."""
+    from rust_near_indexer_spark.operators.graph import connected_components
+
+    sc = spark.sparkContext
+    old = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (5, 5)], "src long, dst long"
+        )
+        got = sorted(
+            (r["node"], r["component"]) for r in connected_components(edges).collect()
+        )
+        assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+    finally:
+        if old:
+            sc.setCheckpointDir(old)
+        else:
+            # reset the Option var so later tests keep the local branch
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )
