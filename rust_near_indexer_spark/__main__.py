@@ -39,6 +39,15 @@ def cmd_ingest(args) -> int:
 
     spark = _spark(args.cpus)
     tune(spark)
+    server = None
+    if args.metrics_port is not None:
+        from .metrics import start_metrics_server
+
+        server = start_metrics_server(args.metrics_port)
+        print(
+            f"metrics on http://0.0.0.0:{server.server_address[1]}/metrics",
+            file=sys.stderr,
+        )
     if args.stream:
         run_streaming(
             spark,
@@ -48,6 +57,8 @@ def cmd_ingest(args) -> int:
             events_only=args.events_only,
         )
         print(f"streamed blocks from {args.blocks} into {args.out}")
+        if server is not None:
+            server.shutdown()
         return 0
 
     blocks = spark.read.schema(schemas.BLOCK).json(args.blocks)
@@ -116,6 +127,12 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--force", action="store_true", help="ignore resume checkpoint (R3)")
     ing.add_argument("--stream", action="store_true", help="Structured Streaming formulation")
     ing.add_argument("--checkpoint", default=None, help="stream checkpoint dir")
+    ing.add_argument(
+        "--metrics-port",
+        type=int,
+        default=None,
+        help="serve Prometheus /metrics on this port (R22; reference :8080)",
+    )
     ing.set_defaults(fn=cmd_ingest)
 
     val = sub.add_parser("validate", help="run validate.sh invariants over a sink dir")

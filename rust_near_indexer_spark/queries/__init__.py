@@ -132,6 +132,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_chunk_boilerplate",
     "tfidf_top_terms",
     "term_posting_lists",
+    "bm25_topk_retrieval",
     "corpus_drift_stats",
     "text_repetition_filter",
     "text_pii_scrub",
@@ -152,6 +153,7 @@ def load_registry() -> dict[str, Query]:
     from . import temporal  # noqa: F401
     from . import sampling  # noqa: F401
     from . import clustering  # noqa: F401
+    from . import retrieval  # noqa: F401
 
     missing = [n for n in GATE_PRIORITY if n not in REGISTRY]
     if missing:

@@ -1,0 +1,163 @@
+"""Lexical retrieval over ``documents``: BM25-style ranked search.
+
+North-star §LLM: retrieval is the data-curation primitive behind
+query-by-example corpus mining, contamination attribution ("which
+training docs could have leaked this benchmark item"), and
+RAG-candidate generation.  This module implements query-by-document
+retrieval: every probe document (``doc_id % QUERY_MOD == 0``) ranks the
+rest of the corpus by a BM25-shaped score over shared bigram terms.
+
+Determinism contract: classic BM25 needs ``ln`` and float division —
+neither is bit-portable across engines (libm vs JVM last-ulp
+divergence).  Both factors are therefore replaced by exact integer
+rationals, preserving the *shape* (rare terms weigh more, term
+frequency saturates, long documents are penalized):
+
+- idf: the log-free rational surrogate ``(2(N−df)+1)·1000 // (2df+1)``
+  — the exact argument of Robertson's log-idf, in milli-units;
+- tf saturation (k1=6/5, b=3/4): multiply numerator and denominator by
+  ``10·avgdl`` to clear fractions →
+  ``tf·22·avgdl // (10·avgdl·tf + 3·avgdl + 9·dl)`` (per-term, milli
+  after the idf product).
+
+All BIGINT; both engines compute identical scores.  (Being a monotone
+per-term transform of BM25's idf argument rather than its log, rankings
+can differ from textbook BM25 where extreme df ratios meet — documented
+trade-off for a bit-exact cross-engine gate.)  Terms present in more
+than half the corpus are elided at index time (classic stopword
+dropping): they carry ≤500 milli of idf each but dominate posting-join
+fanout; ``n_shared_terms`` therefore counts shared NON-stop terms.
+
+Scale posture: one explode → two map-combined aggregates (tf, df) — the
+tfidf_top_terms shape — then the probe side (1/QUERY_MOD of the corpus)
+broadcasts onto the posting join keyed by term; per-probe top-k rides
+WindowGroupLimit.  At 100 TB the posting join is the standard
+shard-by-term inverted-index layout (term_posting_lists writes exactly
+that), and df for corpus-wide stop terms costs one long per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load, spread
+from . import register
+from .text import _bigram_terms
+
+QUERY_MOD = 100  # doc_id % 100 == 0 are the probe documents
+BM25_TOP_K = 10
+
+_TERMS_CTE = """
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    terms AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' '))) AS term
+        FROM d
+    ),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) // COUNT(*) AS BIGINT) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+"""
+
+
+@register(
+    "bm25_topk_retrieval",
+    oracle=f"""
+    WITH {_TERMS_CTE},
+    qterms AS (
+        SELECT doc_id AS query_doc, term FROM tf WHERE doc_id % {QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_doc, t.doc_id,
+               CAST(SUM(
+                   (((CAST(s.n_docs AS BIGINT) - f.df) * 2 + 1) * 1000 // (f.df * 2 + 1))
+                   * (t.tf * 22 * s.avgdl)
+                   // (10 * s.avgdl * t.tf + 3 * s.avgdl + 9 * l.dl)
+               ) AS BIGINT) AS score_milli,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+        FROM qterms q
+        JOIN df f ON f.term = q.term
+        CROSS JOIN stats s
+        JOIN tf t ON t.term = q.term AND t.doc_id != q.query_doc
+        JOIN dl l ON l.doc_id = t.doc_id
+        WHERE f.df * 2 <= s.n_docs
+        GROUP BY q.query_doc, t.doc_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                     ORDER BY score_milli DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT query_doc, rank, doc_id, score_milli, n_shared_terms
+    FROM ranked WHERE rank <= {BM25_TOP_K}
+    ORDER BY query_doc, rank
+    """,
+    tags=("llm", "text", "retrieval", "beyond-reference"),
+)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-document BM25 top-{BM25_TOP_K}: each probe doc ranks the
+    corpus by the integer BM25 surrogate over shared bigram terms
+    (module docstring has the exact formula and its determinism
+    rationale)."""
+    from ..plans.state import _materialize
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
+    w = F.split(F.col("text"), " ")
+    toks = d.select(
+        "doc_id", F.size(w).alias("dl"), F.explode(_bigram_terms(w)).alias("term")
+    )
+    # tf feeds three consumers (postings, df, probe terms): materialize
+    # the explode+aggregate once instead of re-running it per branch
+    # (the un-materialized plan benched 3x slower at sf0.1)
+    tf = _materialize(toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = d.select("doc_id", F.size(w).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.expr("sum(dl) div count(*)").alias("avgdl")
+    )
+    qterms = tf.where(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_doc"), "term"
+    )
+    scored = (
+        # stop-term elision (index-time stopword dropping, the standard
+        # inverted-index practice): a term in more than half the corpus
+        # carries <=500 milli of idf but the worst posting-join fanout —
+        # prune it BEFORE the posting join, identically on both engines
+        F.broadcast(qterms)
+        .join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("df") * 2 <= F.col("n_docs"))
+        .join(tf, "term")
+        .where(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("query_doc", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "((n_docs - df) * 2 + 1) * 1000 div (df * 2 + 1)"
+                    " * (tf * 22 * avgdl)"
+                    " div (10 * avgdl * tf + 3 * avgdl + 9 * dl)"
+                )
+            )
+            .cast("long")
+            .alias("score_milli"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+    rk = Window.partitionBy("query_doc").orderBy(F.desc("score_milli"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select("query_doc", "rank", "doc_id", "score_milli", "n_shared_terms")
+        .orderBy("query_doc", "rank")
+    )

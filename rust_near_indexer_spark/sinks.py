@@ -55,14 +55,21 @@ RETRY_CAP = 60.0
 def with_retries(fn, attempts: int = RETRY_ATTEMPTS, base_delay: float = RETRY_BASE_DELAY,
                  cap: float = RETRY_CAP, sleep=time.sleep):
     """Exponential-backoff retry wrapper with the reference's policy
-    (250 ms doubling to a 60 s cap, 10 attempts — database.rs:53-71)."""
+    (250 ms doubling to a 60 s cap, 10 attempts — database.rs:53-71).
+    Feeds the R22 counters: each retry increments
+    ``database_insert_retries_total``; exhaustion increments
+    ``total_tx_store_errors`` (metrics.rs:74-84)."""
+    from . import metrics
+
     delay = base_delay
     for attempt in range(1, attempts + 1):
         try:
             return fn()
         except Exception:
             if attempt == attempts:
+                metrics.STORE_ERRORS_TOTAL.inc()
                 raise
+            metrics.DATABASE_INSERT_RETRIES_TOTAL.inc()
             sleep(delay)
             delay = min(delay * 2, cap)
 

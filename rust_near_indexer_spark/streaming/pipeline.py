@@ -40,10 +40,10 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .. import schemas, sinks
+from .. import metrics, schemas, sinks
 from ..plans import bronze, state
 
 _STATE_COLS = ("receipt_id", "tx_hash", "tier", "write_block")
@@ -126,15 +126,30 @@ def process_batch(
         for sname, sdf in silver_plans.all_silver_tables(events_batch).items():
             tables[f"silver/{sname}"] = sdf
 
+    def _append_observed(d: DataFrame, p: str) -> int:
+        # R22: the appended row count rides the write job via observe —
+        # the per-asset-type captured gauge costs zero extra Spark jobs.
+        # A fresh Observation per attempt: one attaches only once.
+        obs = Observation()
+        sinks.append(d.observe(obs, F.count(F.lit(1)).alias("n")), p, batch_id)
+        return obs.get["n"]
+
     for name, df in tables.items():
-        sinks.with_retries(
-            lambda d=df, p=os.path.join(out_dir, name): sinks.append(d, p, batch_id)
+        n = sinks.with_retries(
+            lambda d=df, p=os.path.join(out_dir, name): _append_observed(d, p)
         )
+        metrics.ASSETS_IN_BLOCK_CAPTURED_TOTAL.labels(asset_type=name).set(n)
 
     # TTL prune: a mapping written at W is unreadable once every future
     # reader height exceeds W + ttl; batches arrive in height order, so
-    # pruning against the batch's max height is safe.
-    max_h = blocks.agg(F.max("block_height").alias("h")).collect()[0]["h"]
+    # pruning against the batch's max height is safe.  The same (only)
+    # collect also feeds the R22 throughput/height metrics.
+    agg = blocks.agg(
+        F.max("block_height").alias("h"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    max_h = agg["h"]
+    metrics.BLOCK_PROCESSED_TOTAL.inc(agg["n"])
+    metrics.LATEST_BLOCK_HEIGHT.set(max_h)
     _save_state(
         mappings.where(F.col("write_block") >= max_h - ttl_blocks), state_dir
     )

@@ -416,3 +416,23 @@ def test_bigram_queries_handle_short_docs(spark, tmp_path):
             row["term"] for row in q.spark(spark, sf).select("term").collect()
         }
         assert "solo" not in terms and "" not in terms
+
+
+def test_bm25_retrieves_planted_neardup_first(spark, sf_dir):
+    """Query-by-document BM25: a probe doc whose planted near-duplicate
+    (doc_id+100000, same text modulo small edits) exists in the corpus
+    must retrieve it at rank 1 — the retrieval-quality smoke test."""
+    reg = load_registry()
+    rows = reg["bm25_topk_retrieval"].spark(spark, sf_dir).collect()
+    corpus_ids = {
+        r["doc_id"]
+        for r in __import__("rust_near_indexer_spark.tables", fromlist=["load"])
+        .load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    top1 = {r["query_doc"]: r["doc_id"] for r in rows if r["rank"] == 1}
+    assert top1, "no probe docs produced results"
+    for probe, best in top1.items():
+        if probe % 10 == 0 and probe + 100000 in corpus_ids:
+            assert best == probe + 100000, (probe, best)
