@@ -136,6 +136,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "corpus_drift_stats",
     "text_repetition_filter",
     "text_pii_scrub",
+    "dedup_substring_spans",
+    "quality_classifier_score",
+    "lm_bigram_score",
+    "ann_diversified_topk",
 )
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..canonical import duck_hash60
 from ..tables import load, spread
@@ -696,3 +697,109 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bloom_candidate", F.lit("new").alias("verdict")
     )
     return resolved.unionByName(fresh).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicate spans (suffix-array-style dedup, approximated
+# with a stride-1 token n-gram rolling fingerprint — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better").
+# ---------------------------------------------------------------------------
+
+SPAN_WINDOW = 8  # tokens per fingerprinted window (the min duplicated run)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+    wins AS (
+        SELECT doc_id, unnest(range(0, len(w) - {SPAN_WINDOW} + 1)) AS pos, w
+        FROM toks WHERE len(w) >= {SPAN_WINDOW}
+    ),
+    fps AS (
+        SELECT doc_id, pos,
+               ('0x' || substring(md5(array_to_string(
+                   w[pos + 1 : pos + {SPAN_WINDOW}], ' ')), 1, 15))::BIGINT AS fp
+        FROM wins
+    ),
+    dupw AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS cnt FROM fps
+        ) WHERE cnt >= 2
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dupw
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {SPAN_WINDOW} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {SPAN_WINDOW} AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "llm-pipeline", "substring"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated SUBSTRING spans: maximal runs of tokens whose every
+    {SPAN_WINDOW}-token window also occurs elsewhere in the corpus (same
+    or another document).  Document-level dedup keeps both halves of a
+    mostly-different pair that shares a long quoted passage; substring
+    dedup is how a pre-training pipeline excises the shared passage
+    itself.  The exact method (suffix arrays, Lee et al.) is sequential;
+    the distributed formulation is the standard stride-1 rolling n-gram
+    fingerprint: a window is "duplicated" iff its fingerprint occurs >= 2
+    times corpus-wide, and overlapping/adjacent duplicated windows merge
+    into maximal spans (gaps-and-islands per document).
+
+    Scale shape: tokenize is row-local; window fingerprints explode to
+    ~1 row per corpus token carrying only (doc_id, pos, fp) — the token
+    arrays themselves never shuffle.  Count-per-fp is one exchange keyed
+    by the 60-bit fingerprint (uniform by construction, no skew), the
+    island merge is one exchange keyed by doc_id, and both engines agree
+    bit-for-bit because every quantity is an integer position or count.
+    At 100 TB the fp exchange dominates; it is the same volume as the
+    MinHash shingle pass and partial-aggregates map-side."""
+    d = augmented_docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w")).where(
+        F.size("w") >= SPAN_WINDOW
+    )
+    # fingerprint windows inside the array world, then explode only
+    # (pos, fp) — the token array stays behind in the scan stage
+    fps = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - SPAN_WINDOW),
+                lambda p: _hash60(
+                    F.concat_ws(" ", F.slice(F.col("w"), p + 1, SPAN_WINDOW))
+                ),
+            )
+        ).alias("pos", "fp"),
+    )
+    dupw = (
+        fps.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("cnt") >= 2)
+        .select("doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+    isl = dupw.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(SPAN_WINDOW - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(SPAN_WINDOW)).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
+        )
+        .orderBy("doc_id", "span_start")
+    )

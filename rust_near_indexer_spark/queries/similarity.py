@@ -773,3 +773,95 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversity-capped retrieval: top-k with at most M neighbors per label
+# (the "per-domain cap" / result-diversification stage of a retrieval
+# pipeline — the declarative, scale-shaped cousin of greedy MMR).
+# ---------------------------------------------------------------------------
+
+DIV_MAX_PER_LABEL = 2
+
+
+@register(
+    "ann_diversified_topk",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id, label, {_QVEC_SQL.format(v="embedding")} AS qe
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, qe AS q_qe FROM qv WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id, c.label,
+               {_DOT_PICO_SQL.format(a="q.q_qe", b="c.qe")} AS cosine_pico
+        FROM q CROSS JOIN qv c
+        WHERE c.vec_id != q.query_id
+    ),
+    capped AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id, label
+                   ORDER BY cosine_pico DESC, vec_id) AS label_rank
+        FROM scored
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_pico DESC, vec_id) AS rank
+        FROM capped WHERE label_rank <= {DIV_MAX_PER_LABEL}
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label,
+           label_rank, cosine_pico
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "diversity"),
+)
+def ann_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped cosine top-k: at most {DIV_MAX_PER_LABEL}
+    neighbors per candidate label (domain/source/cluster), then the
+    global top-{TOP_K} — the production "per-domain cap" that stops one
+    dominant source from filling the whole result list (the declarative
+    analog of greedy MMR, expressible as two ranking windows instead of a
+    sequential selection loop).
+
+    Scale shape: identical to ann_bruteforce_topk's broadcast-queries +
+    linear scan, plus one extra ranking window keyed by
+    (query_id, label) — same exchange as the per-query window (query_id
+    prefix), so AQE coalesces them and no new wide shuffle appears.
+    Integer-only scoring via the once-quantized component contract."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    qv = emb.select("vec_id", "label", _qvec(F.col("embedding")).alias("qe"))
+    q = qv.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(qv)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            _dot_pico(F.col("q_qe"), F.col("qe")).alias("cosine_pico"),
+        )
+    )
+    w_label = Window.partitionBy("query_id", "label").orderBy(
+        F.desc("cosine_pico"), "vec_id"
+    )
+    w_query = Window.partitionBy("query_id").orderBy(F.desc("cosine_pico"), "vec_id")
+    return (
+        scored.withColumn("label_rank", F.row_number().over(w_label))
+        .where(F.col("label_rank") <= DIV_MAX_PER_LABEL)
+        .withColumn("rank", F.row_number().over(w_query))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "label_rank",
+            "cosine_pico",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1074,3 +1074,165 @@ def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "df", "first_doc", "last_doc", "postings")
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: hashed linear classifier (the fastText /
+# DCLM-style "quality classifier" stage of a pre-training pipeline).
+# ---------------------------------------------------------------------------
+
+QC_BUCKETS = 4096  # feature-hashing width
+QC_BIAS_MILLI = -150  # decision bias in milli-logits
+
+# weight(token) in [-1000, 1000] milli-units, derived deterministically
+# from the token's feature bucket: bucket = hash60(token) % QC_BUCKETS,
+# weight = hash60('wgt|' || bucket) % 2001 - 1000.  In production the
+# weights come from a trained fastText/logreg model broadcast to the
+# executors; the pseudo-random weights exercise the identical plan.
+_QC_W_SQL = (
+    f"(('0x' || substring(md5('wgt|' || "
+    f"CAST({duck_hash60('t.token')} % {QC_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT"
+    f" % 2001 - 1000)"
+)
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum({_QC_W_SQL}) AS BIGINT) AS w_sum
+        FROM toks t WHERE token != '' GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(w_sum // n_tokens + {QC_BIAS_MILLI} AS BIGINT) AS logit_milli,
+           (w_sum // n_tokens + {QC_BIAS_MILLI}) > 0 AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("text", "llm-pipeline", "quality", "classifier"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a feature-hashed linear classifier
+    (fastText / DCLM-style) scoring every document, keep = logit > 0.
+    Each token hashes into one of {QC_BUCKETS} feature buckets whose
+    weight (here derived from the bucket id; in production a broadcast
+    trained weight vector) accumulates into a per-document mean logit in
+    exact integer milli-units.
+
+    Scale shape: ZERO shuffle except the per-document aggregation (one
+    exchange keyed by doc_id, partial-aggregated map-side) — the token
+    explode, bucket hash, and weight lookup are all row-local projections
+    inside whole-stage codegen.  A real weight table is a {QC_BUCKETS}-row
+    broadcast joined on the bucket id — same plan shape, still no wide
+    exchange.  Mean-then-bias uses integer division (`div`) so both
+    engines agree exactly at any count."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    bucket = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long") % QC_BUCKETS
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wgt|"), bucket.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    scored = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(weight).alias("w_sum"),
+    )
+    logit = F.expr("w_sum div n_tokens") + F.lit(QC_BIAS_MILLI)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        logit.cast("long").alias("logit_milli"),
+        (logit > 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# In-corpus bigram language-model fluency score (the KenLM-perplexity
+# analog of a CCNet-style pipeline, exact-integer formulation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lm_bigram_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               w[i] AS w1, w[i + 1] AS w2
+        FROM toks, unnest(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2
+    ),
+    cnt AS (
+        SELECT doc_id, w1, w2,
+               count(*) OVER (PARTITION BY w1, w2) AS c2,
+               count(*) OVER (PARTITION BY w1) AS c1
+        FROM big
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum((1000000 * c2) // c1) AS BIGINT) AS prob_sum_micro
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(prob_sum_micro // n_bigrams AS BIGINT) AS avg_cond_prob_micro
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+    tags=("text", "llm-pipeline", "quality", "language-model"),
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency score per document — the exact
+    integer analog of the CCNet/KenLM perplexity filter: documents whose
+    word transitions are common in the corpus score high, word-salad
+    scores low.  For every bigram (w1, w2) the conditional probability
+    P(w2|w1) = count(w1,w2) / count(w1-as-first) is expressed in micro
+    units via INTEGER division, summed, and averaged per document — both
+    engines agree bit-for-bit at any corpus size (no float ever appears).
+
+    Scale shape: bigram explode is row-local (1 row per token); the two
+    count-over-window passes are exchanges keyed by (w1, w2) and (w1) —
+    at 100 TB these are the classic LM-count shuffles and partial-count
+    map-side; Zipf skew on w1 is bounded because the window computes
+    count only (constant state per key, AQE splits stragglers).  The
+    per-doc mean is one further exchange keyed by doc_id."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w")).where(
+        F.size("w") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("i", "p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cnt = big.withColumn(
+        "c2", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    ).withColumn("c1", F.count(F.lit(1)).over(Window.partitionBy("w1")))
+    perdoc = cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.expr("(1000000 * c2) div c1")).alias("prob_sum_micro"),
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("prob_sum_micro div n_bigrams").cast("long").alias("avg_cond_prob_micro"),
+    ).orderBy("doc_id")
