@@ -19,6 +19,10 @@ has no windowed aggregation — SURVEY §2B coverage notes):
   ``dropDuplicatesWithinWatermark`` — at-least-once redelivery in,
   exactly-once rows out, with per-key state bounded by the watermark.
 
+- ``attribute_purchases_stream``: stream-stream INTERVAL join (purchases
+  × clicks within a time horizon) — dual-watermarked inner join whose
+  time-range condition bounds both sides' join state.
+
 All run identically on a batch DataFrame (window/groupBy/distinct) —
 tests compare the streamed output against the batch computation.
 """
@@ -231,3 +235,94 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     return events.select(
         "event_id", "user_id", "event_type", "value", "ts_ns", ts
     ).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+ATTR_TOL_HOURS = 48  # same attribution horizon as queries/temporal.py
+
+
+def attribute_purchases_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream INTERVAL join: every purchase joined to all of the
+    same user's clicks from the preceding {ATTR_TOL_HOURS} h — the
+    streaming twin of the batch ``purchase_attribution`` as-of pipeline
+    (this one emits every in-horizon click; the as-of "latest only"
+    refinement is a batch window over the sink).
+
+    Both sides are the SAME input stream filtered two ways, each with an
+    event-time watermark; the join condition carries an explicit time
+    range, so Spark derives a state-eviction bound per side (click state
+    lives watermark + horizon, purchase state just the watermark) —
+    without the range the state grows with the stream and a 100 TB/day
+    feed OOMs.  Append mode: a pair emits exactly once, when both sides
+    have arrived and survive the watermark."""
+    ts = F.timestamp_micros(F.expr("ts_ns div 1000"))
+    base = events.select(
+        "event_id", "user_id", "event_type", "ts_ns", ts.alias("ts")
+    )
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts_ns").alias("purchase_ts_ns"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    clicks = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts_ns").alias("click_ts_ns"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTR_TOL_HOURS} HOURS")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "purchase_event_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts_ns",
+        "click_event_id",
+        "click_ts_ns",
+        F.expr("(purchase_ts_ns - click_ts_ns) div 1000").alias("gap_us"),
+    )
+
+
+def batch_purchase_click_pairs(events: DataFrame) -> DataFrame:
+    """Batch formulation of the same interval join (equivalence check)."""
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id"),
+        F.col("ts_ns").alias("purchase_ts_ns"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id"),
+        F.col("ts_ns").alias("click_ts_ns"),
+    )
+    tol_ns = ATTR_TOL_HOURS * 3600 * 10**9
+    return (
+        purchases.join(clicks, "user_id")
+        .where(
+            (F.col("click_ts_ns") <= F.col("purchase_ts_ns"))
+            & (F.col("click_ts_ns") >= F.col("purchase_ts_ns") - tol_ns)
+        )
+        .select(
+            "purchase_event_id",
+            "user_id",
+            "purchase_ts_ns",
+            "click_event_id",
+            "click_ts_ns",
+            F.expr("(purchase_ts_ns - click_ts_ns) div 1000").alias("gap_us"),
+        )
+    )

@@ -135,3 +135,40 @@ def test_normalized_dedup_single_aggregation(spark, sf_dir):
     plan = _plan(spark, "text_normalized_dedup", sf_dir)
     assert plan.count("Arguments: hashpartitioning") == 1
     assert plan.count("Exchange") <= 4  # tree node + detail, x2 exchanges
+
+
+def test_substring_spans_no_cartesian_and_pruned_scan(spark, sf_dir):
+    """Substring-span dedup must stay bucketed: window fingerprints
+    exchange on fp / doc_id only — never an all-pairs join — and the
+    token arrays themselves must not survive past the scan stage into a
+    shuffle (only doc_id, pos, fp are exchanged)."""
+    plan = _plan(spark, "dedup_substring_spans", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # only doc_id + text leave the parquet scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_quality_classifier_single_exchange(spark, sf_dir):
+    """The hashed linear classifier is scan → project → one aggregation
+    keyed by doc_id: exactly one shuffle exchange in the whole plan."""
+    plan = _plan(spark, "quality_classifier_score", sf_dir)
+    # formatted explain renders each node twice (tree + detail section)
+    n_exchange = (plan.count("Exchange") - plan.count("BroadcastExchange")) // 2
+    # one shuffle for the doc_id aggregate + the presentation sort
+    assert n_exchange <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_diversified_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, "ann_diversified_topk", sf_dir)
+    assert "Broadcast" in plan
+
+
+def test_lm_bigram_score_partial_aggregates(spark, sf_dir):
+    """The bigram LM counts run as JVM window passes over the exploded
+    bigrams — no Python fallback, no all-pairs join."""
+    plan = _plan(spark, "lm_bigram_score", sf_dir)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

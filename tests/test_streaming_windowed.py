@@ -305,3 +305,35 @@ def test_sessionize_tws_plan_contract(spark, event_stream_dir):
     # Spark 4.1 names the logical node TransformWithStateInPySpark
     assert "transformwithstatein" in plan.lower()
     assert "user_id" in plan
+
+
+def test_stream_stream_interval_join_matches_batch(
+    spark, sf_dir, event_stream_dir, tmp_path
+):
+    """The stream-stream interval join must emit exactly the batch join's
+    pairs (inner join + time-range condition), across micro-batch
+    boundaries — clicks from batch 0 must attribute purchases in batch 2
+    via the join state."""
+    q = (
+        windowed.attribute_purchases_stream(_stream(spark, event_stream_dir))
+        .writeStream.format("memory")
+        .queryName("attr_pairs")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["purchase_event_id"], r["click_event_id"]): (
+            r["user_id"],
+            r["gap_us"],
+        )
+        for r in spark.sql("SELECT * FROM attr_pairs").collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    batch = {
+        (r["purchase_event_id"], r["click_event_id"]): (r["user_id"], r["gap_us"])
+        for r in windowed.batch_purchase_click_pairs(ev).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
