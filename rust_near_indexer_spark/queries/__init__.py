@@ -140,6 +140,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "quality_classifier_score",
     "lm_bigram_score",
     "ann_diversified_topk",
+    "importance_weighted_sample",
+    "retrieval_label_mrr",
+    "embedding_cohesion_stats",
+    "contrastive_pair_mining",
 )
 
 

@@ -686,3 +686,106 @@ def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= 2)
         .orderBy("chunk_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance-weighted domain sampling (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling" — exact-integer
+# hashed-unigram formulation).
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"  # the target domain whose distribution we match
+DSIR_CAP_MILLI = 4000  # importance-weight cap (max 4x the base rate)
+
+
+@register(
+    "importance_weighted_sample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE token != ''),
+    tot AS (
+        SELECT count(*) AS all_tot,
+               sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS tgt_tot
+        FROM t2
+    ),
+    cnt AS (
+        SELECT doc_id, source,
+               count(*) OVER (PARTITION BY token) AS all_c,
+               sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY token) AS tgt_c
+        FROM t2
+    ),
+    rat AS (
+        SELECT doc_id, source,
+               ((tgt_c + 1) * all_tot * 1000) // ((all_c + 1) * tgt_tot) AS r
+        FROM cnt, tot
+    ),
+    perdoc AS (
+        SELECT doc_id, source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(least(sum(r) // count(*), {DSIR_CAP_MILLI}) AS BIGINT) AS w_milli
+        FROM rat GROUP BY doc_id, source
+    )
+    SELECT doc_id, source, n_tokens, w_milli,
+           {duck_hash60("'dsir|' || CAST(doc_id AS VARCHAR)")} % 10000 < w_milli AS keep
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "llm-pipeline", "importance", "dsir"),
+)
+def importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling toward a target domain: each
+    document's keep-probability is proportional to how much more likely
+    its unigrams are under the target-domain distribution than under the
+    whole corpus.  Per token the importance ratio
+    p_target(tok) / p_corpus(tok) is computed from hashed-unigram counts
+    in exact integer milli-units ((tgt_c+1)·all_tot·1000 div
+    (all_c+1)·tgt_tot — add-one smoothed), averaged per document by
+    integer division, capped at {DSIR_CAP_MILLI} milli, and fed into the
+    same hash-threshold Bernoulli draw as corpus_hash_sample — so the
+    sampling decision stays a pure function of doc_id and the corpus
+    statistics, reproducible under any partitioning.
+
+    Scale shape: the per-token counts are two window passes keyed by
+    token (the LM-count shuffle — partial-count map-side, AQE splits
+    Zipf stragglers), the corpus totals are ONE broadcast scalar row, and
+    the per-doc mean is one exchange keyed by doc_id.  In production the
+    target histogram comes from a small held-out domain sample and both
+    count maps broadcast; here both live in-corpus so the gate can pin
+    every intermediate exactly."""
+    docs = load(spark, sf_dir, "documents")
+    is_tgt = F.when(F.col("source") == DSIR_TARGET_SOURCE, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("all_tot"), F.sum(is_tgt).alias("tgt_tot")
+    )
+    w = Window.partitionBy("token")
+    cnt = toks.withColumn("all_c", F.count(F.lit(1)).over(w)).withColumn(
+        "tgt_c", F.sum(is_tgt).over(w)
+    )
+    rat = cnt.crossJoin(F.broadcast(tot)).withColumn(
+        "r",
+        F.expr(f"((tgt_c + 1) * all_tot * 1000) div ((all_c + 1) * tgt_tot)"),
+    )
+    perdoc = rat.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.least(
+            F.expr("sum(r) div count(1)"), F.lit(DSIR_CAP_MILLI).cast("long")
+        ).alias("w_milli"),
+    )
+    keep = (
+        hash60(F.concat(F.lit("dsir|"), F.col("doc_id").cast("string"))) % 10000
+        < F.col("w_milli")
+    )
+    return perdoc.select(
+        "doc_id", "source", "n_tokens", "w_milli", keep.alias("keep")
+    ).orderBy("doc_id")

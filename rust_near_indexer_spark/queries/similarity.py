@@ -865,3 +865,279 @@ def ann_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality eval: label MRR (mean-reciprocal-rank building block —
+# the eval stage that tells you whether the ANN index is good enough to
+# mine training pairs from).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_label_mrr",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id, label, {_QVEC_SQL.format(v="embedding")} AS qe
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label AS q_label, qe AS q_qe
+        FROM qv WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, q.q_label, c.vec_id, c.label,
+               {_DOT_PICO_SQL.format(a="q.q_qe", b="c.qe")} AS cosine_pico
+        FROM q CROSS JOIN qv c
+        WHERE c.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_pico DESC, vec_id) AS rank
+        FROM scored
+    ),
+    firsts AS (
+        SELECT query_id, CAST(MIN(rank) AS BIGINT) AS first_match_rank
+        FROM ranked WHERE label = q_label GROUP BY query_id
+    )
+    SELECT q.query_id, q.q_label AS query_label,
+           CAST(COALESCE(f.first_match_rank, 0) AS BIGINT) AS first_match_rank,
+           CAST(COALESCE(1000000 // f.first_match_rank, 0) AS BIGINT) AS rr_micro
+    FROM q LEFT JOIN firsts f ON f.query_id = q.query_id
+    ORDER BY q.query_id
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def retrieval_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first SAME-LABEL neighbor per query under
+    exact cosine ranking — the retrieval-quality eval (label-MRR) that
+    gates whether an embedding index is usable for pair mining; the mean
+    over a query sample is the headline MRR.  rr is exact integer
+    micro-units (1e6 div rank); rank ties break on vec_id.
+
+    Scale shape: same broadcast-queries linear scan as
+    ann_bruteforce_topk (the eval runs over a small query SAMPLE, so the
+    scan side stays one pass over the corpus), one ranking window keyed
+    by query_id, then a per-query min."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    qv = emb.select("vec_id", "label", _qvec(F.col("embedding")).alias("qe"))
+    q = qv.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("qe").alias("q_qe"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(qv)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            "label",
+            _dot_pico(F.col("q_qe"), F.col("qe")).alias("cosine_pico"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pico"), "vec_id")
+    firsts = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("long").alias("first_match_rank"))
+    )
+    return (
+        q.select("query_id", "q_label")
+        .join(firsts, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("q_label").alias("query_label"),
+            F.coalesce(F.col("first_match_rank"), F.lit(0)).cast("long").alias(
+                "first_match_rank"
+            ),
+            F.coalesce(
+                F.expr("1000000 div first_match_rank"), F.lit(0)
+            ).cast("long").alias("rr_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-label cohesion WITHOUT pair materialization: mean pairwise cosine
+# per label via the Gram identity sum_{i!=j} vi.vj = |sum vi|^2 - sum|vi|^2
+# — the O(n) corpus-health statistic that an O(n^2) self-join can't give
+# you at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_cohesion_stats",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id, label, {_QVEC_SQL.format(v="embedding")} AS qe
+        FROM embeddings
+    ),
+    self AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum({_DOT_PICO_SQL.format(a="qe", b="qe")}) AS HUGEINT) AS self_sum
+        FROM qv GROUP BY label
+    ),
+    comp AS (
+        SELECT label, u.i AS pos, sum(qe[u.i]) AS s
+        FROM qv, unnest(range(1, len(qe) + 1)) u(i)
+        GROUP BY label, u.i
+    ),
+    gram AS (
+        SELECT label, sum(CAST(s AS HUGEINT) * s) AS gram_sum
+        FROM comp GROUP BY label
+    )
+    SELECT s.label, s.n_vectors,
+           CAST((g.gram_sum - s.self_sum) // (s.n_vectors * (s.n_vectors - 1))
+                AS BIGINT) AS avg_pair_cosine_pico,
+           CAST(s.self_sum // s.n_vectors AS BIGINT) AS avg_self_dot_pico
+    FROM self s JOIN gram g ON g.label = s.label
+    ORDER BY s.label
+    """,
+    tags=("llm", "similarity", "stats"),
+)
+def embedding_cohesion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise cosine WITHIN each label in O(n): the Gram identity
+    sum_{i!=j} vi.vj = |sum_i vi|^2 - sum_i |vi|^2 turns the all-pairs
+    cohesion statistic into two linear aggregations — per-label
+    elementwise vector sum (then its self-dot) and per-label sum of
+    self-dots.  The n^2 pair join a naive formulation needs is exactly
+    what cannot run at 100 TB; this runs as two shuffles keyed by label
+    and (label, pos).  Component sums exceed 2^63 when squared, so the
+    squares accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and
+    the final integer division returns to BIGINT pico-units — exact on
+    both engines at any corpus size.
+
+    Interpretation: high avg_pair_cosine_pico = tight label cluster
+    (good for classification eval, a dedup risk); avg_self_dot_pico
+    pins the unit-norm invariant (~1e12)."""
+    qv = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _qvec(F.col("embedding")).alias("qe")
+    )
+    self_agg = qv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(_dot_pico(F.col("qe"), F.col("qe")))
+        .cast("decimal(38,0)")
+        .alias("self_sum"),
+    )
+    comp = qv.select(
+        "label", F.posexplode(F.col("qe")).alias("pos", "v")
+    ).groupBy("label", "pos").agg(F.sum("v").alias("s"))
+    gram = comp.groupBy("label").agg(
+        F.sum(
+            F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+        ).alias("gram_sum")
+    )
+    return (
+        self_agg.join(gram, "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.expr(
+                "(gram_sum - self_sum) div (n_vectors * (n_vectors - 1))"
+            ).cast("long").alias("avg_pair_cosine_pico"),
+            F.expr("self_sum div n_vectors").cast("long").alias("avg_self_dot_pico"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining: per anchor, the top same-label positive and the
+# hardest different-label negatives — the training-pair export stage of an
+# embedding-model pipeline.
+# ---------------------------------------------------------------------------
+
+N_HARD_NEGATIVES = 3
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id, label, {_QVEC_SQL.format(v="embedding")} AS qe
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label AS q_label, qe AS q_qe
+        FROM qv WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id, c.label,
+               CASE WHEN c.label = q.q_label THEN 'pos' ELSE 'neg' END AS role,
+               {_DOT_PICO_SQL.format(a="q.q_qe", b="c.qe")} AS cosine_pico
+        FROM q CROSS JOIN qv c
+        WHERE c.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id, role
+                   ORDER BY cosine_pico DESC, vec_id) AS role_rank
+        FROM scored
+    )
+    SELECT query_id, role, role_rank, vec_id AS cand_id,
+           label AS cand_label, cosine_pico
+    FROM ranked
+    WHERE (role = 'pos' AND role_rank <= 1)
+       OR (role = 'neg' AND role_rank <= {N_HARD_NEGATIVES})
+    ORDER BY query_id, role, role_rank
+    """,
+    tags=("llm", "similarity", "training-pairs"),
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair export for contrastive embedding training: for each
+    anchor, the single most-similar SAME-label candidate (the positive)
+    and the {N_HARD_NEGATIVES} most-similar DIFFERENT-label candidates
+    (the hard negatives — random negatives are too easy to teach
+    anything).  One ranking window keyed by (anchor, role) over the
+    broadcast-anchors linear scan; integer-only scoring.
+
+    Scale shape: anchors are a small sample (batch export), so the
+    corpus is scanned once; the window exchange is keyed by the anchor
+    id — the same partitioning the brute-force and diversified top-k
+    share, so a combined export pipeline reuses one shuffle."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    qv = emb.select("vec_id", "label", _qvec(F.col("embedding")).alias("qe"))
+    q = qv.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("qe").alias("q_qe"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(qv)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.when(F.col("label") == F.col("q_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("role"),
+            _dot_pico(F.col("q_qe"), F.col("qe")).alias("cosine_pico"),
+        )
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.desc("cosine_pico"), "vec_id"
+    )
+    return (
+        scored.withColumn("role_rank", F.row_number().over(w))
+        .where(
+            ((F.col("role") == "pos") & (F.col("role_rank") <= 1))
+            | ((F.col("role") == "neg") & (F.col("role_rank") <= N_HARD_NEGATIVES))
+        )
+        .select(
+            "query_id",
+            "role",
+            "role_rank",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            "cosine_pico",
+        )
+        .orderBy("query_id", "role", "role_rank")
+    )

@@ -227,3 +227,57 @@ def test_drift_terms_exact_at_huge_counts(spark):
     )
     got = {r["i"]: r["term"] for r in drift_cell_terms(df).collect()}
     assert [got[i] for i in range(len(cells))] == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-4 quantizer contract: FLOOR(x*1e6 + 0.5) must agree between
+# Spark, DuckDB, and exact Python for arbitrary float32 components —
+# this is the rounding-mode-free half-up that replaced the per-pair
+# ROUND contract (VERDICT r3), so a disagreement here is exactly the
+# class of bug that cost the round-3 gate its three red rows.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-2.0,
+            max_value=2.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_micro_quantizer_matches_duckdb_and_python(spark, floats):
+    import math
+
+    import numpy as np
+
+    # float32 storage, double compute — the embeddings column's life cycle
+    comps = [float(np.float32(x)) for x in floats]
+    pdf = pd.DataFrame({"x": pd.array(comps, dtype="float64")})
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(pdf)
+    spark_q = [
+        r[0]
+        for r in sdf.select(
+            F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck_q = [
+        r[0]
+        for r in con.sql(
+            "SELECT CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT) FROM t"
+        ).fetchall()
+    ]
+    py_q = [math.floor(x * 1e6 + 0.5) for x in comps]
+    assert spark_q == duck_q == py_q

@@ -436,3 +436,84 @@ def test_bm25_retrieves_planted_neardup_first(spark, sf_dir):
     for probe, best in top1.items():
         if probe % 10 == 0 and probe + 100000 in corpus_ids:
             assert best == probe + 100000, (probe, best)
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_spans: the oracle's gaps-and-islands span merge must
+# equal a brute-force Python reference on synthetic corpora with planted
+# duplicate runs (the fixed-corpus gate only exercises the testdata's
+# duplicate shapes).
+# ---------------------------------------------------------------------------
+
+
+def _python_duplicate_spans(docs: dict[int, list[str]], window: int):
+    """Reference: windows whose token-string occurs >=2 times corpus-wide;
+    overlapping/adjacent duplicated positions merge into maximal spans."""
+    from collections import Counter
+
+    occurs: Counter = Counter()
+    for w in docs.values():
+        for p in range(len(w) - window + 1):
+            occurs[" ".join(w[p : p + window])] += 1
+    out = []
+    for doc_id, w in sorted(docs.items()):
+        dup_pos = [
+            p
+            for p in range(len(w) - window + 1)
+            if occurs[" ".join(w[p : p + window])] >= 2
+        ]
+        run: list[int] = []
+        for p in dup_pos:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.append(
+                        (doc_id, run[0], run[-1] + window - 1,
+                         run[-1] - run[0] + window, len(run))
+                    )
+                run = [p]
+        if run:
+            out.append(
+                (doc_id, run[0], run[-1] + window - 1,
+                 run[-1] - run[0] + window, len(run))
+            )
+    return sorted(out)
+
+
+def test_substring_span_oracle_matches_python_reference():
+    """Run the registered DuckDB oracle over a synthetic documents table
+    (doc_ids chosen so the augmentation is the identity) and compare
+    against the brute-force reference: shared prefix between docs 1 and 2,
+    an intra-doc repeat in doc 3, an exact pair 4/6, and a unique doc 7."""
+    import duckdb
+    import pandas as pd
+
+    from rust_near_indexer_spark.queries import load_registry
+    from rust_near_indexer_spark.queries.dedup import SPAN_WINDOW
+
+    w = SPAN_WINDOW
+    shared = [f"s{i}" for i in range(w + 3)]  # 11-token shared run
+    rep = [f"r{i}" for i in range(w)]  # exactly one window, repeated in-doc
+    docs = {
+        1: shared + ["a1", "a2", "a3"],
+        2: ["b1", "b2"] + shared,
+        3: rep + ["mid"] + rep,
+        4: [f"x{i}" for i in range(w + 5)],
+        6: [f"x{i}" for i in range(w + 5)],
+        7: [f"u{i}" for i in range(w + 2)],
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": [" ".join(t) for t in docs.values()],
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(" ".join(t)) for t in docs.values()],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = load_registry()["dedup_substring_spans"].oracle
+    got = sorted(tuple(r) for r in con.sql(oracle).fetchall())
+    assert got == _python_duplicate_spans(docs, w)

@@ -172,3 +172,29 @@ def test_lm_bigram_score_partial_aggregates(spark, sf_dir):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_importance_sample_broadcasts_totals(spark, sf_dir):
+    """DSIR sampling must broadcast the 1-row corpus totals (never
+    shuffle-join a scalar) and keep the token counts as window passes —
+    no all-pairs anywhere."""
+    plan = _plan(spark, "importance_weighted_sample", sf_dir)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_cohesion_stats_has_no_pair_join(spark, sf_dir):
+    """The Gram-identity cohesion statistic must stay O(n): two linear
+    aggregations joined per label — no self-join of the embeddings table
+    (the whole point vs the n^2 formulation)."""
+    plan = _plan(spark, "embedding_cohesion_stats", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only join is label-keyed between two aggregates
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin") >= 1
+
+
+def test_contrastive_mining_broadcasts_anchors(spark, sf_dir):
+    plan = _plan(spark, "contrastive_pair_mining", sf_dir)
+    assert "Broadcast" in plan
