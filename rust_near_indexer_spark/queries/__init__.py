@@ -144,6 +144,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "retrieval_label_mrr",
     "embedding_cohesion_stats",
     "contrastive_pair_mining",
+    "corpus_shuffle_order",
+    "curation_embedding_gate",
 )
 
 

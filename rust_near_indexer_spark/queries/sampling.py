@@ -789,3 +789,60 @@ def importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perdoc.select(
         "doc_id", "source", "n_tokens", "w_milli", keep.alias("keep")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training-order shuffle: the "shuffle the corpus
+# before training" step as a hash sort + shard/position assignment.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_N_SHARDS = 8
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY {duck_hash60("'shuf|' || CAST(doc_id AS VARCHAR)")},
+                            doc_id) - 1 AS global_pos
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(global_pos AS BIGINT) AS global_pos,
+           CAST(global_pos % {SHUFFLE_N_SHARDS} AS BIGINT) AS shard,
+           CAST(global_pos // {SHUFFLE_N_SHARDS} AS BIGINT) AS pos_in_shard
+    FROM ordered
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "llm-pipeline", "shuffle"),
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order for training: every document
+    gets a pseudo-random global position (rank of a salted hash — the
+    seeded-permutation analog), then round-robin shard + in-shard
+    position.  Training pipelines need a reproducible corpus permutation
+    that does not depend on file layout; hash-rank gives exactly that.
+
+    Scale shape: one range-partitioned global sort on the 60-bit hash —
+    the terasort pattern (sampled range boundaries, balanced by hash
+    uniformity), which is THE scalable way to impose a total order; the
+    round-robin shard math is projection.  Output is the (doc → shard,
+    position) manifest a 1000-node export job writes per shard.  The
+    global ROW_NUMBER here is the eval-scale formulation; at 100 TB the
+    same rank is computed as range-partition prefix counts + in-partition
+    row_number (zip-with-index over the sorted layout) with no single-
+    partition window."""
+    docs = load(spark, sf_dir, "documents")
+    hkey = hash60(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(hkey.asc(), F.col("doc_id").asc())
+    ordered = docs.select(
+        "doc_id", (F.row_number().over(w) - 1).cast("long").alias("global_pos")
+    )
+    return ordered.select(
+        "doc_id",
+        "global_pos",
+        (F.col("global_pos") % SHUFFLE_N_SHARDS).alias("shard"),
+        F.expr(f"global_pos div {SHUFFLE_N_SHARDS}").alias("pos_in_shard"),
+    ).orderBy("doc_id")

@@ -1236,3 +1236,93 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.expr("prob_sum_micro div n_bigrams").cast("long").alias("avg_cond_prob_micro"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-table curation gate: lexical quality (documents) joined with
+# embedding-space health (embeddings) — the multi-signal keep decision.
+# ---------------------------------------------------------------------------
+
+NORM_MIN_PICO = 999_999_000_000  # quantized self-dot lower bound (unit-norm)
+
+
+@register(
+    "curation_embedding_gate",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '), w -> w IN {_MARKERS_SQL})) AS marker_hits,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               LEAST(500, n_tokens) + LEAST(300, marker_hits * 25)
+                 - LEAST(200, (n_punct * 1000) // GREATEST(n_tokens, 1)) AS score_milli
+        FROM f
+    ),
+    e AS (
+        SELECT vec_id,
+               list_sum(list_transform(list_zip(
+                   list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)),
+                   list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))),
+                   p -> p[1] * p[2])) AS self_dot_pico
+        FROM embeddings
+    )
+    SELECT q.doc_id, q.score_milli,
+           CAST(e.self_dot_pico AS BIGINT) AS self_dot_pico,
+           q.score_milli >= 400 AS lexical_ok,
+           e.self_dot_pico >= {NORM_MIN_PICO} AS norm_ok,
+           q.score_milli >= 400 AND e.self_dot_pico >= {NORM_MIN_PICO} AS keep
+    FROM q JOIN e ON e.vec_id = q.doc_id
+    ORDER BY q.doc_id
+    """,
+    tags=("text", "llm-pipeline", "curation", "cross-table"),
+)
+def curation_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal curation: the lexical quality score (text side) and
+    the embedding-norm health check (vector side) joined into one keep
+    decision — the cross-TABLE pattern every production pipeline hits
+    once curation signals live in different stores (text lake vs vector
+    store).  The join is 1:1 on doc_id = vec_id.
+
+    Scale shape: both sides reduce to (id, small ints) BEFORE the join,
+    so the equi-join exchanges two narrow tables — never text or vector
+    payloads; written bucketed on the id (sinks.write_bucketed) the join
+    is exchange-free.  Integer milli/pico units on both sides of both
+    engines."""
+    from .similarity import _dot_pico, _qvec
+
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_tokens = F.size(words)
+    marker_hits = F.size(F.filter(words, lambda w: w.isin(*MARKER_WORDS)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0)))
+    score = (
+        F.least(F.lit(500), n_tokens)
+        + F.least(F.lit(300), marker_hits * 25)
+        - F.least(
+            F.lit(200),
+            F.floor(n_punct * 1000 / F.greatest(n_tokens, F.lit(1))).cast("long"),
+        )
+    )
+    lex = d.select("doc_id", score.cast("long").alias("score_milli"))
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        _dot_pico(_qvec(F.col("embedding")), _qvec(F.col("embedding"))).alias(
+            "self_dot_pico"
+        ),
+    )
+    j = lex.join(emb, "doc_id")
+    return j.select(
+        "doc_id",
+        "score_milli",
+        "self_dot_pico",
+        (F.col("score_milli") >= 400).alias("lexical_ok"),
+        (F.col("self_dot_pico") >= NORM_MIN_PICO).alias("norm_ok"),
+        (
+            (F.col("score_milli") >= 400)
+            & (F.col("self_dot_pico") >= NORM_MIN_PICO)
+        ).alias("keep"),
+    ).orderBy("doc_id")
