@@ -825,20 +825,35 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     position.  Training pipelines need a reproducible corpus permutation
     that does not depend on file layout; hash-rank gives exactly that.
 
-    Scale shape: one range-partitioned global sort on the 60-bit hash —
-    the terasort pattern (sampled range boundaries, balanced by hash
-    uniformity), which is THE scalable way to impose a total order; the
-    round-robin shard math is projection.  Output is the (doc → shard,
-    position) manifest a 1000-node export job writes per shard.  The
-    global ROW_NUMBER here is the eval-scale formulation; at 100 TB the
-    same rank is computed as range-partition prefix counts + in-partition
-    row_number (zip-with-index over the sorted layout) with no single-
-    partition window."""
+    Scale shape: the global rank is computed WITHOUT a global window —
+    the terasort two-phase pattern: (1) rows fall into 256 contiguous
+    hash-prefix ranges (``hkey div 2^52`` — uniform by hash
+    construction, so no sampling pass is needed for balance), (2) tiny
+    per-bucket counts roll into broadcast cumulative offsets, (3) each
+    bucket ranks internally (row_number partitioned by bucket) and adds
+    its offset.  Every corpus-sized exchange is keyed by bucket; the
+    only single-partition step is the 256-row offset cumsum.  The
+    DuckDB oracle states the same permutation as one global ROW_NUMBER —
+    the two formulations are equal because buckets are contiguous hash
+    ranges.  Output is the (doc → shard, position) manifest a 1000-node
+    export job writes per shard."""
     docs = load(spark, sf_dir, "documents")
     hkey = hash60(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(hkey.asc(), F.col("doc_id").asc())
-    ordered = docs.select(
-        "doc_id", (F.row_number().over(w) - 1).cast("long").alias("global_pos")
+    keyed = docs.select("doc_id", hkey.alias("hkey")).withColumn(
+        "bucket", F.expr(f"hkey div {1 << 52}")
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_cum), F.lit(0)).alias("offset")
+    )
+    w_bucket = Window.partitionBy("bucket").orderBy("hkey", "doc_id")
+    ordered = (
+        keyed.withColumn("r", F.row_number().over(w_bucket) - 1)
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id", (F.col("offset") + F.col("r")).cast("long").alias("global_pos")
+        )
     )
     return ordered.select(
         "doc_id",

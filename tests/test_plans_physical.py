@@ -198,3 +198,13 @@ def test_cohesion_stats_has_no_pair_join(spark, sf_dir):
 def test_contrastive_mining_broadcasts_anchors(spark, sf_dir):
     plan = _plan(spark, "contrastive_pair_mining", sf_dir)
     assert "Broadcast" in plan
+
+
+def test_shuffle_order_rank_is_bucketed(spark, sf_dir):
+    """The global training-order rank must come from the two-phase
+    terasort pattern: per-bucket window + broadcast offsets — the only
+    single-partition exchange in the plan feeds the 256-row offset
+    cumsum, never the corpus."""
+    plan = _plan(spark, "corpus_shuffle_order", sf_dir)
+    assert "hashpartitioning(bucket" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
