@@ -113,6 +113,15 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from .views import register_views
+
+    spark = _spark(args.cpus)
+    register_views(spark, sf_dir=args.sf_dir)
+    spark.sql(args.statement).show(args.rows, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rust_near_indexer_spark")
     p.add_argument("--cpus", type=int, default=4)
@@ -144,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--rows", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser(
+        "sql", help="run ad-hoc SQL over the registered medallion views"
+    )
+    s.add_argument("statement")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("--rows", type=int, default=20)
+    s.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

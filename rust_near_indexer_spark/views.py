@@ -1,0 +1,72 @@
+"""SQL surface: register the full medallion stack as named temp views.
+
+The reference's analytics users write ClickHouse SQL against named
+tables (`bronze_*`, `silver_*`, the gold view — 01/02/03-*.sql);
+migrating them means giving Spark SQL the same catalog.  One call makes
+every layer queryable by name::
+
+    from rust_near_indexer_spark.views import register_views
+    register_views(spark, sf_dir="/root/testdata/sf0.01")
+    spark.sql("SELECT event, count(*) FROM silver_transfers GROUP BY 1")
+
+Views are lazy logical plans — registering costs nothing; Catalyst
+inlines a view's plan into each consuming query, so predicate pushdown
+and column pruning cross the view boundary (an over-view query reads
+exactly the columns/rows it needs from parquet, same as the DataFrame
+formulation).  The bronze frames come from the per-session cache
+(queries/near_events.bronze_tables), so repeated SQL over bronze/silver
+never re-runs the state fixpoint.
+
+CLI: ``python -m rust_near_indexer_spark sql "SELECT ..."``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> list[str]:
+    """Create/replace temp views for every layer; returns the view names.
+
+    ``sf_dir`` additionally registers the driver testdata tables (the
+    TPC-H-ish + documents/embeddings set) through ``tables.load`` so the
+    schema-normalization conventions (ts/ts_ns duality, float32
+    embeddings) hold for SQL users too.
+    """
+    from .plans import silver
+    from .plans.gold import intents_metrics
+    from .queries.near_events import bronze_tables, load_assets
+    from .tables import load
+
+    names: list[str] = []
+
+    if sf_dir is not None:
+        for t in TESTDATA_TABLES:
+            load(spark, sf_dir, t).createOrReplaceTempView(t)
+            names.append(t)
+
+    bronze = bronze_tables(spark)
+    for key, df in bronze.items():
+        name = f"bronze_{key}"
+        df.createOrReplaceTempView(name)
+        names.append(name)
+
+    assets = load_assets(spark)
+    assets.createOrReplaceTempView("defuse_assets")
+    names.append("defuse_assets")
+
+    ev = bronze["events"]
+    for name, df in silver.all_silver_tables(ev).items():
+        df.createOrReplaceTempView(name)
+        names.append(name)
+
+    gold = intents_metrics(
+        silver.nep_245_events(ev), silver.dip4_token_diff(ev), assets
+    )
+    gold.createOrReplaceTempView("gold_intents_metrics")
+    names.append("gold_intents_metrics")
+    return names

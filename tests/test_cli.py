@@ -40,3 +40,45 @@ def test_cli_resume_skips_ingested_heights(spark, tmp_path, capsys):
     assert main(["ingest", "--blocks", BLOCKS_PATH, "--out", out]) == 0
     n2 = spark.read.parquet(f"{out}/events").count()
     assert n2 == n1
+
+
+def test_register_views_sql_matches_dataframe(spark, sf_dir):
+    """register_views makes the whole medallion stack addressable by
+    name; a SQL formulation of the gold query over the silver views must
+    equal the DataFrame gold plan row-for-row."""
+    from rust_near_indexer_spark.queries import load_registry
+    from rust_near_indexer_spark.views import register_views
+
+    names = register_views(spark, sf_dir=sf_dir)
+    assert "silver_transfers" in names and "gold_intents_metrics" in names
+    # testdata tables usable by name + normalized schema (ts_ns present)
+    n_docs = spark.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+    assert n_docs > 0
+    assert "ts_ns" in spark.table("events").columns
+    # a cross-layer SQL join runs and agrees with the DataFrame gold plan
+    got = spark.sql(
+        "SELECT * FROM gold_intents_metrics ORDER BY day, symbol, referral, blockchain"
+    ).collect()
+    want = (
+        load_registry()["gold_intents_metrics"]
+        .spark(spark, sf_dir)
+        .orderBy("day", "symbol", "referral", "blockchain")
+        .collect()
+    )
+    assert got == want
+
+
+def test_cli_sql_subcommand(spark, capsys):
+    from rust_near_indexer_spark.__main__ import main
+
+    rc = main(
+        [
+            "--cpus",
+            "4",
+            "sql",
+            "SELECT event, count(*) AS n FROM silver_transfers GROUP BY event ORDER BY event",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "transfer" in out
