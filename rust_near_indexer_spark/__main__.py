@@ -55,6 +55,7 @@ def cmd_ingest(args) -> int:
             args.out,
             checkpoint_dir=args.checkpoint or f"{args.out}/_checkpoint",
             events_only=args.events_only,
+            with_silver=args.with_silver,
         )
         print(f"streamed blocks from {args.blocks} into {args.out}")
         if server is not None:
@@ -74,6 +75,7 @@ def cmd_ingest(args) -> int:
         ingest_seq=int(time.time()),
         block_end=args.end,
         events_only=args.events_only,
+        with_silver=args.with_silver,
     )
     for name, path in sorted(paths.items()):
         n = spark.read.parquet(path).count()
@@ -135,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--events-only", action="store_true", help="R26 mode")
     ing.add_argument("--force", action="store_true", help="ignore resume checkpoint (R3)")
     ing.add_argument("--stream", action="store_true", help="Structured Streaming formulation")
+    ing.add_argument(
+        "--with-silver",
+        action="store_true",
+        help="also materialize the silver MVs at ingest (S18 batch twin)",
+    )
     ing.add_argument("--checkpoint", default=None, help="stream checkpoint dir")
     ing.add_argument(
         "--metrics-port",

@@ -206,14 +206,27 @@ def ingest_bronze(
     accounts: tuple = schemas.ACCOUNTS_OF_INTEREST,
     block_end: int | None = None,
     events_only: bool = False,
+    with_silver: bool = False,
 ) -> dict[str, str]:
     """Run the bronze pipeline and append every table to its sink — the
-    per-batch body of the streaming foreachBatch (SURVEY §3.1)."""
+    per-batch body of the streaming foreachBatch (SURVEY §3.1).
+    ``with_silver`` also materializes the 9 silver MVs under
+    ``silver/`` (the insert-triggered MV fan-out, batch rendering)."""
     from .plans.pipeline import run_bronze
 
     tables = run_bronze(
         blocks, accounts=accounts, block_end=block_end, events_only=events_only
     )
+    if with_silver:
+        # the batch twin of the streaming with_silver fan-out (S18): the
+        # silver MV transforms are stateless projections of the events
+        # batch, so materializing them at ingest time == the reference's
+        # insert-triggered MVs
+        from .plans.silver import all_silver_tables
+
+        events = tables["events"].persist()
+        for sname, sdf in all_silver_tables(events).items():
+            tables[f"silver/{sname}"] = sdf
     paths = {}
     for name, df in tables.items():
         path = os.path.join(base_dir, name)

@@ -82,3 +82,21 @@ def test_cli_sql_subcommand(spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "transfer" in out
+
+
+def test_cli_ingest_with_silver_materializes_mvs(spark, tmp_path):
+    """--with-silver materializes the 9 silver MVs at ingest (the batch
+    twin of the streaming S18 fan-out); each sunk table equals the
+    direct all_silver_tables computation."""
+    from rust_near_indexer_spark.plans.silver import all_silver_tables
+    from rust_near_indexer_spark.queries.near_events import bronze_tables
+
+    out = str(tmp_path / "sink")
+    assert (
+        main(["ingest", "--blocks", BLOCKS_PATH, "--out", out, "--with-silver"])
+        == 0
+    )
+    want = all_silver_tables(bronze_tables(spark)["events"])
+    for name, df in want.items():
+        sunk = spark.read.parquet(f"{out}/silver/{name}")
+        assert sunk.count() == df.count(), name
