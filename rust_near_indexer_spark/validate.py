@@ -106,3 +106,55 @@ def assert_bronze_invariants(metrics: dict[str, int], max_null_tx_pct: float = 5
     assert metrics["events_outside_accounts"] == 0
     assert metrics["invalid_tx_actions"] == 0
     assert metrics["invalid_outcome_logs"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Cross-instance drill-down (cross-validate.sh:155-226): when two table
+# renderings disagree, localize the divergence to block heights before
+# pulling sample rows.
+# ---------------------------------------------------------------------------
+
+
+def per_block_fingerprints(
+    df: DataFrame, cols: list[str], block_col: str = "block_height"
+) -> DataFrame:
+    """(block, n_rows, fp) per block: count + order-independent
+    bit_xor(hash60(cols)) — the reference's per-block
+    count/groupBitXor(cityHash64(...)) drill-down unit
+    (cross-validate.sh:160-183) on the engine-portable hash."""
+    from .canonical import fingerprint
+
+    return df.groupBy(F.col(block_col).alias("block")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        fingerprint(*cols).alias("fp"),
+    )
+
+
+def diff_by_block(
+    a: DataFrame, b: DataFrame, cols: list[str], block_col: str = "block_height"
+) -> DataFrame:
+    """Blocks where two renderings of the same table diverge (missing
+    from one side, row-count mismatch, or content-hash mismatch) — the
+    mismatch localizer that turns "table X differs" into "these 3 blocks
+    differ", so the drill-down read touches only the offending height
+    range at any scale (both sides aggregate map-side to one row per
+    block before the tiny full-outer join)."""
+    fa = per_block_fingerprints(a, cols, block_col).alias("a")
+    fb = per_block_fingerprints(b, cols, block_col).alias("b")
+    j = fa.join(fb, "block", "full_outer")
+    return (
+        j.where(
+            F.col("a.n_rows").isNull()
+            | F.col("b.n_rows").isNull()
+            | (F.col("a.n_rows") != F.col("b.n_rows"))
+            | (F.col("a.fp") != F.col("b.fp"))
+        )
+        .select(
+            "block",
+            F.col("a.n_rows").alias("n_rows_a"),
+            F.col("b.n_rows").alias("n_rows_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .orderBy("block")
+    )

@@ -72,3 +72,32 @@ def test_r25_cross_validates_mv(spark):
     refs = r25.where(F.col("referral").isNotNull())
     assert refs.count() > 0
     assert refs.where(F.col("referral") == "").count() == 0
+
+
+def test_diff_by_block_localizes_divergence(spark):
+    """Mutating one event in one block must flag exactly that block —
+    and identical renderings must flag nothing (cross-validate.sh
+    per-block drill-down parity)."""
+    from pyspark.sql import functions as F
+
+    from rust_near_indexer_spark.queries.near_events import bronze_tables
+    from rust_near_indexer_spark.validate import diff_by_block
+
+    ev = bronze_tables(spark)["events"]
+    cols = ["block_height", "related_receipt_id", "event", "data"]
+    assert diff_by_block(ev, ev, cols).count() == 0
+
+    victim = ev.orderBy("block_height").limit(1).collect()[0]
+    mutated = ev.withColumn(
+        "event",
+        F.when(
+            (F.col("block_height") == victim["block_height"])
+            & (F.col("related_receipt_id") == victim["related_receipt_id"])
+            & (F.col("index_in_log") == victim["index_in_log"]),
+            F.lit("CORRUPTED"),
+        ).otherwise(F.col("event")),
+    )
+    diff = diff_by_block(ev, mutated, cols).collect()
+    assert [r["block"] for r in diff] == [victim["block_height"]]
+    assert diff[0]["n_rows_a"] == diff[0]["n_rows_b"]  # content, not count
+    assert diff[0]["fp_a"] != diff[0]["fp_b"]
