@@ -111,7 +111,37 @@ def cmd_query(args) -> int:
         print(f"unknown query {args.name!r}; have: {', '.join(sorted(registry))}")
         return 2
     spark = _spark(args.cpus)
-    registry[args.name].spark(spark, args.sf_dir).show(args.rows, truncate=False)
+    df = registry[args.name].spark(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Write the corpus as shuffled training shards: the
+    corpus_shuffle_order manifest joined back to the documents and
+    written partitionBy(shard) — one directory per shard, rows in
+    deterministic permutation order within each."""
+    from pyspark.sql import functions as F
+
+    from .queries import load_registry
+    from .tables import load
+
+    spark = _spark(args.cpus)
+    manifest = load_registry()["corpus_shuffle_order"].spark(spark, args.sf_dir)
+    docs = load(spark, args.sf_dir, "documents")
+    out = (
+        docs.join(manifest.select("doc_id", "global_pos"), "doc_id")
+        .withColumn("shard", F.col("global_pos") % args.shards)
+        .withColumn("pos_in_shard", F.expr(f"global_pos div {args.shards}"))
+        .repartition(args.shards, "shard")
+        .sortWithinPartitions("shard", "pos_in_shard")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"exported {n} docs into {args.shards} shards at {args.out}")
     return 0
 
 
@@ -159,7 +189,18 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--rows", type=int, default=20)
+    q.add_argument(
+        "--explain", action="store_true", help="print the formatted physical plan"
+    )
     q.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser(
+        "export", help="write shuffled training shards (corpus_shuffle_order)"
+    )
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument("--shards", type=int, default=8)
+    ex.set_defaults(fn=cmd_export)
 
     s = sub.add_parser(
         "sql", help="run ad-hoc SQL over the registered medallion views"

@@ -100,3 +100,27 @@ def test_cli_ingest_with_silver_materializes_mvs(spark, tmp_path):
     for name, df in want.items():
         sunk = spark.read.parquet(f"{out}/silver/{name}")
         assert sunk.count() == df.count(), name
+
+
+def test_cli_export_shuffled_shards(spark, sf_dir, tmp_path, capsys):
+    """export writes one directory per shard with rows in deterministic
+    permutation order — reading a shard back gives pos_in_shard 0..k
+    and the union covers every document exactly once."""
+    out = str(tmp_path / "shards")
+    rc = main(["--cpus", "4", "export", "--out", out, "--sf-dir", sf_dir, "--shards", "4"])
+    assert rc == 0
+    assert "exported" in capsys.readouterr().out
+    full = spark.read.parquet(out)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert full.count() == n_docs
+    assert full.select("doc_id").distinct().count() == n_docs
+    shards = [r["shard"] for r in full.select("shard").distinct().collect()]
+    assert sorted(shards) == [0, 1, 2, 3]
+    one = full.where("shard = 0").orderBy("pos_in_shard").collect()
+    assert [r["pos_in_shard"] for r in one] == list(range(len(one)))
+
+
+def test_cli_query_explain(capsys):
+    assert main(["--cpus", "4", "query", "pricing_summary", "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
