@@ -720,7 +720,7 @@ DSIR_CAP_MILLI = 4000  # importance-weight cap (max 4x the base rate)
     ),
     rat AS (
         SELECT doc_id, source,
-               ((tgt_c + 1) * all_tot * 1000) // ((all_c + 1) * tgt_tot) AS r
+               ((tgt_c + 1) * all_tot * 1000) // ((all_c + 1) * GREATEST(tgt_tot, 1)) AS r
         FROM cnt, tot
     ),
     perdoc AS (
@@ -774,7 +774,7 @@ def importance_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rat = cnt.crossJoin(F.broadcast(tot)).withColumn(
         "r",
-        F.expr(f"((tgt_c + 1) * all_tot * 1000) div ((all_c + 1) * tgt_tot)"),
+        F.expr("((tgt_c + 1) * all_tot * 1000) div ((all_c + 1) * GREATEST(tgt_tot, 1))"),
     )
     perdoc = rat.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_tokens"),

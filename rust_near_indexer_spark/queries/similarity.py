@@ -997,6 +997,7 @@ def retrieval_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS avg_pair_cosine_pico,
            CAST(s.self_sum // s.n_vectors AS BIGINT) AS avg_self_dot_pico
     FROM self s JOIN gram g ON g.label = s.label
+    WHERE s.n_vectors >= 2
     ORDER BY s.label
     """,
     tags=("llm", "similarity", "stats"),
@@ -1035,6 +1036,11 @@ def embedding_cohesion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         self_agg.join(gram, "label")
+        # pairwise cosine is undefined for singleton labels — and the
+        # n(n-1) division must never see 0 (Spark's `div` NULLs, DuckDB's
+        # `//` errors: a cross-engine divergence waiting for a testdata
+        # generation with a singleton label)
+        .where(F.col("n_vectors") >= 2)
         .select(
             "label",
             "n_vectors",
