@@ -390,7 +390,7 @@ _PCA_STEP = """w{k} AS (
         FROM cov c JOIN v{p} v ON v.i = c.j
         GROUP BY c.i
     ),
-    m{k} AS (SELECT MAX(ABS(s)) AS mm FROM w{k}),
+    m{k} AS (SELECT GREATEST(MAX(ABS(s)), 1) AS mm FROM w{k}),
     v{k} AS (
         SELECT i, CAST((s * 1000) // mm AS BIGINT) AS val
         FROM w{k}, m{k}
@@ -462,7 +462,7 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(cov["i"].alias("wi"))
             .agg(F.sum(cov["c"] * v["val"]).alias("s"))
         )
-        m = w.agg(F.max(F.abs(F.col("s"))).alias("mm"))
+        m = w.agg(F.greatest(F.max(F.abs(F.col("s"))), F.lit(1)).alias("mm"))
         v = _materialize(
             w.crossJoin(F.broadcast(m)).select(
                 F.col("wi").alias("i"),
