@@ -146,6 +146,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "contrastive_pair_mining",
     "corpus_shuffle_order",
     "curation_embedding_gate",
+    "gapfill_locf_timeseries",
+    "cluster_balanced_sample",
 )
 
 

@@ -33,8 +33,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ..canonical import duck_fingerprint, fingerprint
+from ..canonical import duck_fingerprint, duck_hash60, fingerprint
 from ..tables import load, spread
 from . import register
 
@@ -471,4 +472,73 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return v.select(F.col("i").cast("long").alias("dim"), F.col("val").alias("loading_milli")).orderBy(
         "dim"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced diversity sampling: fixed-K per embedding cluster —
+# the "semantic diversity" sampling stage (topic-balance the corpus by
+# sampling uniformly across embedding-space clusters instead of raw rows).
+# ---------------------------------------------------------------------------
+
+CBS_K = 40  # sample size per cluster
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH
+    {_KM_CTES},
+    {_km_assign(f"c{KM_ITERS}", f"a{KM_ITERS + 1}")},
+    ranked AS (
+        SELECT vec_id, cluster,
+               COUNT(*) OVER (PARTITION BY cluster) AS cluster_n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster
+                   ORDER BY {duck_hash60("'cbs|' || CAST(vec_id AS VARCHAR)")},
+                            vec_id) AS rk
+        FROM a{KM_ITERS + 1}
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rk AS BIGINT) AS rk,
+           CAST(cluster_n AS BIGINT) AS cluster_n
+    FROM ranked WHERE rk <= {CBS_K}
+    ORDER BY cluster, rk
+    """,
+    tags=("clustering", "sampling", "llm-pipeline", "diversity"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling over embedding space: k-means the corpus (the
+    session-cached Lloyd centroids), then take a fixed hash-ranked
+    sample of {CBS_K} per cluster — uniform sampling OVER TOPICS rather
+    than over rows, so dominant topics stop dominating the sample (the
+    cluster-balanced stage of DCLM/SemDeDup-style curation).
+
+    Scale shape: one broadcast-centroid assignment pass (map-side
+    argmin), then one ranking window keyed by cluster whose rank<=K
+    filter rides WindowGroupLimit — the per-cluster sort never
+    materializes.  The hash rank makes the sample reproducible under
+    any partitioning, like every sampler in queries/sampling.py."""
+    from ..canonical import hash60
+
+    vec = _quantized(spark, sf_dir)
+    assigned = _assign(vec, _final_centroids(spark, sf_dir))
+    w_n = Window.partitionBy("cluster")
+    w_rk = Window.partitionBy("cluster").orderBy(
+        hash60(F.concat(F.lit("cbs|"), F.col("vec_id").cast("string"))).asc(),
+        F.col("vec_id").asc(),
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .withColumn("cluster_n", F.count(F.lit(1)).over(w_n))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") <= CBS_K)
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("rk").cast("long").alias("rk"),
+            F.col("cluster_n").cast("long").alias("cluster_n"),
+        )
+        .orderBy("cluster", "rk")
     )

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..canonical import cents
 from ..operators.temporal import asof_join, interval_point_join
@@ -319,3 +320,113 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill + LOCF: the TimescaleDB time_bucket_gapfill / ClickHouse
+# ORDER BY ... WITH FILL analog — dense time buckets with
+# last-observation-carried-forward over the holes.
+# ---------------------------------------------------------------------------
+
+GAPFILL_BUCKET_US = 6 * 3600 * 10**6  # 6-hour buckets
+
+
+@register(
+    "gapfill_locf_timeseries",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) AS ts_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT (MIN(ts_us) // {GAPFILL_BUCKET_US}) AS b0,
+               (MAX(ts_us) // {GAPFILL_BUCKET_US}) AS b1
+        FROM e
+    ),
+    grid AS (
+        SELECT t.event_type, b0 + u.i AS bucket
+        FROM bounds, unnest(range(0, b1 - b0 + 1)) u(i),
+             (SELECT DISTINCT event_type FROM e) t
+    ),
+    agg AS (
+        SELECT event_type, ts_us // {GAPFILL_BUCKET_US} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM e GROUP BY 1, 2
+    ),
+    filled AS (
+        SELECT g.event_type, g.bucket,
+               COALESCE(a.n_events, 0) AS n_events,
+               a.cents AS raw_cents,
+               last_value(a.cents IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_cents
+        FROM grid g LEFT JOIN agg a
+          ON a.event_type = g.event_type AND a.bucket = g.bucket
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           n_events,
+           CAST(COALESCE(locf_cents, 0) AS BIGINT) AS locf_cents,
+           raw_cents IS NULL AS is_gap
+    FROM filled
+    ORDER BY event_type, bucket
+    """,
+    tags=("temporal", "gapfill", "beyond-reference"),
+)
+def gapfill_locf_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 6-hour buckets per event_type over the table's full span,
+    with empty buckets filled by last-observation-carried-forward — the
+    time_bucket_gapfill / WITH FILL operator a monitoring dashboard
+    needs (sparse aggregates make rate math and charting wrong).  Cents
+    are exact integers; the LOCF is last_value(... IGNORE NULLS) over
+    the dense grid, identical in both engines.
+
+    Scale shape: the aggregate is one exchange keyed by
+    (event_type, bucket); the dense grid is generated from a broadcast
+    2-value bounds row x the distinct event types (a few rows) — the
+    grid join is therefore broadcast-able and the LOCF window partitions
+    by event_type, so no global ordering exists anywhere.  Grid size is
+    span/bucket x n_types — independent of row count."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        cents("value").alias("cents"),
+    )
+    bucket_of = F.expr(f"ts_us div {GAPFILL_BUCKET_US}")
+    bounds = ev.agg(
+        F.min(bucket_of).alias("b0"), F.max(bucket_of).alias("b1")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("bucket"),
+        )
+    )
+    agg = ev.groupBy(
+        "event_type", bucket_of.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("raw_cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(agg, ["event_type", "bucket"], "left").select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("raw_cents"),
+        F.last("raw_cents", ignorenulls=True).over(w).alias("locf_raw"),
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.coalesce(F.col("locf_raw"), F.lit(0)).cast("long").alias("locf_cents"),
+        F.col("raw_cents").isNull().alias("is_gap"),
+    ).orderBy("event_type", "bucket")
