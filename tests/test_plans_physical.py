@@ -208,3 +208,25 @@ def test_shuffle_order_rank_is_bucketed(spark, sf_dir):
     plan = _plan(spark, "corpus_shuffle_order", sf_dir)
     assert "hashpartitioning(bucket" in plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gapfill_grid_is_broadcast(spark, sf_dir):
+    """The dense time grid comes from a broadcast 2-value bounds row ×
+    the distinct event types — the corpus-sized aggregate joins the tiny
+    grid, never the reverse, and the LOCF window partitions by type (no
+    global ordering)."""
+    plan = _plan(spark, "gapfill_locf_timeseries", sf_dir)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_balanced_sample_rank_rides_group_limit(spark, sf_dir):
+    """The per-cluster rank<=K filter must be recognized by Spark's
+    WindowGroupLimit rule (running top-K per partition — the full
+    per-cluster sort never materializes), and centroid assignment
+    broadcasts the K-row centroid table."""
+    plan = _plan(spark, "cluster_balanced_sample", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
