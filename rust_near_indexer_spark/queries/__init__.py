@@ -148,6 +148,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "curation_embedding_gate",
     "gapfill_locf_timeseries",
     "cluster_balanced_sample",
+    "small_quantity_revenue",
+    "nation_pair_volume",
 )
 
 

@@ -193,3 +193,130 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("session_id")
         .orderBy("user_id", "session_start_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape): per-part average gating a
+# fact-scan filter — the decorrelation pattern (subquery → aggregate +
+# join) Catalyst must produce instead of a per-row re-scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE CAST(ROUND(l.l_quantity) AS BIGINT) * 10 * a.n < 2 * a.sum_qty
+    """,
+    tags=("sql", "beyond-reference", "subquery"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of lines whose quantity is below 20% of
+    their part's average — the correlated scalar subquery
+    (``l_quantity < (SELECT 0.2*avg(..) WHERE same part)``) expressed in
+    its decorrelated form: ONE aggregate per part joined back to the
+    fact scan.  The 0.2·avg comparison is cross-multiplied into pure
+    integers (qty·10·n < 2·sum) so no division or float appears.
+
+    Scale shape: the per-part aggregate is vocabulary-sized next to the
+    fact table and partial-aggregates map-side; the join back is keyed
+    by partkey (broadcast under AQE when it fits, shuffle-join keyed the
+    same as the aggregate otherwise — one exchange reused).  This is the
+    plan the correlated form MUST decorrelate into; writing it
+    explicitly keeps the contract visible."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    avg_qty = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+    joined = li.select("l_partkey", qty.alias("qty"), cents("l_extendedprice").alias("c")).join(
+        avg_qty, "l_partkey"
+    )
+    small = joined.where(F.col("qty") * 10 * F.col("n") < 2 * F.col("sum_qty"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-fact multi-way join (TPC-H Q7 shape): supplier-nation x
+# customer-nation trade volume per year.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_pair_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(100 - l.l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS volume_e4
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_nationkey < cn.n_nationkey
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    tags=("sql", "beyond-reference", "multiway-join"),
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: discounted trade volume between ordered nation
+    pairs per ship year — a five-way join (two fact tables, two
+    broadcastable dims, nation twice under different roles) with exact
+    integer volume (cents × discount-percent = e-4 units).
+
+    Scale shape: lineitem⋈orders is the one big exchange (orderkey);
+    customer/supplier join keyed on their PKs (AQE broadcasts them at
+    dim scale), and both nation copies broadcast.  Catalyst's join
+    reordering gets freedom because everything is declarative — the plan
+    test only pins 'no cartesian, nations broadcast'."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    vol = cents("l_extendedprice") * F.round(
+        F.lit(100) - F.col("l_discount") * 100
+    ).cast("long")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("s_nk") < F.col("c_nk"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(vol).cast("long").alias("volume_e4"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )

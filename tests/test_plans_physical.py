@@ -230,3 +230,18 @@ def test_cluster_balanced_sample_rank_rides_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_small_quantity_revenue_single_fact_exchange(spark, sf_dir):
+    """The Q17-shape decorrelated plan must join the per-part aggregate
+    back on partkey — no per-row re-scan, no cartesian."""
+    plan = _plan(spark, "small_quantity_revenue", sf_dir)
+    assert "CartesianProduct" not in plan
+    # formatted explain renders each node twice (tree + detail): <=2 scans
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_nation_pair_volume_broadcasts_nations(spark, sf_dir):
+    plan = _plan(spark, "nation_pair_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
