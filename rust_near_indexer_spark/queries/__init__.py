@@ -150,6 +150,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cluster_balanced_sample",
     "small_quantity_revenue",
     "nation_pair_volume",
+    "user_state_scd2",
+    "conversion_funnel",
 )
 
 

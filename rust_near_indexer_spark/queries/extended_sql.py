@@ -320,3 +320,184 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 validity intervals: change-detection history (type-2 slowly
+# changing dimension built from an event stream).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_state_scd2",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events
+    ),
+    ordered AS (
+        SELECT user_id, event_type, ts_us,
+               LAG(event_type) OVER w AS prev_type
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts_us AS valid_from_us
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type != event_type
+    )
+    SELECT user_id, event_type,
+           CAST(valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(COALESCE(LEAD(valid_from_us) OVER (
+                    PARTITION BY user_id ORDER BY valid_from_us),
+                9223372036854775807) AS BIGINT) AS valid_to_us,
+           LEAD(valid_from_us) OVER (
+               PARTITION BY user_id ORDER BY valid_from_us) IS NULL AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from_us
+    """,
+    tags=("sql", "beyond-reference", "scd2", "temporal"),
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the event stream:
+    collapse each user's consecutive same-type runs into validity
+    intervals [valid_from, valid_to) via change detection (lag) + the
+    next change's timestamp (lead); the open current row carries
+    max-int.  The dimension-history build every warehouse load performs,
+    exact in integer microseconds.
+
+    Scale shape: two window passes over the same (user_id, ts) ordering
+    — one exchange keyed by user_id, both windows reuse it (same
+    partitioning+ordering); change rows are a fraction of events, so the
+    second window's input is already small."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("ts_us").alias("valid_from_us"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    nxt = F.lead("valid_from_us").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from_us").cast("long").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(9223372036854775807)).cast("long").alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from_us")
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel (ClickHouse windowFunnel analog): the deepest
+# view -> click -> purchase chain each user completes within a horizon.
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 7 * 24 * 3600 * 10**6  # 7-day conversion horizon
+
+
+@register(
+    "conversion_funnel",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    s1 AS (
+        SELECT user_id, MIN(ts_us) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts_us) AS t2
+        FROM e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+          AND e.ts_us <= s1.t1 + {FUNNEL_WINDOW_US}
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts_us) AS t3
+        FROM e JOIN s1 ON s1.user_id = e.user_id
+        JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+          AND e.ts_us <= s1.t1 + {FUNNEL_WINDOW_US}
+        GROUP BY e.user_id
+    ),
+    levels AS (
+        SELECT s1.user_id,
+               CASE WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS funnel_level
+        FROM s1
+        LEFT JOIN s2 ON s2.user_id = s1.user_id
+        LEFT JOIN s3 ON s3.user_id = s2.user_id
+    )
+    SELECT CAST(funnel_level AS BIGINT) AS funnel_level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM levels GROUP BY funnel_level
+    ORDER BY funnel_level
+    """,
+    tags=("sql", "beyond-reference", "funnel"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel`` analog: the deepest strictly-ordered
+    view -> click -> purchase chain each user completes within a 7-day
+    horizon of their FIRST view, reported as users per funnel level.
+    First-occurrence chaining (min view, then min later click, then min
+    later purchase) — the standard funnel simplification, deterministic
+    in integer microseconds.
+
+    Scale shape: three (user, min) aggregates over filtered scans, each
+    one exchange keyed by user_id — AQE reuses the partitioning across
+    the step joins; the final level count is a 3-row aggregate.  No
+    window over unbounded event arrays, no per-user collect."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .where(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t1") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    levels = (
+        s1.join(s2.select("user_id", F.lit(True).alias("l2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(True).alias("l3")), "user_id", "left")
+        .select(
+            F.when(F.col("l3"), F.lit(3))
+            .when(F.col("l2"), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("funnel_level")
+        )
+    )
+    return (
+        levels.groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_level")
+    )
