@@ -152,6 +152,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "nation_pair_volume",
     "user_state_scd2",
     "conversion_funnel",
+    "cohort_retention",
 )
 
 

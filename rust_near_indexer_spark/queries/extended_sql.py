@@ -501,3 +501,82 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("funnel_level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (the ClickHouse retention() analog): users grouped by
+# first-activity week, tracked for re-activity over the following weeks.
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 24 * 3600 * 10**6
+RETENTION_MAX_OFFSET = 3
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+    ),
+    cohort_sizes AS (
+        SELECT cohort_week, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort_week
+    ),
+    activity AS (SELECT DISTINCT user_id, week FROM e),
+    hits AS (
+        SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN firsts f ON f.user_id = a.user_id
+        WHERE a.week - f.cohort_week BETWEEN 0 AND {RETENTION_MAX_OFFSET}
+        GROUP BY 1, 2
+    )
+    SELECT CAST(h.cohort_week AS BIGINT) AS cohort_week,
+           CAST(h.week_offset AS BIGINT) AS week_offset,
+           CAST(h.n_active AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           CAST((1000 * h.n_active) // s.n_cohort AS BIGINT) AS retention_milli
+    FROM hits h JOIN cohort_sizes s ON s.cohort_week = h.cohort_week
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("sql", "beyond-reference", "retention", "cohort"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (the ClickHouse ``retention()`` /
+    product-analytics staple): users bucketed by first-activity week,
+    re-activity fractions for the next {RETENTION_MAX_OFFSET} weeks in
+    exact integer milli (week-0 row = 1000 by construction — the
+    self-check).
+
+    Scale shape: firsts and activity are two aggregates keyed by
+    user_id sharing one exchange; the hits join is user-keyed (same
+    partitioning again) and collapses to a (cohort, offset) grid —
+    #weeks x {RETENTION_MAX_OFFSET + 1} rows — before the tiny
+    cohort-size join."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"(ts_ns div 1000) div {WEEK_US}").alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    activity = ev.distinct()
+    hits = (
+        activity.join(firsts, "user_id")
+        .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
+        .where(F.col("week_offset").between(0, RETENTION_MAX_OFFSET))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        hits.join(sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.expr("(1000 * n_active) div n_cohort").cast("long").alias(
+                "retention_milli"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
