@@ -153,6 +153,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "user_state_scd2",
     "conversion_funnel",
     "cohort_retention",
+    "event_type_pivot",
+    "daily_metrics_unpivot",
 )
 
 

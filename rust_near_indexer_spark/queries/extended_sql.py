@@ -580,3 +580,105 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (crosstab) and unpivot (melt) — the wide<->long reshaping
+# operators (Spark groupBy().pivot() / DataFrame.unpivot).
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("view", "click", "purchase", "error")
+
+
+@register(
+    "event_type_pivot",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id % 100 AS user_bucket, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT CAST(user_bucket AS BIGINT) AS user_bucket,
+           {", ".join(
+               f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN cents END), 0) AS BIGINT) AS {t}_cents"
+               for t in _PIVOT_TYPES
+           )}
+    FROM e GROUP BY user_bucket
+    ORDER BY user_bucket
+    """,
+    tags=("sql", "beyond-reference", "pivot"),
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab: value cents per user bucket pivoted into one column per
+    event type — Spark's ``groupBy().pivot()`` with an EXPLICIT value
+    list (never the value-discovery overload, which runs a distinct scan
+    AND makes the schema data-dependent — both wrong at scale).  With
+    explicit values the pivot compiles to the same conditional
+    aggregation the oracle states, one exchange keyed by the group key.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("user_bucket"),
+        "event_type",
+        cents("value").alias("cents"),
+    )
+    wide = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.sum("cents"))
+    )
+    return wide.select(
+        F.col("user_bucket").cast("long").alias("user_bucket"),
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_cents")
+            for t in _PIVOT_TYPES
+        ],
+    ).orderBy("user_bucket")
+
+
+@register(
+    "daily_metrics_unpivot",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    wide AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM e GROUP BY day
+    )
+    SELECT day, metric, value FROM (
+        SELECT day, 'n_events' AS metric, n_events AS value FROM wide
+        UNION ALL SELECT day, 'n_types', n_types FROM wide
+        UNION ALL SELECT day, 'total_cents', total_cents FROM wide
+    )
+    ORDER BY day, metric
+    """,
+    tags=("sql", "beyond-reference", "unpivot"),
+)
+def daily_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt: per-day wide aggregates reshaped to (day, metric, value)
+    long form via ``DataFrame.unpivot`` — the metrics-export shape
+    (one row per time-series point).  Unpivot is a row-local
+    projection+explode (no shuffle beyond the aggregate that built the
+    wide frame); the oracle states the equivalent UNION ALL."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).alias("day"),
+        "event_type",
+        cents("value").alias("cents"),
+    )
+    wide = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum("cents").alias("total_cents"),
+    )
+    return (
+        wide.unpivot(
+            ["day"], ["n_events", "n_types", "total_cents"], "metric", "value"
+        )
+        .select("day", "metric", F.col("value").cast("long").alias("value"))
+        .orderBy("day", "metric")
+    )
