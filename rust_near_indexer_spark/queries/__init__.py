@@ -155,6 +155,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "event_type_pivot",
     "daily_metrics_unpivot",
+    "rolling_3day_user_spend",
+    "customer_spend_quartiles",
 )
 
 

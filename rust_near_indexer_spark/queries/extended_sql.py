@@ -682,3 +682,131 @@ def daily_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "metric", F.col("value").cast("long").alias("value"))
         .orderBy("day", "metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-based RANGE window frame: trailing 3-day rolling spend per user
+# (ROWS frames count rows; RANGE frames bound by the ORDER-BY value —
+# the moving-time-window aggregation).
+# ---------------------------------------------------------------------------
+
+ROLL_WINDOW_US = 3 * 24 * 3600 * 10**6
+
+
+@register(
+    "rolling_3day_user_spend",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, CAST(ts_us AS BIGINT) AS ts_us,
+           CAST(SUM(cents) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS spend_3d_cents,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_purchases_3d
+    FROM e
+    ORDER BY user_id, ts_us, event_id
+    """,
+    tags=("sql", "beyond-reference", "window-range-frame"),
+)
+def rolling_3day_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-day rolling purchase spend per user via a VALUE-based
+    RANGE window frame (`RANGE BETWEEN 3 days PRECEDING`) — the frame
+    class ROWS cannot express (rows in the frame depend on the ORDER-BY
+    timestamp, not a count).  Exact integer cents and microseconds.
+
+    Scale shape: one exchange keyed by user_id; the frame is evaluated
+    by Spark's sliding window aggregation in a single sort pass per
+    partition — state bounded by the 3-day span, not the user's
+    history."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        cents("value").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ROLL_WINDOW_US, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        F.sum("cents").over(w).cast("long").alias("spend_3d_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_purchases_3d"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# ntile distribution bucketing: spend quartiles over customers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey,
+               CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS spend_cents
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ),
+    tiled AS (
+        SELECT c_custkey, spend_cents,
+               NTILE(4) OVER (ORDER BY spend_cents, c_custkey) AS quartile
+        FROM spend
+    )
+    SELECT CAST(quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(spend_cents) AS BIGINT) AS min_spend_cents,
+           CAST(MAX(spend_cents) AS BIGINT) AS max_spend_cents,
+           CAST(SUM(spend_cents) AS BIGINT) AS total_spend_cents
+    FROM tiled GROUP BY quartile
+    ORDER BY quartile
+    """,
+    tags=("sql", "beyond-reference", "ntile"),
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-spend quartiles via NTILE(4) (equal-count
+    distribution bucketing, custkey tie-break makes the split exact and
+    engine-identical), reduced to per-quartile boundary stats.
+
+    Scale shape: the spend aggregate is keyed by custkey; the global
+    ntile is a single total-order pass over ONE ROW PER CUSTOMER (the
+    aggregate, not the fact table) — at extreme customer counts the
+    same two-phase rank as corpus_shuffle_order applies; the output is
+    4 rows."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("cents")
+    )
+    spend = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("spend_cents"))
+    )
+    w = Window.orderBy("spend_cents", "c_custkey")
+    tiled = spend.withColumn("quartile", F.ntile(4).over(w))
+    return (
+        tiled.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("spend_cents").alias("min_spend_cents"),
+            F.max("spend_cents").alias("max_spend_cents"),
+            F.sum("spend_cents").cast("long").alias("total_spend_cents"),
+        )
+        .select(F.col("quartile").cast("long").alias("quartile"), "n_customers",
+                "min_spend_cents", "max_spend_cents", "total_spend_cents")
+        .orderBy("quartile")
+    )
