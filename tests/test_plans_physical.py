@@ -245,3 +245,35 @@ def test_nation_pair_volume_broadcasts_nations(spark, sf_dir):
     plan = _plan(spark, "nation_pair_volume", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """Both SCD-2 windows (lag change-detect, lead interval-close) order
+    by the same user_id partitioning — exactly one hash exchange in the
+    whole plan besides the presentation sort."""
+    plan = _plan(spark, "user_state_scd2", sf_dir)
+    # formatted explain renders nodes twice (tree + detail)
+    n_hash = plan.count("Arguments: hashpartitioning")
+    assert n_hash == 1, plan
+
+
+def test_funnel_has_no_cartesian_or_python(spark, sf_dir):
+    plan = _plan(spark, "conversion_funnel", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_range_frame_single_exchange(spark, sf_dir):
+    """The RANGE-frame rolling window costs one user-keyed exchange; the
+    filter on event_type reaches the parquet scan."""
+    plan = _plan(spark, "rolling_3day_user_spend", sf_dir)
+    assert "PushedFilters" in plan and "purchase" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_quartiles_ntile_runs_on_aggregate(spark, sf_dir):
+    """NTILE's total-order pass must consume the per-customer aggregate
+    (HashAggregate below the Window), never raw orders rows."""
+    plan = _plan(spark, "customer_spend_quartiles", sf_dir)
+    assert "Window" in plan and "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
