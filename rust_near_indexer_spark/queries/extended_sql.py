@@ -336,22 +336,27 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     ordered AS (
-        SELECT user_id, event_type, ts_us,
+        SELECT user_id, event_type, ts_us, event_id,
                LAG(event_type) OVER w AS prev_type
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ),
     changes AS (
-        SELECT user_id, event_type, ts_us AS valid_from_us
+        -- event_id rides along as the LEAD tie-break: two state changes
+        -- collapsed into the same microsecond by ts_ns div 1000 would
+        -- otherwise make the lead ordering nondeterministic across
+        -- engines (ADVICE r04 #3)
+        SELECT user_id, event_type, ts_us AS valid_from_us, event_id
         FROM ordered
         WHERE prev_type IS NULL OR prev_type != event_type
     )
     SELECT user_id, event_type,
            CAST(valid_from_us AS BIGINT) AS valid_from_us,
            CAST(COALESCE(LEAD(valid_from_us) OVER (
-                    PARTITION BY user_id ORDER BY valid_from_us),
+                    PARTITION BY user_id ORDER BY valid_from_us, event_id),
                 9223372036854775807) AS BIGINT) AS valid_to_us,
            LEAD(valid_from_us) OVER (
-               PARTITION BY user_id ORDER BY valid_from_us) IS NULL AS is_current
+               PARTITION BY user_id ORDER BY valid_from_us, event_id
+           ) IS NULL AS is_current
     FROM changes
     ORDER BY user_id, valid_from_us
     """,
@@ -382,9 +387,18 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("prev_type") != F.col("event_type"))
         )
-        .select("user_id", "event_type", F.col("ts_us").alias("valid_from_us"))
+        # event_id survives change-detection purely as the second-window
+        # tie-break: same-microsecond state changes (ts_ns div 1000
+        # collisions) would otherwise order nondeterministically between
+        # engines (ADVICE r04 #3)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts_us").alias("valid_from_us"),
+            "event_id",
+        )
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
     nxt = F.lead("valid_from_us").over(w2)
     return changes.select(
         "user_id",

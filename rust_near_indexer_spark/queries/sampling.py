@@ -318,7 +318,9 @@ PPS_PER_SOURCE = 5  # target draws per source shard
                SUM(n_tokens) OVER (PARTITION BY source) AS total
         FROM f
     )
-    SELECT source, doc_id, n_tokens, cum
+    -- CAST: DuckDB's windowed SUM(BIGINT) is HUGEINT, which the driver's
+    -- pandas fetch renders as float64 and breaks the value hash
+    SELECT source, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum
     FROM c
     WHERE (cum - n_tokens) // GREATEST(total // {PPS_PER_SOURCE}, 1)
           < cum // GREATEST(total // {PPS_PER_SOURCE}, 1)
@@ -474,8 +476,10 @@ SHARD_TOKENS = 2000  # target tokens per output shard
                                    ROWS UNBOUNDED PRECEDING) AS cum
         FROM f
     )
+    -- CAST: windowed SUM(BIGINT) → HUGEINT in DuckDB; shard_id inherits
+    -- it through // and the driver's pandas fetch would render float64
     SELECT source,
-           (cum - n_tokens) // {SHARD_TOKENS} AS shard_id,
+           CAST((cum - n_tokens) // {SHARD_TOKENS} AS BIGINT) AS shard_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
            {duck_fingerprint('doc_id')} AS doc_fingerprint

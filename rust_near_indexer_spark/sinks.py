@@ -227,11 +227,21 @@ def ingest_bronze(
         events = tables["events"].persist()
         for sname, sdf in all_silver_tables(events).items():
             tables[f"silver/{sname}"] = sdf
+    else:
+        events = None
     paths = {}
-    for name, df in tables.items():
-        path = os.path.join(base_dir, name)
-        with_retries(lambda d=df, p=path: append(d, p, ingest_seq))
-        paths[name] = path
+    try:
+        for name, df in tables.items():
+            path = os.path.join(base_dir, name)
+            with_retries(lambda d=df, p=path: append(d, p, ingest_seq))
+            paths[name] = path
+    finally:
+        # the events cache only exists to share the scan across the 9
+        # silver writes — drop it once they're flushed instead of pinning
+        # the batch in executor memory for the rest of the session
+        # (ADVICE r04 #4)
+        if events is not None:
+            events.unpersist()
     return paths
 
 

@@ -299,23 +299,33 @@ def attribute_purchases_stream(events: DataFrame) -> DataFrame:
 
 
 def batch_purchase_click_pairs(events: DataFrame) -> DataFrame:
-    """Batch formulation of the same interval join (equivalence check)."""
+    """Batch formulation of the same interval join (equivalence check).
+
+    µs contract (ADVICE r04 #2): the streaming side joins on TIMESTAMP
+    columns, which truncate ts_ns to microseconds (watermarks need real
+    event-time columns), so the batch twin compares ``ts_ns div 1000``
+    too — otherwise events inside the same microsecond at the
+    click<=purchase boundary or exactly at the {ATTR_TOL_HOURS} h horizon
+    edge would classify differently between the two formulations on
+    ns-precision data.  Output columns still carry full-precision ns."""
     purchases = events.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_event_id"),
         F.col("user_id"),
         F.col("ts_ns").alias("purchase_ts_ns"),
+        F.expr("ts_ns div 1000").alias("purchase_ts_us"),
     )
     clicks = events.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_event_id"),
         F.col("user_id"),
         F.col("ts_ns").alias("click_ts_ns"),
+        F.expr("ts_ns div 1000").alias("click_ts_us"),
     )
-    tol_ns = ATTR_TOL_HOURS * 3600 * 10**9
+    tol_us = ATTR_TOL_HOURS * 3600 * 10**6
     return (
         purchases.join(clicks, "user_id")
         .where(
-            (F.col("click_ts_ns") <= F.col("purchase_ts_ns"))
-            & (F.col("click_ts_ns") >= F.col("purchase_ts_ns") - tol_ns)
+            (F.col("click_ts_us") <= F.col("purchase_ts_us"))
+            & (F.col("click_ts_us") >= F.col("purchase_ts_us") - tol_us)
         )
         .select(
             "purchase_event_id",

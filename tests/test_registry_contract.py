@@ -52,3 +52,51 @@ def test_gate_priority_prefix():
             "text_stats", "text_language_id", "text_quality_score",
             "text_fingerprint", "purchase_attribution",
             "error_incident_windows"} <= prefix
+
+
+def test_no_hugeint_oracle_outputs(sf_dir):
+    """Oracle OUTPUT type lint (VERDICT r04 #What's wrong 1-3): DuckDB's
+    HUGEINT/UHUGEINT (e.g. from a bare ``list_sum(BIGINT[])`` or windowed
+    ``SUM(BIGINT)``) become float64 through the driver's pandas fetch and
+    render ``…000.0`` against Spark's int64 ``…000`` — rows match, schema
+    matches, value hash doesn't.  Every output-exposed int128 must be
+    CAST back to BIGINT in the oracle SQL.  Binds each oracle's result
+    relation lazily (no execution) and asserts no int128 column escapes."""
+    import sys
+
+    from .oracle_harness import duck_connect
+
+    sys.modules.pop("scripts.scan_oracle_types", None)
+    from scripts.scan_oracle_types import BAD_TYPES  # noqa: F401
+
+    con = duck_connect(sf_dir)
+    reg = load_registry()
+    offenders = []
+    for name, q in reg.items():
+        if q.oracle is None:
+            continue
+        rel = con.sql(q.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ) in BAD_TYPES:
+                offenders.append((name, col, str(typ)))
+    assert not offenders, offenders
+
+
+def test_hugeint_lint_redteam(sf_dir):
+    """Red-team the lint AND the strict harness: a deliberately uncast
+    ``list_sum`` column (HUGEINT) must (a) be caught by the type lint and
+    (b) turn the typed hash comparison red even though the Python-int
+    comparison is value-identical — the exact blind spot that green-lit
+    rounds 3 and 4 locally while the driver gate was red."""
+    from .oracle_harness import duck_connect, typed_oracle_rows, value_hash
+
+    con = duck_connect(sf_dir)
+    planted = "SELECT list_sum([11000000000000, 1]) AS s"
+    rel = con.sql(planted)
+    assert str(rel.types[0]) in {"HUGEINT", "UHUGEINT"}  # (a) lint catches it
+
+    # (b) typed rendering diverges from the Python-int rendering
+    pyint_hash = value_hash(list(rel.columns), [tuple(r) for r in rel.fetchall()])
+    t_cols, t_rows = typed_oracle_rows(con.sql(planted))
+    assert isinstance(t_rows[0][0], float)  # pandas fetch launders to float64
+    assert value_hash(t_cols, t_rows) != pyint_hash
