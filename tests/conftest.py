@@ -9,6 +9,13 @@ REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
+# Must run before ANY SparkSession is built: extends PYTHONPATH with a
+# locally vendored pure-python google.protobuf (if one exists) so the
+# transformWithStateInPandas runtime test can execute in Spark's Python
+# workers instead of self-skipping.  No-op where protobuf is installed
+# or no vendored copy is found.
+from tests import _protobuf_vendor  # noqa: E402,F401
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
