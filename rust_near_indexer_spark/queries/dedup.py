@@ -198,11 +198,22 @@ _SIMHASH_TERMS_SQL = " + ".join(
 )
 
 
+# Shingle sets are consumed from multiple branches of the minhash chain
+# AND (4×) by the prefix-filter join's tokenize/size/verify branches —
+# persist once per (session, sf_dir), same pattern as _PAIRS_CACHE.
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = augmented_docs(spark, sf_dir)
-    return aug.select(
-        "doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh")
-    ).where(F.size("sh") > 0)
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        aug = augmented_docs(spark, sf_dir)
+        _SHINGLE_CACHE[key] = (
+            aug.select("doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh"))
+            .where(F.size("sh") > 0)
+            .persist()
+        )
+    return _SHINGLE_CACHE[key]
 
 
 def cap_hot_buckets(bands: DataFrame, cap: int = MAX_BUCKET_DOCS) -> DataFrame:
@@ -509,6 +520,181 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.floor(1000 * inter / uni).cast("long").alias("jaccard_milli"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact similarity self-join via prefix filtering (PPJoin-style).
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold for the EXACT join, in milli-units — over distinct
+# 5-gram sets, NOT the 3-shingles the LSH chain uses.  Prefix filtering
+# prunes by shared set elements, so its candidate volume is driven by
+# element collision rates: this corpus's small vocabulary makes 3-grams
+# collide heavily (measured df≈10.7 → 640k candidates for 1.1k true
+# pairs at sf0.1) while 5-grams are near-unique (31^5 space, the same
+# property benchmark_decontamination exploits).  5-gram sets of the
+# planted near-dups (every 7th word dropped) overlap ≈0.17-0.28, exact
+# copies 1.0, unrelated docs ≈0 — τ=0.15 keeps both planted classes.
+PFJ_TAU_MILLI = 150
+
+# distinct 5-gram shingles (DuckDB list slices are inclusive)
+_SHINGLES5_SQL = (
+    "list_distinct(list_transform(range(1, GREATEST(len(w) - 4, 0) + 1), "
+    "i -> array_to_string(w[i:i+4], ' ')))"
+)
+
+
+def _shingles5(words) -> F.Column:
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 4),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 5)),
+        )
+    )
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+    WITH aug AS ({AUG_SQL}),
+    sh AS (
+        SELECT doc_id, {_SHINGLES5_SQL} AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
+        WHERE len({_SHINGLES5_SQL}) > 0
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    t1 AS (
+        SELECT doc_id, s,
+               CAST(COUNT(*) OVER (PARTITION BY s) AS BIGINT) AS df,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS sz
+        FROM tok
+    ),
+    t2 AS (
+        SELECT doc_id, s, sz,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn
+        FROM t1
+    ),
+    prefix AS (
+        SELECT doc_id, s, sz FROM t2
+        WHERE rn <= sz - (({PFJ_TAU_MILLI} * sz + 999) // 1000) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sz AS sz_a, b.sz AS sz_b
+        FROM prefix a JOIN prefix b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE GREATEST(a.sz, b.sz) * {PFJ_TAU_MILLI} <= LEAST(a.sz, b.sz) * 1000
+    ),
+    ver AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter,
+               c.sz_a + c.sz_b AS szs
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.doc_a
+        JOIN tok tb ON tb.doc_id = c.doc_b AND tb.s = ta.s
+        GROUP BY c.doc_a, c.doc_b, c.sz_a, c.sz_b
+    )
+    SELECT doc_a, doc_b, inter AS inter_shingles,
+           szs - inter AS union_shingles,
+           (1000 * inter) // (szs - inter) AS jaccard_milli
+    FROM ver
+    WHERE 1000 * inter >= {PFJ_TAU_MILLI} * (szs - inter)
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ τ similarity self-join via prefix filtering — the
+    deterministic complement to ``dedup_minhash_lsh``: zero false
+    negatives by construction (LSH trades recall for speed; legal or
+    eval-set dedup often can't).
+
+    The PPJoin family's prefix-filter principle (Xiao et al., WWW'08;
+    also Chaudhuri et al.'s SSJoin): order every doc's shingles by
+    ascending global document frequency (rarest first, shingle-string
+    tie-break), and keep only the first ``|d| - ceil(τ·|d|) + 1`` as the
+    doc's PREFIX.  Two sets with Jaccard ≥ τ MUST share at least one
+    prefix shingle — so an equi-join on prefix shingles alone generates
+    a complete candidate set.  A length filter (τ·max ≤ min) prunes
+    further, then exact verification keeps true pairs only.
+
+    Scale shape: candidate generation is an equi-join keyed by the
+    RAREST shingles in the corpus (frequency ordering pushes boilerplate
+    shingles out of every prefix), so join keys are low-fanout by
+    construction — the inverse of the skew a naive token join has.
+    The whole join is expressed over ONE exploded token table: df and
+    set size are window counts (keyed s and doc_id), the prefix is a
+    rank filter, candidates are the prefix self-join, and verification
+    re-joins candidates to the token table (counting shared tokens)
+    instead of materializing per-doc arrays — no array column ever
+    crosses a shuffle.  Run exact dedup first at corpus scale:
+    identical copies are the one structure that still makes a shared
+    rare shingle high-fanout (C(n,2) on the copy cluster), and they are
+    cheaper to remove with one hash-groupBy anyway.
+
+    Set elements are 5-gram shingles: prefix filtering's candidate
+    volume scales with element collision rates, and this corpus's 3-gram
+    space collides heavily (small vocabulary) while its 5-gram space is
+    near-unique — measured at sf0.1: 640k candidates/1.1k true pairs
+    with 3-grams vs ~true-pairs-only (1155) with 5-grams.  Pick the
+    n-gram order so elements are discriminative; the join shape is
+    unchanged.
+
+    (No reference analog — SURVEY §2B north-star dedup suite.)"""
+    aug = augmented_docs(spark, sf_dir)
+    tok = aug.select(
+        "doc_id", F.explode(_shingles5(F.split(F.col("text"), " "))).alias("s")
+    )
+    # df + set size as window counts over the one token table (tok is
+    # distinct per doc, so count-per-doc == |set|); rank after df exists
+    t1 = tok.select(
+        "doc_id",
+        "s",
+        F.count(F.lit(1)).over(Window.partitionBy("s")).alias("df"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+    )
+    t2 = t1.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    )
+    # prefix length |d| - ceil(τ|d|) + 1, integer ceil via (+999)//1000
+    prefix = t2.where(
+        F.col("rn")
+        <= F.col("sz") - F.expr(f"({PFJ_TAU_MILLI} * sz + 999) div 1000") + 1
+    ).select("doc_id", "s", "sz")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.greatest("sz_a", "sz_b") * PFJ_TAU_MILLI
+            <= F.least("sz_a", "sz_b") * 1000
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "s")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "s")
+    ver = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn("szs", F.col("sz_a") + F.col("sz_b"))
+    )
+    return (
+        ver.where(
+            1000 * F.col("inter") >= PFJ_TAU_MILLI * (F.col("szs") - F.col("inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").alias("inter_shingles"),
+            (F.col("szs") - F.col("inter")).alias("union_shingles"),
+            F.expr("(1000 * inter) div (szs - inter)").alias("jaccard_milli"),
         )
         .orderBy("doc_a", "doc_b")
     )

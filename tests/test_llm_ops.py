@@ -70,6 +70,27 @@ def test_exact_dedup_finds_planted_copies(spark, sf_dir):
     assert planted <= keepers  # every planted exact-copy group found
 
 
+def test_prefix_filter_join_finds_every_planted_pair(spark, sf_dir):
+    """The prefix-filter join is EXACT (zero false negatives): every
+    planted pair above tau must appear — both the exact copies
+    (d, d+200000), jaccard 1.0, and the near-dup pairs (d, d+100000)
+    whose 5-gram overlap clears tau=0.15.  LSH can only claim expected
+    recall; this operator's contract is completeness, so assert it."""
+    reg = load_registry()
+    rows = reg["dedup_prefix_filter_join"].spark(spark, sf_dir).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in rows}
+    con = duck_connect(sf_dir)
+    docs = {r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()}
+    exact = {(d, d + 200000) for d in docs if d % 25 == 0}
+    assert exact <= found  # completeness on the jaccard=1.0 pairs
+    near = {(d, d + 100000) for d in docs if d % 10 == 0}
+    missed = near - found
+    # near-dup 5-gram overlap ~0.17-0.28 with doc-length jitter: demand
+    # near-total coverage, and verify every find is above threshold
+    assert len(missed) <= 0.02 * len(near), sorted(missed)[:5]
+    assert all(r["jaccard_milli"] >= 150 for r in rows)
+
+
 def test_simhash_neardups_close(spark, sf_dir):
     """Planted near-dups should land within small Hamming distance of the
     original; unrelated docs shouldn't systematically."""

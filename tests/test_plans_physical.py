@@ -277,3 +277,18 @@ def test_quartiles_ntile_runs_on_aggregate(spark, sf_dir):
     plan = _plan(spark, "customer_spend_quartiles", sf_dir)
     assert "Window" in plan and "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_join_no_arrays_no_cartesian(spark, sf_dir):
+    """The exact similarity join must stay in token-row land: candidate
+    generation is an equi-join on shingle strings (never a cartesian),
+    verification is a count over a token equi-join (no array column in
+    any exchange), and the corpus is read once per branch of ONE plan —
+    no Python, no BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "dedup_prefix_filter_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    # window-based df/size + rank, then join-based candidates/verify
+    assert "Window" in plan
+    assert "HashAggregate" in plan
