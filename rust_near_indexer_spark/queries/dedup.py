@@ -317,6 +317,23 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIRS_CACHE[key]
 
 
+# The CC fixpoint over the pair graph is an iterative multi-job loop —
+# shared by dedup_clusters AND dedup_cluster_cliqueness, cache its
+# (already-materialized) label table per (session, sf_dir) too.
+_COMP_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _pair_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    key = (id(spark), sf_dir)
+    if key not in _COMP_CACHE:
+        _COMP_CACHE[key] = connected_components(
+            _verified_pairs(spark, sf_dir), "doc_a", "doc_b"
+        )
+    return _COMP_CACHE[key]
+
+
 def _verified_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash2 = lambda h: (h % M59 * H2_MUL + H2_ADD) % F.lit(M59)  # noqa: E731
     docs = (
@@ -407,14 +424,163 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted member list.  The DuckDB oracle recomputes components with a
     recursive label-propagation CTE, so the gate proves the star-forest
     fixpoint equals transitive closure."""
-    from ..operators.graph import connected_components
-
-    comp = connected_components(_verified_pairs(spark, sf_dir), "doc_a", "doc_b")
+    comp = _pair_components(spark, sf_dir)
     return (
         comp.groupBy(F.col("component").alias("cluster_id"))
         .agg(
             F.count("*").alias("n_members"),
             F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("member_ids"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "dedup_cluster_cliqueness",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    -- MATERIALIZED: e/comp/f are each referenced 2-3× below, and
+    -- without the hint DuckDB can re-inline the whole LSH chain per
+    -- reference (measured 17.7s → ~3s at sf0.01)
+    e AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+    und AS (
+        SELECT doc_a AS s, doc_b AS d FROM e
+        UNION
+        SELECT doc_b, doc_a FROM e
+    ),
+    reach AS (
+        SELECT s AS node, s AS lbl FROM und
+        UNION
+        SELECT u.d AS node, r.lbl FROM reach r JOIN und u ON u.s = r.node
+    ),
+    comp AS MATERIALIZED (
+        SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
+        FROM (SELECT doc_a AS node FROM e UNION ALL SELECT doc_b FROM e)
+        GROUP BY node
+    ),
+    f AS MATERIALIZED (
+        SELECT CASE WHEN (da.dg, e.doc_a) < (db.dg, e.doc_b)
+                    THEN e.doc_a ELSE e.doc_b END AS u,
+               CASE WHEN (da.dg, e.doc_a) < (db.dg, e.doc_b)
+                    THEN e.doc_b ELSE e.doc_a END AS v
+        FROM e
+        JOIN deg da ON da.node = e.doc_a
+        JOIN deg db ON db.node = e.doc_b
+    ),
+    tri AS (
+        SELECT f1.u AS a
+        FROM f f1
+        JOIN f f2 ON f2.u = f1.u AND f2.v != f1.v
+        JOIN f f3 ON f3.u = f1.v AND f3.v = f2.v
+    ),
+    tri_c AS (
+        SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM tri t JOIN comp c ON c.node = t.a GROUP BY c.cluster_id
+    ),
+    edge_c AS (
+        SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM e JOIN comp c ON c.node = e.doc_a GROUP BY c.cluster_id
+    ),
+    node_c AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY cluster_id
+    )
+    SELECT n.cluster_id, n.n_members, ec.n_edges,
+           COALESCE(tc.n_triangles, 0) AS n_triangles,
+           (2000 * ec.n_edges) // (n.n_members * (n.n_members - 1))
+               AS edge_density_milli,
+           CASE WHEN n.n_members >= 3
+                THEN (6000 * COALESCE(tc.n_triangles, 0))
+                     // (n.n_members * (n.n_members - 1) * (n.n_members - 2))
+                ELSE 0 END AS triangle_closure_milli
+    FROM node_c n
+    JOIN edge_c ec ON ec.cluster_id = n.cluster_id
+    LEFT JOIN tri_c tc ON tc.cluster_id = n.cluster_id
+    ORDER BY n.cluster_id
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_cluster_cliqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clique-ness audit of the near-dup clusters: per cluster, edge
+    density and triangle closure over the verified pair graph.  A true
+    duplicate group is a near-clique (every member similar to every
+    other → density/closure ≈ 1000‰); a long CHAIN with few triangles is
+    the signature of LSH transitive false-merging (A~B, B~C, A≁C) — the
+    audit that tells you whether electing one keeper per component was
+    safe, before deleting data at 100 TB.
+
+    Triangles are counted with the degree-ordered orientation
+    (compact-forward / Schank-Wagner): each edge points from its
+    (degree, id)-smaller endpoint to the larger, making the orientation
+    acyclic with out-fanout bounded by graph degeneracy — the wedge
+    self-join's cost is Σ deg_fwd², not Σ deg², which is what makes
+    triangle counting survive power-law graphs at scale.  Each triangle
+    then closes at EXACTLY one wedge (its lowest vertex), so the count
+    needs no dedup pass.  All joins are equi-joins on node ids; the
+    pair graph is the (persisted) LSH output, shared with
+    ``dedup_minhash_lsh``/``dedup_clusters``.
+
+    (No reference analog — SURVEY §2B north-star dedup suite.)"""
+    pairs = _verified_pairs(spark, sf_dir)
+    e = pairs.select("doc_a", "doc_b")
+    comp = _pair_components(spark, sf_dir)
+    deg = (
+        e.select(F.col("doc_a").alias("node"))
+        .unionByName(e.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    keyed = (
+        e.join(deg.select(F.col("node").alias("doc_a"), F.col("dg").alias("dg_a")), "doc_a")
+        .join(deg.select(F.col("node").alias("doc_b"), F.col("dg").alias("dg_b")), "doc_b")
+    )
+    fwd = F.struct("dg_a", "doc_a") < F.struct("dg_b", "doc_b")
+    f = keyed.select(
+        F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+        F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
+    )
+    f1 = f.select(F.col("u"), F.col("v").alias("v1"))
+    f2 = f.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = f1.join(f2, "u").where(F.col("v1") != F.col("v2"))
+    tri = wedges.join(
+        f.select(F.col("u").alias("v1"), F.col("v").alias("v2")), ["v1", "v2"]
+    ).select(F.col("u").alias("node"))
+    tri_c = tri.join(comp, "node").groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    edge_c = (
+        e.select(F.col("doc_a").alias("node"))
+        .join(comp, "node")
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    node_c = comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        node_c.join(edge_c, "cluster_id")
+        .join(tri_c, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_edges",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr("(2000 * n_edges) div (n_members * (n_members - 1))").alias(
+                "edge_density_milli"
+            ),
+            F.when(
+                F.col("n_members") >= 3,
+                F.expr(
+                    "(6000 * coalesce(n_triangles, 0)) div "
+                    "(n_members * (n_members - 1) * (n_members - 2))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("triangle_closure_milli"),
         )
         .orderBy("cluster_id")
     )
