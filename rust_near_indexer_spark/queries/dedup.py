@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..canonical import duck_hash60
+from ..canonical import duck_fingerprint, duck_hash60, fingerprint, hash60
 from ..tables import load, spread
 from . import register
 
@@ -583,6 +583,94 @@ def dedup_cluster_cliqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("triangle_closure_milli"),
         )
         .orderBy("cluster_id")
+    )
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    e AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+    und AS (
+        SELECT doc_a AS s, doc_b AS d FROM e
+        UNION
+        SELECT doc_b, doc_a FROM e
+    ),
+    reach AS (
+        SELECT s AS node, s AS lbl FROM und
+        UNION
+        SELECT u.d AS node, r.lbl FROM reach r JOIN und u ON u.s = r.node
+    ),
+    comp AS MATERIALIZED (
+        SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    grp AS (
+        SELECT a.doc_id, COALESCE(c.cluster_id, a.doc_id) AS grp
+        FROM aug a LEFT JOIN comp c ON c.node = a.doc_id
+    ),
+    sized AS (
+        SELECT doc_id, grp,
+               COUNT(*) OVER (PARTITION BY grp) AS grp_size
+        FROM grp
+    ),
+    tagged AS (
+        SELECT doc_id, grp, grp_size,
+               CASE WHEN {duck_hash60("CAST(grp AS VARCHAR)")} % 100 < 80 THEN 'train'
+                    WHEN {duck_hash60("CAST(grp AS VARCHAR)")} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM sized
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_members,
+           {duck_fingerprint('doc_id')} AS doc_fingerprint
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("llm", "dedup", "sampling"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware 80/10/10 train/val/test split: the split is hashed
+    on the doc's DEDUP CLUSTER, not its doc_id, so every member of a
+    near-dup cluster lands in the same split — otherwise a near-copy of
+    a training document sits in the test set and eval leaks (the classic
+    contamination path ``train_val_test_split`` cannot prevent, since it
+    hashes doc_id).  Docs in no cluster form singleton groups keyed by
+    their own id; assignment stays stable under corpus growth exactly
+    like the plain split.
+
+    Scale shape: CC labels are the (cached) star-forest fixpoint shared
+    with ``dedup_clusters``; group-size is one window over the label;
+    the split itself is a row-local hash — no shuffle beyond the label
+    join.  Gated on per-split counts, group counts, duplicate-member
+    counts, and exact doc_id membership fingerprints."""
+    aug = augmented_docs(spark, sf_dir).select("doc_id")
+    comp = _pair_components(spark, sf_dir).withColumnRenamed("node", "doc_id")
+    grp = aug.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("grp")
+    )
+    sized = grp.withColumn(
+        "grp_size", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    bucket = hash60(F.col("grp").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    ).alias("split")
+    return (
+        sized.select(split, "doc_id", "grp", "grp_size")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+            F.sum(F.when(F.col("grp_size") > 1, 1).otherwise(0)).alias(
+                "n_dup_members"
+            ),
+            fingerprint("doc_id").alias("doc_fingerprint"),
+        )
+        .orderBy("split")
     )
 
 

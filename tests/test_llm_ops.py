@@ -91,6 +91,53 @@ def test_prefix_filter_join_finds_every_planted_pair(spark, sf_dir):
     assert all(r["jaccard_milli"] >= 150 for r in rows)
 
 
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    """The whole point of the cluster-keyed split: every near-dup
+    cluster's members share one split (a doc_id-keyed split provably
+    violates this on the planted pairs), and the 80/10/10 shape holds."""
+    from pyspark.sql import functions as F
+
+    from rust_near_indexer_spark.queries.dedup import (
+        _pair_components,
+        augmented_docs,
+    )
+    from rust_near_indexer_spark.canonical import hash60
+
+    aug = augmented_docs(spark, sf_dir).select("doc_id")
+    comp = _pair_components(spark, sf_dir).withColumnRenamed("node", "doc_id")
+    grp = aug.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("grp")
+    )
+    bucket = hash60(F.col("grp").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    ).alias("split")
+    spanning = (
+        grp.select("grp", split)
+        .groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spanning == 0
+    # the doc_id-keyed split WOULD leak: planted pairs (d, d+100000) hash
+    # independently, so some cluster must straddle splits under it
+    doc_bucket = hash60(F.col("doc_id").cast("string")) % 100
+    doc_split = (
+        F.when(doc_bucket < 80, "train")
+        .when(doc_bucket < 90, "val")
+        .otherwise("test")
+    ).alias("split")
+    leaky = (
+        grp.select("grp", doc_split)
+        .groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaky > 0
+
+
 def test_simhash_neardups_close(spark, sf_dir):
     """Planted near-dups should land within small Hamming distance of the
     original; unrelated docs shouldn't systematically."""
