@@ -328,9 +328,12 @@ def _pair_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     if key not in _COMP_CACHE:
+        # localCheckpoint: the label table is consumed from 3+ branches
+        # per query (members/edges/triangles joins) — without the cut,
+        # the whole star-forest mapping plan is replicated per consumer
         _COMP_CACHE[key] = connected_components(
             _verified_pairs(spark, sf_dir), "doc_a", "doc_b"
-        )
+        ).localCheckpoint(eager=False)
     return _COMP_CACHE[key]
 
 
@@ -396,10 +399,13 @@ def _verified_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_LSH_CTES},
+    -- MATERIALIZED: without the hint DuckDB re-inlines the whole LSH
+    -- chain per reference of `pairs` (same fix as the clique-ness audit)
+    e AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
     und AS (
-        SELECT doc_a AS s, doc_b AS d FROM pairs
+        SELECT doc_a AS s, doc_b AS d FROM e
         UNION
-        SELECT doc_b, doc_a FROM pairs
+        SELECT doc_b, doc_a FROM e
     ),
     reach AS (
         SELECT s AS node, s AS lbl FROM und
@@ -538,10 +544,13 @@ def dedup_cluster_cliqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.select(F.col("node").alias("doc_b"), F.col("dg").alias("dg_b")), "doc_b")
     )
     fwd = F.struct("dg_a", "doc_a") < F.struct("dg_b", "doc_b")
+    # 3 consumers (two wedge sides + the closing-edge probe): cut the
+    # lineage so the degree join runs once, not per consumer — the
+    # oriented edge list is pairs-sized, tiny
     f = keyed.select(
         F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
         F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     f1 = f.select(F.col("u"), F.col("v").alias("v1"))
     f2 = f.select(F.col("u"), F.col("v").alias("v2"))
     wedges = f1.join(f2, "u").where(F.col("v1") != F.col("v2"))
