@@ -175,6 +175,7 @@ def load_registry() -> dict[str, Query]:
     from . import sampling  # noqa: F401
     from . import clustering  # noqa: F401
     from . import retrieval  # noqa: F401
+    from . import profiling  # noqa: F401
 
     missing = [n for n in GATE_PRIORITY if n not in REGISTRY]
     if missing:

@@ -430,3 +430,162 @@ def gapfill_locf_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("locf_raw"), F.lit(0)).cast("long").alias("locf_cents"),
         F.col("raw_cents").isNull().alias("is_gap"),
     ).orderBy("event_type", "bucket")
+
+
+# --- Markov transition matrix over per-user event sequences ---------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST((1000000 * n_transitions)
+                // SUM(n_transitions) OVER (PARTITION BY from_type)
+                AS BIGINT) AS prob_ppm
+    FROM cnt
+    ORDER BY from_type, to_type
+    """,
+    tags=("temporal", "sequence", "markov", "beyond-reference"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the user-journey model behind funnel discovery and
+    next-action prediction features.  For each user the events are
+    ordered by (ts µs, event_id) — the registry-wide deterministic tie
+    order — and each adjacent pair contributes one (from, to)
+    transition; probabilities are exact integer ppm (1e6·n // row
+    total), so both engines agree bit-for-bit.
+
+    Scale shape: one exchange keyed by user_id for the LEAD window
+    (state = one row), one map-combined agg keyed by (from, to) whose
+    cardinality is |event_types|² — tiny — and a window over that tiny
+    table.  No payload wider than two enum strings ever shuffles; the
+    user_id exchange is the same partitioning sessionization uses, so
+    a pipeline computing both shares it."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts_ns div 1000"), "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    cnt = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return (
+        cnt.withColumn("tot", tot)
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("(1000000 * n_transitions) div tot").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# --- rolling z-score anomaly flagging (integer-exact) ---------------------
+
+ZS_WINDOW = 20  # trailing window size (rows, excluding current)
+ZS_MIN_PRIOR = 10  # minimum history before a point can be judged
+ZS_SIGMA_SQ = 9  # flag |x - mean| > 3·sigma, squared to stay integral
+
+
+@register(
+    "rolling_zscore_anomaly",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, event_id, value_cents,
+               COUNT(value_cents) OVER w AS n_prior,
+               CAST(SUM(value_cents) OVER w AS BIGINT) AS s,
+               CAST(SUM(value_cents * value_cents) OVER w AS BIGINT) AS ss
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN {ZS_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, value_cents, n_prior,
+           CAST((n_prior * value_cents - s) * (n_prior * value_cents - s)
+                AS BIGINT) AS dev_sq,
+           CAST({ZS_SIGMA_SQ} * (n_prior * ss - s * s) AS BIGINT) AS var_sq9
+    FROM stats
+    WHERE n_prior >= {ZS_MIN_PRIOR}
+      AND (n_prior * value_cents - s) * (n_prior * value_cents - s)
+          > {ZS_SIGMA_SQ} * (n_prior * ss - s * s)
+    ORDER BY user_id, event_id
+    """,
+    tags=("temporal", "anomaly", "window", "beyond-reference"),
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detector: flag events whose value sits
+    more than 3 population-σ from the mean of the user's previous
+    ZS_WINDOW (20) events.  The z-test is done entirely in integers —
+    (n·x − Σ)² > 9·(n·Σx² − Σ²) is the 3σ rule with both sides scaled
+    by n² — so no sqrt, no float, and both engines agree exactly.
+    Magnitude: cents ≤ ~1e8 keeps n·Σx² under 2⁶³ for n=20; wider
+    domains would move the two products to decimal(38,0).
+
+    Scale shape: ONE exchange keyed by user_id; count/sum/sum-sq share
+    the same frame so Spark evaluates all three in a single window
+    pass with O(1) state per row (sliding frame add/evict).  The
+    anomaly filter then runs map-side — output is typically a tiny
+    fraction of input, so nothing wide survives to the sort."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        cents("value").alias("value_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-ZS_WINDOW, -1)
+    )
+    stats = v.select(
+        "user_id",
+        "event_id",
+        "value_cents",
+        F.count("value_cents").over(w).alias("n_prior"),
+        F.sum("value_cents").over(w).alias("s"),
+        F.sum(F.expr("value_cents * value_cents")).over(w).alias("ss"),
+    )
+    dev_sq = F.expr(
+        "(n_prior * value_cents - s) * (n_prior * value_cents - s)"
+    )
+    var_sq9 = F.expr(f"{ZS_SIGMA_SQ} * (n_prior * ss - s * s)")
+    return (
+        stats.where(
+            (F.col("n_prior") >= ZS_MIN_PRIOR) & (dev_sq > var_sq9)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "value_cents",
+            "n_prior",
+            dev_sq.alias("dev_sq"),
+            var_sq9.alias("var_sq9"),
+        )
+        .orderBy("user_id", "event_id")
+    )
