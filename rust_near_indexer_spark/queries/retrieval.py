@@ -161,3 +161,70 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_doc", "rank", "doc_id", "score_milli", "n_shared_terms")
         .orderBy("query_doc", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean conjunctive retrieval — posting-list intersection (AND query).
+# ---------------------------------------------------------------------------
+
+AND_TERMS = ("merge", "spark", "vector")  # conjunctive query terms
+
+
+@register(
+    "boolean_and_retrieval",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+        WHERE tok IN {AND_TERMS!r}
+        GROUP BY doc_id, tok
+    )
+    SELECT h.doc_id,
+           CAST(sum(h.tf) AS BIGINT) AS total_tf,
+           d.lang, d.source
+    FROM hits h JOIN documents d USING (doc_id)
+    GROUP BY h.doc_id, d.lang, d.source
+    HAVING count(*) = {len(AND_TERMS)}
+    ORDER BY h.doc_id
+    """,
+    tags=("retrieval", "llm-pipeline", "boolean", "inverted-index"),
+)
+def boolean_and_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval: documents containing ALL query
+    terms, via posting-list intersection expressed as group-count — a
+    doc qualifies iff its distinct matched-term count equals the query
+    length.  The classic AND-query over the inverted index that
+    term_posting_lists materializes.
+
+    Scale shape: the term filter runs at the scan (predicate on the
+    exploded token — rows for non-query terms never leave the map
+    side), the (doc_id, term) agg is map-combined, and the intersection
+    is a count comparison — no N-way self-join of posting lists, which
+    is the naive shape that dies at 100 TB.  The doc-metadata join
+    keys on doc_id AFTER the selective filter, so the joined side is
+    tiny; Spark broadcasts it under AQE."""
+    d = load(spark, sf_dir, "documents")
+    hits = (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .where(F.col("tok").isin(*AND_TERMS))
+        .groupBy("doc_id", "tok", "lang", "source")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        hits.groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("tf").alias("total_tf"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .where(F.col("n_terms") == len(AND_TERMS))
+        .select("doc_id", "total_tf", "lang", "source")
+        .orderBy("doc_id")
+    )

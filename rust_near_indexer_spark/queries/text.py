@@ -1326,3 +1326,155 @@ def curation_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("self_dot_pico") >= NORM_MIN_PICO)
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining — the phrase-detection pass (word2vec's
+# "new_york" preprocessing, Mikolov et al. 2013) over the corpus.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 5  # ignore bigrams rarer than this (noise floor)
+PMI_TOP_N = 50
+
+
+@register(
+    "token_pmi_phrases",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    uni AS (SELECT unnest(w) AS tok FROM toks),
+    ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM uni),
+    big AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM toks, unnest(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2
+    ),
+    bcnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        FROM big GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_PAIR}
+    )
+    SELECT w1, w2, n_pair,
+           CAST((1000000 * CAST(n_pair AS HUGEINT) * t) // (u1.c * u2.c)
+                AS BIGINT) AS pmi_ratio_micro
+    FROM bcnt
+    JOIN ucnt u1 ON u1.tok = w1
+    JOIN ucnt u2 ON u2.tok = w2, tot
+    ORDER BY pmi_ratio_micro DESC, w1, w2
+    LIMIT {PMI_TOP_N}
+    """,
+    tags=("text", "llm-pipeline", "collocation", "pmi"),
+)
+def token_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: rank adjacent-token bigrams by pointwise
+    mutual information — the phrase-detection preprocessing step of
+    word2vec-style pipelines (frequent high-PMI bigrams become joined
+    phrase tokens).  PMI's log is monotone, so ranking by the exact
+    integer ratio argument N(x,y)·T / (N(x)·N(y)) in micro units is
+    rank-identical to ranking by PMI while staying bit-exact across
+    engines; the count floor kills the rare-pair PMI bias.
+
+    Scale shape: bigram generation is row-local; unigram and bigram
+    counts are both map-combined aggs (vocab- and vocab²-sized — tiny
+    next to the corpus).  The two count joins key on single tokens:
+    both sides are vocabulary-sized, so at 100 TB either side
+    broadcasts or the join shuffles only (token, long) pairs.  The
+    corpus-total T is a 1-row broadcast.  The final top-N sorts the
+    vocab²-bounded result, never corpus rows.  Products run in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB), cast to BIGINT on
+    output — values ≤1e6·n_pair·T stay far under 2⁶³ for any corpus
+    whose bigram table fits a cluster, but the cast keeps the
+    intermediate exact regardless."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w")).where(
+        F.size("w") >= 2
+    )
+    uni = toks.select(F.explode("w").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("t"))
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    joined = (
+        bcnt.join(F.broadcast(ucnt.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(ucnt.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_pair * t) DIV (c1 * c2) AS BIGINT)"
+    )
+    return (
+        joined.select("w1", "w2", "n_pair", pmi.alias("pmi_ratio_micro"))
+        .orderBy(F.col("pmi_ratio_micro").desc(), "w1", "w2")
+        .limit(PMI_TOP_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction — one round of byte-pair-encoding vocabulary
+# training (Sennrich et al. 2016) as a distributed count.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_N = 30
+
+
+@register(
+    "bpe_pair_induction",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    p AS (
+        SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+        FROM toks, unnest(range(1, length(tok))) AS u(i)
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_pair
+    FROM p GROUP BY pair
+    ORDER BY n_pair DESC, pair
+    LIMIT {BPE_TOP_N}
+    """,
+    tags=("text", "llm-pipeline", "tokenizer", "bpe"),
+)
+def bpe_pair_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE vocabulary induction: count every adjacent
+    symbol pair across all token instances and rank — the top pair is
+    the merge a BPE trainer would apply next.  (Iterating rounds =
+    re-tokenize with the merged symbol and recount; each round is this
+    same distributed count, so the one-round operator is the building
+    block.)  Counts are exact integers — trivially hash-stable.
+
+    Scale shape: pair generation is row-local (length-1 pairs per
+    token, built by sequence+transform inside codegen — no Python);
+    the count is ONE map-combined aggregate whose key space is the
+    character-bigram alphabet (≤ |charset|²) — partial counts shrink
+    each partition's output to at most that many rows before the
+    exchange, so the shuffle is O(alphabet²·partitions) regardless of
+    corpus size.  The classic 100 TB wordcount shape."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).where(
+        F.length("tok") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), "pair")
+        .limit(BPE_TOP_N)
+    )
