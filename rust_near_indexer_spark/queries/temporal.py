@@ -589,3 +589,174 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --- OHLC candlestick rollup (hypertable time_bucket first/last) ----------
+
+
+@register(
+    "ohlc_candles",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+               epoch_us(ts) AS ts_us, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    rk AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+                                  ORDER BY ts_us, event_id) AS rn_open,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn_close
+        FROM v
+    )
+    SELECT event_type, bucket_us,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM rk
+    GROUP BY event_type, bucket_us
+    ORDER BY event_type, bucket_us
+    """,
+    tags=("temporal", "rollup", "ohlc", "beyond-reference"),
+)
+def ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) candles per event type — the
+    canonical financial/hypertable rollup where open and close are
+    order-dependent aggregates.  First/last are made deterministic by
+    the registry-wide (ts µs, event_id) tie order, expressed as
+    row_number-over-bucket so both engines pick the identical row even
+    when timestamps collide; high/low/count are plain aggregates.
+
+    Scale shape: ONE exchange keyed by (event_type, hour-bucket) feeds
+    both row_number windows (same partitioning, opposite sort — Spark
+    evaluates them in two sorts over one exchange) and the final
+    aggregate reuses the partitioning, so the whole candle pipeline is
+    a single shuffle of (enum, bucket, cents) triples.  In streaming
+    form the same algebra runs under operators/rollup.py's incremental
+    tiers — first/last carry (ts, event_id) payloads so tiers merge
+    associatively."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        (F.expr("(ts_ns div 1000) div 3600000000") * 3600000000).alias("bucket_us"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        cents("value").alias("cents"),
+    )
+    pb = Window.partitionBy("event_type", "bucket_us")
+    rk = v.select(
+        "event_type",
+        "bucket_us",
+        "cents",
+        F.row_number().over(pb.orderBy("ts_us", "event_id")).alias("rn_open"),
+        F.row_number()
+        .over(pb.orderBy(F.col("ts_us").desc(), F.col("event_id").desc()))
+        .alias("rn_close"),
+    )
+    return (
+        rk.groupBy("event_type", "bucket_us")
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("cents"))).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("cents"))).alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bucket_us")
+    )
+
+
+# --- merge overlapping intervals (gaps-and-islands) -----------------------
+
+ISLAND_PAD_US = 5 * 60 * 1_000_000  # error window: ±5 min around each error
+
+
+@register(
+    "interval_merge_islands",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) - {ISLAND_PAD_US} AS start_us,
+               epoch_us(ts) + {ISLAND_PAD_US} AS end_us,
+               event_id
+        FROM events WHERE event_type = 'error'
+    ),
+    o AS (
+        SELECT *,
+               CAST(MAX(end_us) OVER (
+                   PARTITION BY user_id ORDER BY start_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT) AS prev_max_end
+        FROM iv
+    ),
+    g AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN prev_max_end IS NULL
+                             OR start_us > prev_max_end THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY start_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+        FROM o
+    )
+    SELECT user_id, island_id,
+           CAST(MIN(start_us) AS BIGINT) AS island_start_us,
+           CAST(MAX(end_us) AS BIGINT) AS island_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_errors
+    FROM g
+    GROUP BY user_id, island_id
+    ORDER BY user_id, island_id
+    """,
+    tags=("temporal", "intervals", "gaps-and-islands", "beyond-reference"),
+)
+def interval_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals (gaps-and-islands): each error event
+    spawns a ±5-minute incident interval; overlapping intervals per
+    user coalesce into maximal islands with their error counts — the
+    interval-union operator behind incident grouping, downtime
+    accounting, and span coalescing.  An island break happens exactly
+    when an interval starts after the running max end of all earlier
+    intervals; the running count of breaks is the island id.  All
+    integer µs — exact on both engines.
+
+    Scale shape: one exchange keyed by user_id serves both window
+    passes (running max-end, then running break-count — same
+    partitioning AND same (start_us, event_id) sort, so Spark
+    evaluates them over one sorted pass) and the island aggregate
+    reuses the same keys.  State per row is O(1); no self-join — the
+    naive interval-overlap self-join is quadratic per user and never
+    survives scale."""
+    e = load(spark, sf_dir, "events")
+    iv = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        (F.expr("ts_ns div 1000") - ISLAND_PAD_US).alias("start_us"),
+        (F.expr("ts_ns div 1000") + ISLAND_PAD_US).alias("end_us"),
+        "event_id",
+    )
+    ws = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    o = iv.withColumn(
+        "prev_max_end",
+        F.max("end_us").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    g = o.withColumn(
+        "island_id",
+        F.sum(
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("start_us") > F.col("prev_max_end")),
+                1,
+            ).otherwise(0)
+        ).over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        g.groupBy("user_id", "island_id")
+        .agg(
+            F.min("start_us").alias("island_start_us"),
+            F.max("end_us").alias("island_end_us"),
+            F.count(F.lit(1)).alias("n_errors"),
+        )
+        .orderBy("user_id", "island_id")
+    )

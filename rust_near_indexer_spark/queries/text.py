@@ -1478,3 +1478,85 @@ def bpe_pair_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), "pair")
         .limit(BPE_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source rank normalization of quality scores — score calibration.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "score_rank_normalize",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               LEAST(500, len(string_split(text, ' ')))
+               + LEAST(300, len(list_filter(string_split(text, ' '),
+                                            w -> w IN {_MARKERS_SQL})) * 25)
+               - LEAST(200, (len(regexp_extract_all(text, '[^\\w\\s]')) * 1000)
+                            // GREATEST(len(string_split(text, ' ')), 1))
+                   AS score_milli
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, CAST(score_milli AS BIGINT) AS score_milli,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score_milli, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM q
+    )
+    SELECT doc_id, source, score_milli,
+           CAST(rn AS BIGINT) AS rank_in_source,
+           CAST(((rn - 1) * 1000000) // GREATEST(n - 1, 1) AS BIGINT) AS pctl_ppm
+    FROM r
+    ORDER BY doc_id
+    """,
+    tags=("text", "llm-pipeline", "calibration", "quantile-normalize"),
+)
+def score_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank normalization of the lexical quality score —
+    the calibration step that makes quality thresholds comparable
+    across sources whose raw score distributions differ (a web crawl
+    and a books corpus need different absolute cutoffs; the percentile
+    is the source-free knob).  Percentile is exact integer ppm of the
+    (rank−1)/(n−1) form with doc_id tie-break, so both engines emit
+    identical values — no float CDF.
+
+    Scale shape: scoring is row-local at the scan; ranking is one
+    exchange keyed by source with a sort — the count-over-partition
+    rides the same window state.  At 100 TB a handful of sources makes
+    this the classic few-large-groups sort: AQE splits stragglers, and
+    a production variant switches to a two-pass histogram CDF at the
+    same contract (documented trade-off; the operator's output
+    contract is engine-checked here)."""
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_tokens = F.size(words)
+    marker_hits = F.size(F.filter(words, lambda w: w.isin(*MARKER_WORDS)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0)))
+    score = (
+        F.least(F.lit(500), n_tokens)
+        + F.least(F.lit(300), marker_hits * 25)
+        - F.least(
+            F.lit(200),
+            F.floor(n_punct * 1000 / F.greatest(n_tokens, F.lit(1))).cast("long"),
+        )
+    )
+    scored = d.select("doc_id", "source", score.cast("long").alias("score_milli"))
+    ws = Window.partitionBy("source")
+    r = scored.select(
+        "doc_id",
+        "source",
+        "score_milli",
+        F.row_number().over(ws.orderBy("score_milli", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "score_milli",
+        F.col("rn").cast("long").alias("rank_in_source"),
+        F.expr("((rn - 1) * 1000000) div greatest(n - 1, 1)")
+        .cast("long")
+        .alias("pctl_ppm"),
+    ).orderBy("doc_id")
