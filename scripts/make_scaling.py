@@ -62,9 +62,12 @@ Sorted by the 10x ratio (descending); `x10` = t(sf0.1)/t(sf0.01),
 TAIL = """
 ## Reading the outliers
 
-- `table_fingerprint`: order-independent xor-fingerprint of EVERY
-  column of EVERY row — the one query that is a full-data scan with
-  per-cell hashing by design. Linear in data, as it must be.
+- `bpe_pair_induction`, `column_profile`, `table_fingerprint` (top
+  ratios, all ≤5x for 10x data): by design these touch every character
+  / every cell of their input — per-character pair explode, the
+  7-way Expand profile pass, per-cell xor-fingerprinting. Linear in
+  data with a high constant, exactly the expected asymptote; their
+  sub-10x ratios show the constant still dominates at sf0.1.
 - `text_repetition_filter`, `quality_classifier_score`,
   `lm_bigram_score`, `importance_weighted_sample`, and the other
   2-3x rows: full-corpus token explodes — per-token work dominates
