@@ -824,3 +824,155 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "min_spend_cents", "max_spend_cents", "total_spend_cents")
         .orderBy("quartile")
     )
+
+
+@register(
+    "cube_returns_by_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY grouping_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("cube", "grouping-sets", "beyond-reference"),
+)
+def cube_returns_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with GROUPING() ids: all four aggregation
+    granularities of (returnflag, linestatus) in one pass, each row
+    tagged with the bitmask distinguishing a real NULL key from a
+    subtotal NULL — the disambiguation every BI export needs.
+    Completes the grouping-sets class next to revenue_rollup (ROLLUP)
+    and region_rollup.
+
+    Scale shape: like ROLLUP, Spark lowers CUBE to ONE Expand +
+    map-combined aggregation — each input row fans to 4 grouping-set
+    rows map-side, partial sums collapse them before the single
+    exchange, so shuffle volume is bounded by the group-domain size ×4,
+    never the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+        )
+        .select("l_returnflag", "l_linestatus", "grouping_id", "n", "revenue_cents")
+        .orderBy(
+            "grouping_id",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+HIST_BUCKETS = 10
+
+
+@register(
+    "equi_depth_histogram",
+    oracle=f"""
+    WITH v AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    t AS (
+        SELECT cents,
+               NTILE({HIST_BUCKETS}) OVER (ORDER BY cents, o_orderkey) AS bucket
+        FROM v
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("histogram", "profiling", "beyond-reference"),
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order totals: NTILE over
+    the (cents, orderkey) total order — the histogram shape optimizers
+    and data-profilers prefer over equi-width because every bucket
+    carries the same row count regardless of skew.  The unique-key tie
+    order makes bucket boundaries deterministic in both engines.
+
+    Scale shape: honest caveat — NTILE over an unpartitioned window is
+    a single-reducer total sort, which is the correct local[32] plan
+    but NOT the 100 TB plan; at scale this operator becomes
+    range-partitioned sampling (Spark's rangepartitioning already
+    computes exactly the needed quantile cuts from a sample — the
+    RangePartitioner sketch) or an approx_percentile pre-pass, both
+    preserving the same output contract modulo boundary sampling.  The
+    exact-NTILE form here is the oracle-checkable ground truth those
+    scale paths are validated against (same pattern as
+    doc_length_percentiles / corpus_shuffle_order's rank)."""
+    o = load(spark, sf_dir, "orders")
+    v = o.select("o_orderkey", cents("o_totalprice").alias("cents"))
+    t = v.select(
+        "cents",
+        F.ntile(HIST_BUCKETS)
+        .over(Window.orderBy("cents", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"), "lo_cents", "hi_cents", "n")
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "user_modal_event",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+        SELECT user_id, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS modal_event, n AS modal_count
+    FROM r WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("mode", "aggregate", "beyond-reference"),
+)
+def user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group with a deterministic tie rule: each
+    user's most frequent event type (count desc, then lexicographic) —
+    the argmax-per-group aggregate ClickHouse spells topK/argMax and
+    ANSI 2023 spells MODE, made engine-portable by the explicit tie
+    order.
+
+    Scale shape: the heavy reduction happens FIRST (map-combined
+    (user, type) counts — output bounded by users × |types|); the
+    argmax window then rides a user-keyed exchange of those tiny count
+    rows.  Catalyst plans the rn=1 filter as WindowGroupLimit, so
+    per-user candidate lists never sort beyond the running top-1."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_event"),
+            F.col("n").alias("modal_count"),
+        )
+        .orderBy("user_id")
+    )
