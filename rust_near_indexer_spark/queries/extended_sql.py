@@ -976,3 +976,75 @@ def user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "snapshot_reconcile_diff",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_1995
+        FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_1996
+        FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           a.cents_1995, b.cents_1996,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                WHEN a.cents_1995 = b.cents_1996 THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           COALESCE(b.cents_1996, 0) - COALESCE(a.cents_1995, 0) AS delta_cents
+    FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("reconciliation", "full-outer-join", "validation", "beyond-reference"),
+)
+def snapshot_reconcile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation diff: two aggregates of the same fact at
+    different periods FULL-OUTER-joined and classified
+    added/removed/changed/unchanged with a signed delta — the
+    table-diff operator behind migration validation and store
+    cross-checks (the reference's validate.sh compares ClickHouse
+    against DuckDB table-by-table; this is that comparison as a single
+    distributed query instead of a count loop).
+
+    Scale shape: each snapshot reduces map-side FIRST (customer-keyed
+    partial sums), so the full-outer join exchanges only (key, long)
+    pairs — never fact rows; classification is a row-local CASE after
+    the join.  Both sides share the same key partitioning, and on
+    bucketed snapshot tables (sinks.write_bucketed) the join is
+    exchange-free."""
+    o = load(spark, sf_dir, "orders")
+
+    def snap(year: int, alias: str) -> DataFrame:
+        return (
+            o.where(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(cents("o_totalprice")).alias(alias))
+        )
+
+    a = snap(1995, "cents_1995")
+    b = snap(1996, "cents_1996")
+    j = a.join(b, "o_custkey", "full_outer")
+    status = (
+        F.when(F.col("cents_1995").isNull(), "added")
+        .when(F.col("cents_1996").isNull(), "removed")
+        .when(F.col("cents_1995") == F.col("cents_1996"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        "o_custkey",
+        "cents_1995",
+        "cents_1996",
+        status.alias("status"),
+        (
+            F.coalesce(F.col("cents_1996"), F.lit(0))
+            - F.coalesce(F.col("cents_1995"), F.lit(0))
+        ).alias("delta_cents"),
+    ).orderBy("o_custkey")
