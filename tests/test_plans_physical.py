@@ -292,3 +292,100 @@ def test_prefix_filter_join_no_arrays_no_cartesian(spark, sf_dir):
     # window-based df/size + rank, then join-based candidates/verify
     assert "Window" in plan
     assert "HashAggregate" in plan
+
+
+# --- round-5 batch-2/3 plan pins (node-counted from formatted explain) ----
+
+
+def _node_counts(spark, name, sf_dir):
+    import re as _re
+    from collections import Counter
+
+    plan = _plan(spark, name, sf_dir)
+    nodes = Counter(
+        m.group(1) for m in _re.finditer(r"^\(\d+\) ([A-Za-z]+)", plan, _re.M)
+    )
+    return plan, nodes
+
+
+def test_islands_windows_share_one_exchange(spark, sf_dir):
+    """Both island window passes (running max-end, break-count) ride ONE
+    user_id hash exchange — no per-window re-shuffle, no interval
+    self-join."""
+    plan, nodes = _node_counts(spark, "interval_merge_islands", sf_dir)
+    assert plan.count("hashpartitioning(") == 1
+    assert nodes.get("Join", 0) == 0 and nodes.get("CartesianProduct", 0) == 0
+
+
+def test_ohlc_single_hash_exchange(spark, sf_dir):
+    """Open/close row_number windows and the candle aggregate share one
+    (event_type, bucket) hash exchange; the desc window re-sorts, never
+    re-shuffles."""
+    plan, nodes = _node_counts(spark, "ohlc_candles", sf_dir)
+    assert plan.count("hashpartitioning(") == 1
+    assert nodes["Window"] == 2 and nodes["Sort"] >= 2
+
+
+def test_zscore_single_window_pass(spark, sf_dir):
+    """count/sum/sum-sq share one sliding frame: exactly one Window node
+    over one user hash exchange."""
+    plan, nodes = _node_counts(spark, "rolling_zscore_anomaly", sf_dir)
+    assert plan.count("hashpartitioning(") == 1
+    assert nodes["Window"] == 1
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    """The multi-distinct profile reads orders ONCE (one Expand over one
+    parquet scan), not once per column."""
+    plan, nodes = _node_counts(spark, "column_profile", sf_dir)
+    assert nodes["Scan"] == 1
+    assert nodes["Expand"] == 1
+
+
+def test_pmi_broadcasts_unigram_counts(spark, sf_dir):
+    """Both unigram-count joins and the 1-row total broadcast; the final
+    top-N is a TakeOrdered, not a global sort."""
+    plan, nodes = _node_counts(spark, "token_pmi_phrases", sf_dir)
+    assert nodes.get("BroadcastExchange", 0) >= 3
+    assert "TakeOrderedAndProject" in plan
+    assert nodes.get("CartesianProduct", 0) == 0
+
+
+def test_boolean_retrieval_has_no_join(spark, sf_dir):
+    """The query-term filter runs map-side on the exploded token and doc
+    metadata rides the grouping keys — zero join nodes, one scan."""
+    plan, nodes = _node_counts(spark, "boolean_and_retrieval", sf_dir)
+    assert not any("Join" in n for n in nodes)
+    assert nodes["Scan"] == 1
+
+
+def test_fuzzy_join_blocks_are_equi_joined(spark, sf_dir):
+    """Candidate generation is an equi-join on the block key over the
+    name dictionary — never a cartesian over names or rows."""
+    plan, nodes = _node_counts(spark, "fuzzy_edit_distance_join", sf_dir)
+    assert nodes.get("CartesianProduct", 0) == 0
+    assert nodes.get("BroadcastNestedLoopJoin", 0) == 0
+    assert any(n.endswith("HashJoin") or n == "SortMergeJoin" for n in nodes)
+
+
+def test_modal_event_rides_window_group_limit(spark, sf_dir):
+    """The rn=1 argmax plans as WindowGroupLimit (partial + final), so
+    per-user candidates never fully sort."""
+    plan, nodes = _node_counts(spark, "user_modal_event", sf_dir)
+    assert nodes.get("WindowGroupLimit", 0) >= 1
+
+
+def test_cube_lowers_to_one_expand_one_exchange(spark, sf_dir):
+    """CUBE = one Expand + one aggregation hash exchange, like ROLLUP."""
+    plan, nodes = _node_counts(spark, "cube_returns_by_status", sf_dir)
+    assert nodes["Expand"] == 1
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_reconcile_diff_aggregates_before_outer_join(spark, sf_dir):
+    """Both snapshots reduce to (key, long) BEFORE the full-outer join:
+    partial+final aggregates per snapshot, and the join is an equi
+    full-outer — no fact-row join."""
+    plan, nodes = _node_counts(spark, "snapshot_reconcile_diff", sf_dir)
+    assert nodes["HashAggregate"] >= 4
+    assert "FullOuter" in plan
