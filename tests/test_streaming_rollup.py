@@ -98,3 +98,71 @@ def test_merge_tier_is_order_insensitive(spark, sf_dir):
     ba = _tier_dict(rollup.merge_tier(tb, ta))
     whole = _tier_dict(rollup.minute_tier(ev))
     assert ab == ba == whole
+
+
+# --- OHLC (AggregatingMergeTree-parity) tier ------------------------------
+
+
+def _prepared_ohlc(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+
+
+def test_ohlc_merge_equals_batch_candles(spark, sf_dir):
+    """Chunked micro-batches folded through merge_ohlc_tier must equal
+    both the batch-at-once tier AND the registry's ohlc_candles query —
+    open/close survive arbitrary batch boundaries because the argmin/
+    argmax state carries its own (ts_us, event_id) ordering key."""
+    from rust_near_indexer_spark.queries import load_registry
+
+    ev = _prepared_ohlc(spark, sf_dir)
+    # adversarial split: round-robin by event_id, so every bucket's rows
+    # scatter across ALL chunks (open and close usually land in
+    # different chunks)
+    chunks = [
+        rollup.ohlc_tier(ev.where(F.col("event_id") % N_CHUNKS == c))
+        for c in range(N_CHUNKS)
+    ]
+    maintained = chunks[0]
+    for delta in chunks[1:]:
+        maintained = rollup.merge_ohlc_tier(maintained, delta)
+    merged = {
+        (r["event_type"], r["bucket_start_us"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"],
+        )
+        for r in rollup.finalize_ohlc(maintained).collect()
+    }
+    batch = {
+        (r["event_type"], r["bucket_start_us"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"],
+        )
+        for r in rollup.finalize_ohlc(rollup.ohlc_tier(ev)).collect()
+    }
+    assert merged == batch
+    query = {
+        (r["event_type"], r["bucket_us"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"],
+        )
+        for r in load_registry()["ohlc_candles"].spark(spark, sf_dir).collect()
+    }
+    assert merged == query
+
+
+def test_ohlc_coarsen_hour_to_day(spark, sf_dir):
+    """A day tier re-aggregated from the hour tier (merge at coarser
+    buckets) equals the day tier computed from raw — the continuous-
+    aggregate identity for order-dependent aggregates."""
+    ev = _prepared_ohlc(spark, sf_dir)
+    hour = rollup.ohlc_tier(ev, width=rollup.US_PER_HOUR)
+    day_from_hour = rollup.coarsen_ohlc(hour, rollup.US_PER_DAY)
+    day_raw = rollup.ohlc_tier(ev, width=rollup.US_PER_DAY)
+    a = {tuple(r) for r in rollup.finalize_ohlc(day_from_hour).collect()}
+    b = {tuple(r) for r in rollup.finalize_ohlc(day_raw).collect()}
+    assert a == b
