@@ -166,3 +166,50 @@ def test_ohlc_coarsen_hour_to_day(spark, sf_dir):
     a = {tuple(r) for r in rollup.finalize_ohlc(day_from_hour).collect()}
     b = {tuple(r) for r in rollup.finalize_ohlc(day_raw).collect()}
     assert a == b
+
+
+def test_streamed_ohlc_merge_equals_batch(spark, sf_dir, tmp_path):
+    """The OHLC tier under the same foreachBatch incremental-MV loop:
+    each micro-batch's partial candles merge into a parquet-backed
+    maintained tier; after draining, the maintained candles equal the
+    batch-at-once candles.  Chunks are round-robin by event_id, so a
+    bucket's open and close typically arrive in different micro-batches
+    — the merge must re-elect them across batches."""
+    ev = _prepared_ohlc(spark, sf_dir)
+    chunk_dir = str(tmp_path / "ohlc_chunks")
+    for c in range(N_CHUNKS):
+        ev.where(F.col("event_id") % N_CHUNKS == c).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(chunk_dir, f"c{c}"))
+        (part,) = glob.glob(os.path.join(chunk_dir, f"c{c}", "part-*.parquet"))
+        shutil.move(part, os.path.join(chunk_dir, f"{c:03d}.parquet"))
+        shutil.rmtree(os.path.join(chunk_dir, f"c{c}"))
+    state_dir = str(tmp_path / "ohlc_tier")
+    schema = "ts_us long, event_id long, event_type string, vc long"
+
+    def on_batch(batch_df, batch_id):
+        delta = rollup.ohlc_tier(batch_df)
+        if os.path.exists(state_dir):
+            existing = batch_df.sparkSession.read.parquet(state_dir)
+            merged = rollup.merge_ohlc_tier(existing, delta)
+        else:
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ohlc_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        tuple(r)
+        for r in rollup.finalize_ohlc(spark.read.parquet(state_dir)).collect()
+    }
+    batch = {tuple(r) for r in rollup.finalize_ohlc(rollup.ohlc_tier(ev)).collect()}
+    assert streamed == batch
