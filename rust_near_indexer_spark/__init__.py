@@ -23,3 +23,5 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+from .caching import clear_caches  # noqa: E402,F401  (session-cache teardown hook)

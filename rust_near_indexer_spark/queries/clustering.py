@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import SessionCache
 from ..canonical import duck_fingerprint, duck_hash60, fingerprint
 from ..tables import load, spread
 from . import register
@@ -132,7 +133,7 @@ def _assign(vec: DataFrame, cen: DataFrame, carry: tuple = ()) -> DataFrame:
     )
 
 
-_CEN_CACHE: dict = {}
+_CEN_CACHE = SessionCache("clustering.centroids")
 
 
 def _final_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,8 +143,7 @@ def _final_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair cache in dedup.py)."""
     from ..plans.state import _materialize
 
-    key = (id(spark), sf_dir)
-    if key not in _CEN_CACHE:
+    def build() -> DataFrame:
         vec = _quantized(spark, sf_dir)
         cen = _materialize(
             vec.where(
@@ -166,8 +166,9 @@ def _final_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array(*[F.expr(f"s{i} div n") for i in range(DIM)]).alias("ce"),
                 )
             )
-        _CEN_CACHE[key] = cen
-    return _CEN_CACHE[key]
+        return cen
+
+    return _CEN_CACHE.get_or_build(spark, (sf_dir,), build)
 
 
 @register(

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import SessionCache
 from ..canonical import duck_fingerprint, duck_hash60, fingerprint, hash60
 from ..tables import load, spread
 from . import register
@@ -144,13 +145,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(words) -> F.Column:
-    """Distinct 3-word shingles."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-        )
-    )
+    """Distinct 3-word shingles.  Docs of <3 words yield an empty array
+    (the unclamped sequence(1, n-2) would descend through 0 and make
+    slice(w, 0, 3) raise INVALID_INDEX_OF_ZERO)."""
+    return F.when(
+        F.size(words) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 2),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 _SHINGLES_SQL = (
@@ -201,19 +207,19 @@ _SIMHASH_TERMS_SQL = " + ".join(
 # Shingle sets are consumed from multiple branches of the minhash chain
 # AND (4×) by the prefix-filter join's tokenize/size/verify branches —
 # persist once per (session, sf_dir), same pattern as _PAIRS_CACHE.
-_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+_SHINGLE_CACHE = SessionCache("dedup.shingles")
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _SHINGLE_CACHE:
+    def build() -> DataFrame:
         aug = augmented_docs(spark, sf_dir)
-        _SHINGLE_CACHE[key] = (
+        return (
             aug.select("doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh"))
             .where(F.size("sh") > 0)
             .persist()
         )
-    return _SHINGLE_CACHE[key]
+
+    return _SHINGLE_CACHE.get_or_build(spark, (sf_dir,), build)
 
 
 def cap_hot_buckets(bands: DataFrame, cap: int = MAX_BUCKET_DOCS) -> DataFrame:
@@ -305,36 +311,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cache per (session, sf_dir) so the driver's sequential query loop runs
 # the shingle→minhash→band→verify chain once (same pattern as
 # near_events.bronze_tables).
-_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_PAIRS_CACHE = SessionCache("dedup.pairs")
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs ``(doc_a, doc_b, jaccard_milli)`` —
     unsorted; shared by dedup_minhash_lsh and dedup_clusters."""
-    key = (id(spark), sf_dir)
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = _verified_pairs_plan(spark, sf_dir).persist()
-    return _PAIRS_CACHE[key]
+    return _PAIRS_CACHE.get_or_build(
+        spark, (sf_dir,), lambda: _verified_pairs_plan(spark, sf_dir).persist()
+    )
 
 
 # The CC fixpoint over the pair graph is an iterative multi-job loop —
 # shared by dedup_clusters AND dedup_cluster_cliqueness, cache its
 # (already-materialized) label table per (session, sf_dir) too.
-_COMP_CACHE: dict[tuple, DataFrame] = {}
+_COMP_CACHE = SessionCache("dedup.components")
 
 
 def _pair_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
-    key = (id(spark), sf_dir)
-    if key not in _COMP_CACHE:
+    def build() -> DataFrame:
         # localCheckpoint: the label table is consumed from 3+ branches
         # per query (members/edges/triangles joins) — without the cut,
         # the whole star-forest mapping plan is replicated per consumer
-        _COMP_CACHE[key] = connected_components(
+        return connected_components(
             _verified_pairs(spark, sf_dir), "doc_a", "doc_b"
         ).localCheckpoint(eager=False)
-    return _COMP_CACHE[key]
+
+    return _COMP_CACHE.get_or_build(spark, (sf_dir,), build)
 
 
 def _verified_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,12 +816,19 @@ _SHINGLES5_SQL = (
 
 
 def _shingles5(words) -> F.Column:
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 4),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 5)),
-        )
-    )
+    # Clamp the sequence end at 0 for docs of <5 words (matching the
+    # oracle's GREATEST(len(w)-4, 0)); without the clamp sequence(1, n-4)
+    # DESCENDS through 0 for short docs and slice(w, 0, 5) raises
+    # INVALID_INDEX_OF_ZERO at runtime instead of yielding no shingles.
+    return F.when(
+        F.size(words) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 4),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 5)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @register(

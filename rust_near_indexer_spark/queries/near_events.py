@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import canonical, schemas
+from ..caching import SessionCache
 from ..plans.pipeline import run_bronze
 from ..session import tune
 from . import register
@@ -54,22 +55,22 @@ def load_assets(spark: SparkSession) -> DataFrame:
 
 # One bronze run feeds every query below; persisted per (session, mode) so
 # the driver's sequential query loop doesn't recompute the state fixpoint.
-_CACHE: dict[tuple, dict[str, DataFrame]] = {}
+_CACHE = SessionCache("near_events.bronze")
 
 
 def bronze_tables(
     spark: SparkSession, block_end: int | None = None, events_only: bool = False
 ) -> dict[str, DataFrame]:
-    key = (id(spark), block_end, events_only)
-    if key not in _CACHE:
+    def build() -> dict[str, DataFrame]:
         tables = run_bronze(
             load_blocks(spark),
             ttl_blocks=TTL_BLOCKS,
             block_end=block_end,
             events_only=events_only,
         )
-        _CACHE[key] = {k: v.persist() for k, v in tables.items()}
-    return _CACHE[key]
+        return {k: v.persist() for k, v in tables.items()}
+
+    return _CACHE.get_or_build(spark, (block_end, events_only), build)
 
 
 def _golden(name: str, where: str = "") -> str:

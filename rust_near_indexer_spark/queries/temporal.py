@@ -526,13 +526,17 @@ ZS_SIGMA_SQ = 9  # flag |x - mean| > 3·sigma, squared to stay integral
                      ROWS BETWEEN {ZS_WINDOW} PRECEDING AND 1 PRECEDING)
     )
     SELECT user_id, event_id, value_cents, n_prior,
-           CAST((n_prior * value_cents - s) * (n_prior * value_cents - s)
-                AS BIGINT) AS dev_sq,
-           CAST({ZS_SIGMA_SQ} * (n_prior * ss - s * s) AS BIGINT) AS var_sq9
+           CAST(CAST(n_prior * value_cents - s AS DECIMAL(38,0))
+                * (n_prior * value_cents - s) AS BIGINT) AS dev_sq,
+           CAST(CAST({ZS_SIGMA_SQ} AS DECIMAL(38,0))
+                * (CAST(n_prior AS DECIMAL(38,0)) * ss
+                   - CAST(s AS DECIMAL(38,0)) * s) AS BIGINT) AS var_sq9
     FROM stats
     WHERE n_prior >= {ZS_MIN_PRIOR}
-      AND (n_prior * value_cents - s) * (n_prior * value_cents - s)
-          > {ZS_SIGMA_SQ} * (n_prior * ss - s * s)
+      AND CAST(n_prior * value_cents - s AS DECIMAL(38,0))
+          * (n_prior * value_cents - s)
+          > CAST({ZS_SIGMA_SQ} AS DECIMAL(38,0))
+            * (CAST(n_prior AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)
     ORDER BY user_id, event_id
     """,
     tags=("temporal", "anomaly", "window", "beyond-reference"),
@@ -543,8 +547,14 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZS_WINDOW (20) events.  The z-test is done entirely in integers —
     (n·x − Σ)² > 9·(n·Σx² − Σ²) is the 3σ rule with both sides scaled
     by n² — so no sqrt, no float, and both engines agree exactly.
-    Magnitude: cents ≤ ~1e8 keeps n·Σx² under 2⁶³ for n=20; wider
-    domains would move the two products to decimal(38,0).
+    Magnitude: the window sums n/s/ss stay BIGINT (needs cents ≤ ~1e8
+    for n=20), but the two squared products are computed in
+    DECIMAL(38,0) on BOTH engines — 9·(n·Σx² − Σ²) can reach ~3.6e19
+    > 2⁶³ already at the 1e8-cent bound, and BIGINT there would wrap
+    silently on non-ANSI Spark while DuckDB raises.  The exact decimal
+    predicate means the FILTER never diverges; only the two reported
+    diagnostic columns cast to BIGINT (exact for cents ≤ ~3e7; beyond
+    that the cast diverges LOUDLY — null vs raise — not silently).
 
     Scale shape: ONE exchange keyed by user_id; count/sum/sum-sq share
     the same frame so Spark evaluates all three in a single window
@@ -572,9 +582,13 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("value_cents * value_cents")).over(w).alias("ss"),
     )
     dev_sq = F.expr(
-        "(n_prior * value_cents - s) * (n_prior * value_cents - s)"
+        "CAST(n_prior * value_cents - s AS DECIMAL(38,0))"
+        " * (n_prior * value_cents - s)"
     )
-    var_sq9 = F.expr(f"{ZS_SIGMA_SQ} * (n_prior * ss - s * s)")
+    var_sq9 = F.expr(
+        f"CAST({ZS_SIGMA_SQ} AS DECIMAL(38,0))"
+        " * (CAST(n_prior AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"
+    )
     return (
         stats.where(
             (F.col("n_prior") >= ZS_MIN_PRIOR) & (dev_sq > var_sq9)
@@ -584,8 +598,8 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "value_cents",
             "n_prior",
-            dev_sq.alias("dev_sq"),
-            var_sq9.alias("var_sq9"),
+            dev_sq.cast("bigint").alias("dev_sq"),
+            var_sq9.cast("bigint").alias("var_sq9"),
         )
         .orderBy("user_id", "event_id")
     )

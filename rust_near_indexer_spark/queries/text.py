@@ -1387,13 +1387,15 @@ def token_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose bigram table fits a cluster, but the cast keeps the
     intermediate exact regardless."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w")).where(
-        F.size("w") >= 2
-    )
+    # Unigram counts and the corpus total T come from the UNFILTERED token
+    # stream (mirroring the oracle, whose len(w) >= 2 predicate guards only
+    # the bigram CTE); single-token docs contribute to N(x) and T but
+    # produce no bigrams.
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     uni = toks.select(F.explode("w").alias("tok"))
     ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = uni.agg(F.count(F.lit(1)).alias("t"))
-    big = toks.select(
+    big = toks.where(F.size("w") >= 2).select(
         F.explode(
             F.zip_with(
                 F.slice("w", 1, F.size("w") - 1),

@@ -28,6 +28,14 @@ load_registry()
 
 BAD_TYPES = {"HUGEINT", "UHUGEINT"}
 
+# Queries whose DECIMAL output columns are INTENTIONAL (the Spark side
+# returns the matching DecimalType, so the typed harness compares them
+# as decimals, not floats).  Everything else outputting DECIMAL is a
+# likely unfinished BIGINT cast — flagged.
+DECIMAL_ALLOWLIST: dict[str, set[str]] = {
+    "r25_dip4_transfers": {"total_amount"},
+}
+
 
 def scan(sf_dir: str) -> list[tuple[str, str, str]]:
     con = duck_connect(sf_dir)
@@ -39,6 +47,10 @@ def scan(sf_dir: str) -> list[tuple[str, str, str]]:
         for col, typ in zip(rel.columns, rel.types):
             t = str(typ)
             if t in BAD_TYPES:
+                offenders.append((name, col, t))
+            elif t.startswith("DECIMAL") and col not in DECIMAL_ALLOWLIST.get(
+                name, ()
+            ):
                 offenders.append((name, col, t))
     return offenders
 
@@ -52,4 +64,4 @@ if __name__ == "__main__":
         for name, col, t in offenders:
             print(f"  BAD {name}.{col}: {t}")
         sys.exit(1)
-    print("no HUGEINT/UHUGEINT output columns")
+    print("no HUGEINT/UHUGEINT or unallowlisted DECIMAL output columns")
