@@ -178,6 +178,12 @@ def main() -> int:
     t0 = time.perf_counter()
     times = bench_queries(spark, sf_dir)
     total = round(time.perf_counter() - t0, 3)
+    # Release the query-suite persist caches (LSH pairs, bronze tables,
+    # centroids) before the throughput phases so they measure from cold
+    # executors, not against pinned memory.
+    from rust_near_indexer_spark.caching import clear_caches
+
+    clear_caches()
     blocks_per_sec = bench_bronze_blocks(spark)
     streaming = bench_streaming_latency(spark)
 
@@ -190,6 +196,9 @@ def main() -> int:
         "blocks_per_sec": blocks_per_sec,
         **streaming,
         "n_queries": len(times),
+        # pointer for readers of the (trimmed) driver line: the full
+        # untrimmed per-query timings live in this repo file
+        "full_bench": "BENCH_FULL.json",
     }
     # Full per-query data for the judge (not tail-limited).
     with open(os.path.join(_REPO_DIR, "BENCH_FULL.json"), "w") as f:

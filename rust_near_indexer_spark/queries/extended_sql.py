@@ -872,6 +872,9 @@ def cube_returns_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HIST_BUCKETS = 10
+# contiguous sort-key ranges for the two-phase exact rank (terasort
+# pattern); at 100 TB this is #executors-sized, the cumsum stays tiny
+HIST_RANGE_PARTS = 32
 
 
 @register(
@@ -896,38 +899,66 @@ HIST_BUCKETS = 10
     tags=("histogram", "profiling", "beyond-reference"),
 )
 def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (equal-count) histogram of order totals: NTILE over
-    the (cents, orderkey) total order — the histogram shape optimizers
-    and data-profilers prefer over equi-width because every bucket
-    carries the same row count regardless of skew.  The unique-key tie
-    order makes bucket boundaries deterministic in both engines.
+    """Equi-depth (equal-count) histogram of order totals: exact NTILE
+    semantics over the (cents, orderkey) total order — the histogram
+    shape optimizers and data-profilers prefer over equi-width because
+    every bucket carries the same row count regardless of skew.  The
+    unique-key tie order makes bucket boundaries deterministic in both
+    engines.
 
-    Scale shape: honest caveat — NTILE over an unpartitioned window is
-    a single-reducer total sort, which is the correct local[32] plan
-    but NOT the 100 TB plan; at scale this operator becomes
-    range-partitioned sampling (Spark's rangepartitioning already
-    computes exactly the needed quantile cuts from a sample — the
-    RangePartitioner sketch) or an approx_percentile pre-pass, both
-    preserving the same output contract modulo boundary sampling.  The
-    exact-NTILE form here is the oracle-checkable ground truth those
-    scale paths are validated against (same pattern as
-    doc_length_percentiles / corpus_shuffle_order's rank)."""
+    Scale shape: the global rank that NTILE needs is computed WITHOUT
+    a global window — the terasort two-phase pattern already pinned
+    for corpus_shuffle_order: (1) ``repartitionByRange`` splits rows
+    into contiguous (cents, orderkey) ranges (Spark's RangePartitioner
+    derives balanced cuts from a deterministic reservoir sample — the
+    exact rank is boundary-independent, balance is all the sample
+    buys), (2) tiny per-partition counts roll into broadcast
+    cumulative offsets, (3) each range ranks internally (row_number
+    partitioned by the range id) and adds its offset.  The NTILE
+    bucket is then pure arithmetic on (rank, N): the first N mod B
+    buckets take ceil(N/B) rows, the rest floor(N/B) — bit-identical
+    to the oracle's single NTILE window.  Every corpus-sized exchange
+    is range- or pid-keyed; the only single-partition step is the
+    per-range count cumsum (#partitions rows)."""
     o = load(spark, sf_dir, "orders")
     v = o.select("o_orderkey", cents("o_totalprice").alias("cents"))
-    t = v.select(
-        "cents",
-        F.ntile(HIST_BUCKETS)
-        .over(Window.orderBy("cents", "o_orderkey"))
-        .alias("bucket"),
+    ranged = v.repartitionByRange(HIST_RANGE_PARTS, "cents", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    w_cum = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("pn").over(w_cum), F.lit(0)).alias("offset")
+    )
+    total = counts.agg(F.sum("pn").alias("n_total"))
+    w_part = Window.partitionBy("pid").orderBy("cents", "o_orderkey")
+    ranked = (
+        ranged.withColumn("rn", F.row_number().over(w_part))
+        .join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rank", F.col("offset") + F.col("rn"))  # 1-based global
+    )
+    # NTILE(B) over N rows: buckets 1..(N mod B) hold ceil(N/B) rows,
+    # the rest floor(N/B).  (q=0 when N<B routes every row through the
+    # first branch, so the div-by-zero arm is never taken.)
+    b = HIST_BUCKETS
+    bucket = F.expr(
+        f"CASE WHEN rank <= (n_total % {b}) * (n_total div {b} + 1)"
+        f" THEN (rank - 1) div (n_total div {b} + 1) + 1"
+        f" ELSE (n_total % {b}) + (rank - (n_total % {b}) * (n_total div {b} + 1) - 1)"
+        f"      div (n_total div {b}) + 1 END"
     )
     return (
-        t.groupBy("bucket")
+        ranked.select("cents", bucket.alias("bucket"))
+        .groupBy("bucket")
         .agg(
             F.min("cents").alias("lo_cents"),
             F.max("cents").alias("hi_cents"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select(F.col("bucket").cast("long").alias("bucket"), "lo_cents", "hi_cents", "n")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"), "lo_cents", "hi_cents", "n"
+        )
         .orderBy("bucket")
     )
 

@@ -389,3 +389,54 @@ def test_reconcile_diff_aggregates_before_outer_join(spark, sf_dir):
     plan, nodes = _node_counts(spark, "snapshot_reconcile_diff", sf_dir)
     assert nodes["HashAggregate"] >= 4
     assert "FullOuter" in plan
+
+
+def test_equi_depth_histogram_rank_is_range_partitioned(spark, sf_dir):
+    """VERDICT r05 #1: the NTILE-equivalent global rank must come from
+    the two-phase terasort pattern — a rangepartitioning exchange into
+    contiguous (cents, orderkey) ranges, per-range row_number windows
+    keyed by the range id, and broadcast cumulative offsets.  The only
+    single-partition window is the #partitions-row offset cumsum; no
+    corpus-sized global Window remains."""
+    plan, nodes = _node_counts(spark, "equi_depth_histogram", sf_dir)
+    assert "rangepartitioning(cents" in plan
+    assert "hashpartitioning(pid" in plan
+    assert nodes.get("BroadcastExchange", 0) >= 1 or "BroadcastHashJoin" in nodes
+    assert nodes.get("CartesianProduct", 0) == 0
+
+
+def test_pareto_frontier_prefix_is_range_partitioned(spark, sf_dir):
+    """The skyline's prefix-max must be the two-phase pattern: a
+    rangepartitioning exchange on day, per-range windows keyed by pid,
+    broadcast cross-partition maxima — no corpus-sized global Window."""
+    plan, nodes = _node_counts(spark, "pareto_frontier_orders", sf_dir)
+    assert "rangepartitioning(day" in plan
+    assert "hashpartitioning(pid" in plan
+    assert nodes.get("BroadcastExchange", 0) >= 1
+    assert nodes.get("CartesianProduct", 0) == 0
+
+
+def test_skew_profile_is_one_count_pass(spark, sf_dir):
+    """The per-key count is computed ONCE (materialized) and reused by
+    both the global-stats side and the top-N — the fact table is never
+    scanned twice, and the 1-row stats ride a broadcast."""
+    plan, nodes = _node_counts(spark, "join_key_skew_profile", sf_dir)
+    assert plan.count("Scan parquet") == 0  # consumed via the checkpoint
+    assert nodes.get("BroadcastExchange", 0) >= 1
+    assert nodes.get("CartesianProduct", 0) == 0
+
+
+def test_label_propagation_rounds_are_equi_joins(spark, sf_dir):
+    """Every LP round is an equi-join + min-agg over (node, long)
+    pairs — no cartesian, no nested-loop join anywhere in the plan."""
+    plan, nodes = _node_counts(spark, "label_propagation_communities", sf_dir)
+    assert nodes.get("CartesianProduct", 0) == 0
+    assert nodes.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_ewma_is_single_keyed_exchange(spark, sf_dir):
+    """The sequential fold shuffles ONCE on user_id into the Arrow
+    applyInPandas operator; no other corpus exchange exists."""
+    plan, nodes = _node_counts(spark, "ewma_user_value", sf_dir)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "FlatMapGroupsInPandas" in plan
