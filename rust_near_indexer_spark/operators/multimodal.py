@@ -5,11 +5,17 @@ a typed metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched pandas iterators over ``mapInPandas`` — the only
 sanctioned Python boundary in this engine.
 
-The image/audio codec libraries are NOT in this container, so the real
-decoders are STUBS (``NotImplementedError`` with the intended contract
-documented); ``extract_features`` is the deterministic fake decode whose
+Codec reality: the container has no PIL/opencv/ffmpeg, but the stdlib
+CAN genuinely decode two formats — binary PNM (P5/P6) images and PCM16
+WAV audio — so ``decode_image``/``decode_audio`` implement those for
+real (magic-byte dispatch) and raise ``NotImplementedError`` with the
+same contract for library-bound formats (PNG/JPEG/MP3/...), which a
+production image swaps in without touching the Spark plumbing.
+``extract_features`` remains the deterministic fake decode whose
 Spark-side plumbing — schema, Arrow batching, partition mapping, UDF
-signature — is real and oracle-tested (queries/multimodal_features).
+signature — is oracle-tested (queries/multimodal_features);
+``decoded_stats`` is the REAL-codec end-to-end path (pytest-pinned
+against independently computed values).
 
 Scale posture: payload bytes never pass through a shuffle — feature
 extraction is mapInPandas on the scan partition; only the small feature
@@ -168,21 +174,136 @@ def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
 
-def decode_image(payload: bytes, meta: dict):  # pragma: no cover - stub
-    """STUB — image decode (PIL/opencv not in this container).
+def decode_image(payload: bytes, meta: dict):
+    """Image decode: bytes → HWC uint8 ndarray.
 
-    Contract: bytes → HWC uint8 ndarray; runs inside the mapInPandas
-    iterator below, one Arrow batch at a time, never on the driver.
+    REAL for the stdlib-parseable binary PNM family — P6 (RGB) and P5
+    (grayscale) rasters are a pure header+``np.frombuffer`` parse, so
+    one genuine codec path executes in-sandbox.  Every other container
+    format (PNG/JPEG/WebP — codec libs absent here) raises
+    ``NotImplementedError`` with the same contract; a deployment with
+    PIL/opencv extends the magic-byte dispatch below, and the
+    mapInPandas plumbing around it is unchanged.  Runs inside the Arrow
+    batch iterator, one batch at a time, never on the driver.
     """
-    raise NotImplementedError("image codecs unavailable in this environment")
+    import numpy as np
+
+    magic = bytes(payload[:2])
+    if magic in (b"P6", b"P5"):
+        # binary PNM: magic, whitespace/comments, width, height, maxval,
+        # ONE whitespace byte, raw samples
+        fields: list[int] = []
+        i = 2
+        while len(fields) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment to EOL
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        w, h, maxval = fields[0], fields[1], fields[2]
+        if maxval > 255:
+            raise NotImplementedError("16-bit PNM not supported")
+        c = 3 if magic == b"P6" else 1
+        raster = np.frombuffer(bytes(payload[i : i + w * h * c]), dtype=np.uint8)
+        if raster.size != w * h * c:
+            raise ValueError(f"truncated PNM: want {w * h * c} bytes, got {raster.size}")
+        return raster.reshape(h, w, c)
+    raise NotImplementedError(
+        f"image codec for magic {magic!r} unavailable in this environment "
+        "(PNM P5/P6 is the in-sandbox real path)"
+    )
 
 
-def decode_audio(payload: bytes, meta: dict):  # pragma: no cover - stub
-    """STUB — audio decode (soundfile/ffmpeg not in this container).
+def decode_audio(payload: bytes, meta: dict):
+    """Audio decode: bytes → (samples float32 ndarray in [-1, 1],
+    sample_rate).
 
-    Contract: bytes → (samples float32 ndarray, sample_rate).
+    REAL for RIFF/WAVE PCM16 via the stdlib ``wave`` module — the
+    in-sandbox genuine codec path.  Compressed formats (MP3/OGG/FLAC —
+    codec libs absent) raise ``NotImplementedError`` under the same
+    contract.
     """
-    raise NotImplementedError("audio codecs unavailable in this environment")
+    import io
+    import wave
+
+    import numpy as np
+
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            if wf.getsampwidth() != 2:
+                raise NotImplementedError("only PCM16 WAV supported")
+            frames = wf.readframes(wf.getnframes())
+            pcm = np.frombuffer(frames, dtype="<i2")
+            if wf.getnchannels() > 1:
+                pcm = pcm.reshape(-1, wf.getnchannels())
+            return pcm.astype(np.float32) / 32768.0, wf.getframerate()
+    raise NotImplementedError(
+        f"audio codec for magic {bytes(payload[:4])!r} unavailable in this "
+        "environment (PCM16 WAV is the in-sandbox real path)"
+    )
+
+
+DECODED_STATS_SCHEMA = (
+    "media_id long, kind string, dim0 long, dim1 long, n_values long, mean_milli long"
+)
+
+
+def decoded_stats(media: DataFrame) -> DataFrame:
+    """End-to-end REAL-codec feature extraction over mapInPandas: decode
+    each payload with the genuine stdlib codec (PNM image / WAV audio)
+    and emit integer summary features — for images (dim0, dim1) =
+    (height, width), n_values = pixel-samples, mean_milli = 1000·mean
+    pixel (floor); for audio (dim0, dim1) = (sample_rate, channels),
+    n_values = samples, mean_milli = 1000·mean |pcm16| (floor).
+    Undecodable payloads are dropped (counted upstream via observe if
+    needed).  Integer outputs keep the result engine-comparable."""
+
+    def _stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "kind", "dim0", "dim1", "n_values", "mean_milli")}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    if kind == "image":
+                        img = decode_image(payload, {})
+                        h, w, _c = img.shape
+                        vals = img.reshape(-1).astype(np.int64)
+                        row = (h, w, int(vals.size), int(vals.sum() * 1000 // vals.size))
+                    elif kind == "audio":
+                        samples, rate = decode_audio(payload, {})
+                        pcm = np.abs((samples * 32768.0).astype(np.int64))
+                        nch = samples.shape[1] if samples.ndim > 1 else 1
+                        row = (
+                            rate,
+                            nch,
+                            int(pcm.size),
+                            int(pcm.sum() * 1000 // pcm.size) if pcm.size else 0,
+                        )
+                    else:
+                        continue
+                except Exception:  # undecodable payload (bad magic,
+                    continue  # truncated raster, codec-less format): drop
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["dim0"].append(row[0])
+                out["dim1"].append(row[1])
+                out["n_values"].append(row[2])
+                out["mean_milli"].append(row[3])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_stats, schema=DECODED_STATS_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

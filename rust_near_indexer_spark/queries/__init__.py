@@ -176,6 +176,7 @@ def load_registry() -> dict[str, Query]:
     from . import clustering  # noqa: F401
     from . import retrieval  # noqa: F401
     from . import profiling  # noqa: F401
+    from . import advanced  # noqa: F401
 
     missing = [n for n in GATE_PRIORITY if n not in REGISTRY]
     if missing:

@@ -1,0 +1,412 @@
+"""Round-6 advanced operators: exact sequential folds, skew
+diagnostics, Pareto frontiers, bounded label propagation, and lift
+binning — the remaining ops a 100 TB training-data pipeline reaches for
+once dedup/similarity/text/temporal are in place.
+
+Like every module here, each operator states its 100 TB shape in the
+docstring and carries a bit-exact DuckDB oracle.  The recurring theme
+of this batch is *order-dependent or order-aware computation without a
+global single-reducer pass*: the EWMA fold shuffles once by key and
+keeps O(1) state; the Pareto frontier reuses the two-phase
+range-partitioned prefix pattern (corpus_shuffle_order,
+equi_depth_histogram); label propagation is a bounded number of
+equi-join rounds over an edges table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..canonical import cents
+from ..tables import load
+from . import register
+from .dedup import _LSH_CTES, _verified_pairs
+
+# ---------------------------------------------------------------------------
+# Exact integer EWMA per key (order-dependent sequential fold).
+# ---------------------------------------------------------------------------
+
+EWMA_SHIFT = 3  # alpha = 1/8: e_t = (x_t + 7*e_{t-1}) div 8
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+        SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS x,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, rn, x AS e FROM v WHERE rn = 1
+        UNION ALL
+        SELECT v.user_id, v.rn, (v.x + {(1 << EWMA_SHIFT) - 1} * r.e) // {1 << EWMA_SHIFT}
+        FROM r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(arg_max(e, rn) AS BIGINT) AS ewma_cents
+    FROM r GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("temporal", "stateful", "fold", "beyond-reference"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer EWMA of event value per user: e_1 = x_1,
+    e_t = (x_t + 7·e_{t-1}) div 8 over the (ts, event_id) order — the
+    feature-engineering smoother behind engagement/price trend signals.
+    Floor-division fixed point keeps it bit-exact across engines (floor
+    == truncate on the non-negative cent domain); the recurrence is
+    inherently sequential per key, which is exactly what the oracle's
+    recursive CTE states.
+
+    Scale shape: ONE shuffle keyed by user_id into ``applyInPandas``;
+    the fold is O(events-per-user) time and O(1) state per key, the
+    same keyed-fold shape as the Lee-et-al. substring fingerprint and
+    the TWS sessionizer — at 100 TB every key folds independently on
+    its partition, and output is one row per key.  A python-level loop
+    over the group's rows is unavoidable (the recurrence has no closed
+    form under floor division) but runs on Arrow-materialized arrays
+    inside the worker, never row-at-a-time through serialization."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        cents("value").alias("x"),
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        e_acc = 0
+        first = True
+        mul, den = (1 << EWMA_SHIFT) - 1, 1 << EWMA_SHIFT
+        for x in pdf["x"]:
+            x = int(x)
+            e_acc = x if first else (x + mul * e_acc) // den
+            first = False
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma_cents": [e_acc],
+            }
+        )
+
+    return (
+        v.groupBy("user_id")
+        .applyInPandas(fold, schema="user_id long, n_events long, ewma_cents long")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics.
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_N = 20
+
+
+@register(
+    "join_key_skew_profile",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(n_rows) AS BIGINT) AS max_rows FROM c)
+    SELECT key, n_rows,
+           (1000000 * n_rows) // t.total AS share_ppm,
+           (1000000 * n_rows * t.n_keys) // t.total AS skew_ppm
+    FROM c, t
+    ORDER BY n_rows DESC, key
+    LIMIT {SKEW_TOP_N}
+    """,
+    tags=("profiling", "skew", "diagnostics", "beyond-reference"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the top heavy hitters of a join column
+    (lineitem.l_partkey) with absolute count, corpus share, and skew
+    ratio vs the uniform expectation (1e6 = perfectly uniform) — the
+    profile that decides between plain shuffle join, AQE skew split,
+    and explicit salting.  Integer ppm keeps it engine-exact.
+
+    Scale shape: ONE map-combined count keyed by the join key (partials
+    shrink each partition to its distinct keys), a 1-row global
+    aggregate broadcast back, and a top-N sort over keys — never rows.
+    This is the cheapest possible skew probe: strictly less work than
+    the join it de-risks.  The per-key count table is materialized once
+    (localCheckpoint) because both the global stats and the top-N
+    consume it — without the cut Catalyst re-derives it per branch and
+    scans the fact table twice."""
+    from ..plans.state import _materialize
+
+    li = load(spark, sf_dir, "lineitem")
+    c = _materialize(
+        li.groupBy(F.col("l_partkey").alias("key")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+    )
+    t = c.agg(
+        F.sum("n_rows").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("(1000000 * n_rows) div total").alias("share_ppm"),
+            F.expr("(1000000 * n_rows * n_keys) div total").alias("skew_ppm"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(SKEW_TOP_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline) without a global window.
+# ---------------------------------------------------------------------------
+
+PARETO_RANGE_PARTS = 32
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "pareto_frontier_orders",
+    oracle=f"""
+    WITH v AS (
+        SELECT o_orderkey,
+               epoch_us(o_orderdate) // {_US_PER_DAY} AS day,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    m AS (
+        SELECT o_orderkey, CAST(day AS BIGINT) AS day, cents,
+               MAX(cents) OVER (ORDER BY day
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS best_before
+        FROM v
+    )
+    SELECT o_orderkey, day, cents FROM m
+    WHERE best_before IS NULL OR best_before <= cents
+    ORDER BY o_orderkey
+    """,
+    tags=("skyline", "pareto", "beyond-reference"),
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): orders not strictly dominated —
+    no other order is BOTH more expensive and strictly earlier.  The
+    data-selection primitive behind "keep the best examples per cost"
+    curation sweeps.  In 2-D the skyline reduces to a prefix-max scan
+    over the date order: a row survives iff the max price over strictly
+    earlier days does not exceed its own.
+
+    Scale shape: the prefix-max is computed WITHOUT a global window —
+    the same two-phase pattern as equi_depth_histogram:
+    ``repartitionByRange`` on day puts contiguous day ranges (equal
+    days never straddle) on separate partitions, each partition scans
+    its own running max over a day-range frame, and the cross-partition
+    prefix is a broadcast cumulative max over the per-partition maxima
+    (#partitions rows).  Every corpus-sized exchange is range/pid
+    keyed."""
+    o = load(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        # o_orderdate arrives TIMESTAMP_NTZ; cast through TIMESTAMP in the
+        # UTC session (tune() pins UTC) so unix_micros matches epoch_us
+        F.expr(
+            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
+        ).alias("day"),
+        cents("o_totalprice").alias("cents"),
+    )
+    ranged = v.repartitionByRange(PARETO_RANGE_PARTS, "day").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    pmax = ranged.groupBy("pid").agg(F.max("cents").alias("mx"))
+    w_cum = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = pmax.select("pid", F.max("mx").over(w_cum).alias("prev_max"))
+    w_day = Window.partitionBy("pid").orderBy("day").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        ranged.withColumn("run_max", F.max("cents").over(w_day))
+        .join(F.broadcast(prefix), "pid")
+        .withColumn(
+            "best_before",
+            F.greatest(
+                F.coalesce(F.col("run_max"), F.lit(-1)),
+                F.coalesce(F.col("prev_max"), F.lit(-1)),
+            ),
+        )
+        .where(F.col("best_before") <= F.col("cents"))
+        .select("o_orderkey", "day", "cents")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded label propagation over the near-dup pair graph.
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 3
+
+
+def _lp_oracle() -> str:
+    rounds = []
+    for r in range(1, LP_ROUNDS + 1):
+        rounds.append(
+            f"""m{r} AS (
+        SELECT u.s AS node, MIN(l.lbl) AS nb
+        FROM und u JOIN l{r - 1} l ON l.node = u.d GROUP BY u.s
+    ),
+    l{r} AS (
+        SELECT l.node, LEAST(l.lbl, COALESCE(m.nb, l.lbl)) AS lbl
+        FROM l{r - 1} l LEFT JOIN m{r} m ON m.node = l.node
+    )"""
+        )
+    return f"""
+    WITH {_LSH_CTES},
+    e AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+    und AS (
+        SELECT doc_a AS s, doc_b AS d FROM e
+        UNION
+        SELECT doc_b, doc_a FROM e
+    ),
+    l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM und),
+    {",".join(rounds)}
+    SELECT lbl AS community_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           array_to_string(list_sort(list(node)), ',') AS member_ids
+    FROM l{LP_ROUNDS} GROUP BY lbl ORDER BY community_id
+    """
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lp_oracle(),
+    tags=("graph", "communities", "dedup", "beyond-reference"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded min-label propagation (LP_ROUNDS rounds) over the
+    verified near-dup pair graph: each round every node adopts the
+    minimum label in its closed neighborhood.  Unlike the
+    connected-components fixpoint (dedup_clusters), the bounded variant
+    is the *diameter-limited* community view — chains longer than
+    LP_ROUNDS hops stay split — which is what curation pipelines use
+    when transitive near-dup closure over-merges (the "hub document"
+    chaining pathology).  Deterministic: min is order-free.
+
+    Scale shape: per round ONE equi-join of the label table against the
+    edge list keyed by node + a map-combined min — the textbook Pregel
+    step as DataFrames; LP_ROUNDS is a constant, so the whole operator
+    is O(rounds) shuffles of (node, long) pairs.  The label table is
+    localCheckpointed per round to keep lineage flat (same rule as the
+    CC fixpoint)."""
+    from ..plans.state import _materialize
+
+    pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    und = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("s", "d")
+        .distinct()
+    )
+    labels = _materialize(
+        und.select(F.col("s").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    )
+    for _ in range(LP_ROUNDS):
+        nb = (
+            und.join(labels.withColumnRenamed("node", "d"), "d")
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nb"))
+            .withColumnRenamed("s", "node")
+        )
+        labels = _materialize(
+            labels.join(nb, "node", "left").select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nb"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("member_ids"),
+        )
+        .orderBy("community_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature binning with lift statistics.
+# ---------------------------------------------------------------------------
+
+BIN_CENTS = 5000  # $50 bins over the 0..~$490 value domain
+
+
+@register(
+    "feature_bin_liftstats",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) // {BIN_CENTS} AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+    ),
+    b AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM v GROUP BY bin
+    ),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(SUM(n_pos) AS BIGINT) AS tot_pos FROM b)
+    SELECT bin, n, n_pos,
+           (1000000 * n_pos) // n AS pos_ppm,
+           CASE WHEN g.tot_pos = 0 THEN NULL
+                ELSE (1000000 * n_pos * g.tot) // (n * g.tot_pos) END AS lift_ppm
+    FROM b, g
+    ORDER BY bin
+    """,
+    tags=("binning", "features", "classifier", "beyond-reference"),
+)
+def feature_bin_liftstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width feature binning with class-lift statistics: bin the
+    event value, count positives (purchases) per bin, and report the
+    per-bin positive rate and its lift vs the global rate (1e6 =
+    baseline) — the evidence table behind monotone-binning / WOE
+    feature engineering for quality classifiers, kept in exact integer
+    ppm (log-WOE is monotone in the lift ratio, so ranking/thresholding
+    on lift_ppm is rank-identical).
+
+    Scale shape: ONE map-combined aggregate keyed by bin (bin domain =
+    value-range/width — tiny), a 1-row global broadcast, arithmetic
+    map-side.  The classic wordcount shape."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        F.expr(f"CAST(ROUND(value * 100) AS BIGINT) div {BIN_CENTS}").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    b = v.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    g = b.agg(F.sum("n").alias("tot"), F.sum("n_pos").alias("tot_pos"))
+    return (
+        b.crossJoin(F.broadcast(g))
+        .select(
+            "bin",
+            "n",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.expr("(1000000 * n_pos) div n").alias("pos_ppm"),
+            F.expr(
+                "CASE WHEN tot_pos = 0 THEN NULL"
+                " ELSE (1000000 * n_pos * tot) div (n * tot_pos) END"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("bin")
+    )

@@ -74,12 +74,13 @@ def process_batch(
     ttl_blocks: int = state.DEFAULT_TTL_BLOCKS,
     events_only: bool = False,
     with_silver: bool = False,
-) -> None:
+) -> int:
     """One micro-batch: the streaming body of handle_streamer_message
-    (handlers/mod.rs:66-139) over a batch of blocks."""
+    (handlers/mod.rs:66-139) over a batch of blocks.  Returns the number
+    of blocks processed (0 for an empty trigger)."""
     spark = blocks.sparkSession
     if blocks.isEmpty():
-        return
+        return 0
 
     # One JSON parse per batch: blocks feeds the two flattens and the
     # max-height agg, and flat_txs feeds three consumers (seeds,
@@ -156,6 +157,7 @@ def process_batch(
     flat_outcomes.unpersist()
     flat_txs.unpersist()
     blocks.unpersist()
+    return int(agg["n"])
 
 
 def run_streaming(
@@ -169,31 +171,53 @@ def run_streaming(
     max_files_per_trigger: int = 1,
     events_only: bool = False,
     with_silver: bool = False,
+    source_kind: str = "file",
 ) -> None:
     """Run the streaming indexer over all available block files
     (Trigger.AvailableNow — R5's bounded-stop in streaming form) and
-    block until the backlog drains."""
+    block until the backlog drains.
+
+    ``source_kind`` selects the block-source adapter (R1/R2 seam —
+    sources.block_stream; the Spark rendering of the reference's
+    data-source switch, indexer-clickhouse/src/main.rs:59-79).  The
+    downstream pipeline is source-agnostic: all kinds deliver the same
+    schema in the same height order.
+    """
+    from . import sources
+
     state_dir = state_dir or os.path.join(out_dir, "_state")
-    stream = (
-        spark.readStream.schema(schemas.BLOCK)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .json(blocks_dir)
+    stream = sources.block_stream(
+        spark, source_kind, blocks_dir, blocks_per_trigger=max_files_per_trigger
     )
-    query = (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: process_batch(
-                df,
-                bid,
-                out_dir,
-                state_dir,
-                accounts=accounts,
-                ttl_blocks=ttl_blocks,
-                events_only=events_only,
-                with_silver=with_silver,
-            )
+    processed = {"n": 0}
+
+    def _batch(df: DataFrame, bid: int) -> None:
+        processed["n"] += process_batch(
+            df,
+            bid,
+            out_dir,
+            state_dir,
+            accounts=accounts,
+            ttl_blocks=ttl_blocks,
+            events_only=events_only,
+            with_silver=with_silver,
         )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
-    query.awaitTermination()
+    if source_kind == "rate-lookup":
+        # The sequence source is unbounded — bounded-stop (R5) comes
+        # from the driver: stop once every block in the lookup table has
+        # been joined through (idle tail triggers join to zero rows).
+        import time
+
+        expected = spark.read.schema(schemas.BLOCK).json(blocks_dir).count()
+        query = writer.trigger(processingTime="0 seconds").start()
+        while query.isActive and processed["n"] < expected:
+            time.sleep(0.05)
+        query.stop()
+        query.awaitTermination()
+    else:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()

