@@ -410,3 +410,205 @@ def feature_bin_liftstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment similarity join (asymmetric near-dup: quotes/excerpts).
+# ---------------------------------------------------------------------------
+
+CONT_TAU_MILLI = 800
+
+
+def _containment_oracle() -> str:
+    from .dedup import _SHINGLES5_SQL
+
+    return f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    exc AS (
+        SELECT doc_id + 300000 AS doc_id,
+               w[1:GREATEST(len(w) // 2, 5)] AS w
+        FROM base WHERE len(w) >= 10
+    ),
+    corpus AS (SELECT doc_id, w FROM base UNION ALL SELECT doc_id, w FROM exc),
+    sh AS (
+        SELECT doc_id, {_SHINGLES5_SQL} AS sh FROM corpus
+        WHERE len({_SHINGLES5_SQL}) > 0
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    t1 AS (
+        SELECT doc_id, s,
+               COUNT(*) OVER (PARTITION BY s) AS df,
+               COUNT(*) OVER (PARTITION BY doc_id) AS sz
+        FROM tok
+    ),
+    t2 AS (
+        SELECT doc_id, s, sz,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn
+        FROM t1
+    ),
+    prefix AS (
+        SELECT doc_id, s, sz FROM t2
+        WHERE rn <= sz - (({CONT_TAU_MILLI} * sz + 999) // 1000) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS contained_id, b.doc_id AS container_id,
+               a.sz AS sz_a
+        FROM prefix a JOIN t1 b ON a.s = b.s AND a.doc_id != b.doc_id
+        WHERE b.sz * 1000 >= {CONT_TAU_MILLI} * a.sz
+    ),
+    ver AS (
+        SELECT c.contained_id, c.container_id, c.sz_a,
+               COUNT(*) AS inter
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.contained_id
+        JOIN tok tb ON tb.doc_id = c.container_id AND tb.s = ta.s
+        GROUP BY 1, 2, 3
+    )
+    SELECT contained_id, container_id,
+           CAST((1000 * inter) // sz_a AS BIGINT) AS containment_milli
+    FROM ver
+    WHERE (1000 * inter) // sz_a >= {CONT_TAU_MILLI}
+    ORDER BY contained_id, container_id
+    """
+
+
+@register(
+    "dedup_containment_join",
+    oracle=_containment_oracle(),
+    tags=("llm", "dedup", "containment", "beyond-reference"),
+)
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join: find documents whose 5-gram shingle
+    set is ≥ τ contained in another document's — the quote/excerpt/
+    boilerplate-wrapper dedup Jaccard misses (a short excerpt has LOW
+    Jaccard against its source but containment 1.0).  The corpus is
+    augmented with planted excerpts (first half of every ≥10-word doc,
+    +300000) whose contiguous shingles are subsets by construction.
+
+    Prefix-filter principle, containment form: C(A→B) ≥ τ forces A and
+    B to share one of A's first |A| − ceil(τ·|A|) + 1 rarest shingles —
+    so only the PROBE side is prefix-reduced and the index side stays
+    full (Chaudhuri et al.'s SSJoin asymmetry).  A size filter
+    (|B| ≥ τ·|A|) prunes, exact shared-shingle counting verifies.
+
+    Scale shape: identical to dedup_prefix_filter_join — one exploded
+    token table, df/size as keyed window counts, candidates from an
+    equi-join keyed by globally-rare shingles, verification re-joins
+    candidates against the token table; no array column ever crosses a
+    shuffle, never all-pairs."""
+    from .dedup import _shingles5
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    exc = base.where(F.size("w") >= 10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.slice("w", 1, F.greatest(F.expr("size(w) div 2"), F.lit(5))).alias("w"),
+    )
+    corpus = base.unionByName(exc)
+    sh = corpus.select("doc_id", _shingles5(F.col("w")).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    t1 = tok.select(
+        "doc_id",
+        "s",
+        F.count(F.lit(1)).over(Window.partitionBy("s")).alias("df"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+    )
+    t2 = t1.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    )
+    prefix = t2.where(
+        F.col("rn")
+        <= F.col("sz") - F.expr(f"({CONT_TAU_MILLI} * sz + 999) div 1000") + 1
+    ).select(F.col("doc_id").alias("contained_id"), "s", F.col("sz").alias("sz_a"))
+    idx = t1.select(
+        F.col("doc_id").alias("container_id"), "s", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        prefix.join(idx, "s")
+        .where(F.col("contained_id") != F.col("container_id"))
+        .where(F.col("sz_b") * 1000 >= CONT_TAU_MILLI * F.col("sz_a"))
+        .select("contained_id", "container_id", "sz_a")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("contained_id"), "s")
+    tb = tok.select(F.col("doc_id").alias("container_id"), "s")
+    ver = (
+        cand.join(ta, "contained_id")
+        .join(tb, ["container_id", "s"])
+        .groupBy("contained_id", "container_id", "sz_a")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.expr("(1000 * inter) div sz_a")
+    return (
+        ver.where(cont >= CONT_TAU_MILLI)
+        .select("contained_id", "container_id", cont.alias("containment_milli"))
+        .orderBy("contained_id", "container_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item co-occurrence pairs (market-basket association counts).
+# ---------------------------------------------------------------------------
+
+COOC_TOP_N = 30
+
+
+@register(
+    "item_cooccurrence_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+    p AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_co,
+           (1000000 * n_co) // n.n_orders AS support_ppm
+    FROM p, n
+    ORDER BY n_co DESC, part_a, part_b
+    LIMIT {COOC_TOP_N}
+    """,
+    tags=("association", "cooccurrence", "beyond-reference"),
+)
+def item_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the most frequent part pairs bought
+    in the same order, with ppm support — one A-priori round / the
+    co-occurrence statistics behind item-item recommenders and
+    phrase-association mining.
+
+    Scale shape: pair generation is a self-equi-join keyed by the
+    basket id, so fanout is bounded by basket size squared (TPC-H
+    baskets are ≤7 lines; a pathological mega-basket would get the
+    hot-bucket cap treatment the LSH join uses).  The pair count is
+    map-combined; the 1-row basket total broadcasts; the top-N sorts
+    pair-domain rows, never baskets."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.agg(F.countDistinct("ok").alias("n_orders"))
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select("ok", F.col("pk").alias("part_b"))
+    p = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    return (
+        p.crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            F.expr("(1000000 * n_co) div n_orders").alias("support_ppm"),
+        )
+        .orderBy(F.col("n_co").desc(), "part_a", "part_b")
+        .limit(COOC_TOP_N)
+    )

@@ -440,3 +440,24 @@ def test_ewma_is_single_keyed_exchange(spark, sf_dir):
     plan, nodes = _node_counts(spark, "ewma_user_value", sf_dir)
     assert plan.count("hashpartitioning(user_id") == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_containment_join_has_no_array_shuffles_or_cartesian(spark, sf_dir):
+    """Candidate generation must be the prefix equi-join on rare
+    shingles; verification re-joins the token table — no cartesian, no
+    nested-loop, and no array column in any exchange."""
+    plan, nodes = _node_counts(spark, "dedup_containment_join", sf_dir)
+    assert nodes.get("CartesianProduct", 0) == 0
+    assert nodes.get("BroadcastNestedLoopJoin", 0) == 0
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "sh#" not in m.group(1)  # shingle arrays never shuffle
+
+
+def test_cooccurrence_pairs_join_is_basket_keyed(spark, sf_dir):
+    """Pair generation self-joins on the basket key (bounded fanout);
+    the pair count is one map-combined aggregate."""
+    plan, nodes = _node_counts(spark, "item_cooccurrence_pairs", sf_dir)
+    assert nodes.get("CartesianProduct", 0) == 0
+    assert "hashpartitioning(ok" in plan or "SortMergeJoin" in plan
