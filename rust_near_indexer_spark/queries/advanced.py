@@ -61,46 +61,56 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently sequential per key, which is exactly what the oracle's
     recursive CTE states.
 
-    Scale shape: ONE shuffle keyed by user_id into ``applyInPandas``;
-    the fold is O(events-per-user) time and O(1) state per key, the
-    same keyed-fold shape as the Lee-et-al. substring fingerprint and
-    the TWS sessionizer — at 100 TB every key folds independently on
-    its partition, and output is one row per key.  A python-level loop
-    over the group's rows is unavoidable (the recurrence has no closed
-    form under floor division) but runs on Arrow-materialized arrays
-    inside the worker, never row-at-a-time through serialization."""
+    Scale shape: ONE shuffle keyed by user_id, then a partition-local
+    ``mapInPandas`` fold over rows pre-sorted by (user_id, ts, id) —
+    O(events-per-user) time and O(1) carried state per key.  mapInPandas
+    (not applyInPandas) deliberately: per-GROUP Arrow calls cost
+    milliseconds of pandas overhead each, which dominates when keys are
+    small and numerous (measured 4.9 s → sub-second at sf0.1's ~1.5k
+    users); the partition-level fold pays that overhead once per Arrow
+    BATCH and carries the running (user, e, n) across batch boundaries
+    — sortWithinPartitions guarantees each user's rows are contiguous
+    and ordered.  The python-level row loop is the recurrence itself
+    (no closed form under floor division) on Arrow-materialized
+    columns, never row-at-a-time through serialization."""
     e = load(spark, sf_dir, "events")
-    v = e.select(
-        "user_id",
-        F.expr("ts_ns div 1000").alias("ts_us"),
-        "event_id",
-        cents("value").alias("x"),
+    v = (
+        e.select(
+            "user_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            "event_id",
+            cents("value").alias("x"),
+        )
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
     )
 
-    def fold(pdf):
+    def fold(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        e_acc = 0
-        first = True
         mul, den = (1 << EWMA_SHIFT) - 1, 1 << EWMA_SHIFT
-        for x in pdf["x"]:
-            x = int(x)
-            e_acc = x if first else (x + mul * e_acc) // den
-            first = False
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "ewma_cents": [e_acc],
-            }
+        cur = None  # (user_id, e_acc, n)
+        out_uid: list[int] = []
+        out_n: list[int] = []
+        out_e: list[int] = []
+        for pdf in batches:
+            for uid, x in zip(pdf["user_id"], pdf["x"]):
+                uid, x = int(uid), int(x)
+                if cur is None or uid != cur[0]:
+                    if cur is not None:
+                        out_uid.append(cur[0]); out_n.append(cur[2]); out_e.append(cur[1])
+                    cur = (uid, x, 1)
+                else:
+                    cur = (uid, (x + mul * cur[1]) // den, cur[2] + 1)
+        if cur is not None:
+            out_uid.append(cur[0]); out_n.append(cur[2]); out_e.append(cur[1])
+        yield pd.DataFrame(
+            {"user_id": out_uid, "n_events": out_n, "ewma_cents": out_e}
         )
 
-    return (
-        v.groupBy("user_id")
-        .applyInPandas(fold, schema="user_id long, n_events long, ewma_cents long")
-        .orderBy("user_id")
-    )
+    return v.mapInPandas(
+        fold, schema="user_id long, n_events long, ewma_cents long"
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -505,11 +515,16 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.slice("w", 1, F.greatest(F.expr("size(w) div 2"), F.lit(5))).alias("w"),
     )
+    from ..plans.state import _materialize
+
     corpus = base.unionByName(exc)
     sh = corpus.select("doc_id", _shingles5(F.col("w")).alias("sh")).where(
         F.size("sh") > 0
     )
-    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    # the exploded token table feeds THREE branches (df/size windows,
+    # probe-side verify, index-side verify) — materialize once or the
+    # corpus tokenization re-runs per branch (same fix as skew profile)
+    tok = _materialize(sh.select("doc_id", F.explode("sh").alias("s")))
     t1 = tok.select(
         "doc_id",
         "s",

@@ -435,11 +435,14 @@ def test_label_propagation_rounds_are_equi_joins(spark, sf_dir):
 
 
 def test_ewma_is_single_keyed_exchange(spark, sf_dir):
-    """The sequential fold shuffles ONCE on user_id into the Arrow
-    applyInPandas operator; no other corpus exchange exists."""
+    """The sequential fold shuffles ONCE on user_id into a
+    partition-level Arrow mapInPandas (per-group applyInPandas calls
+    cost ~ms of pandas overhead each — death by a thousand tiny
+    groups); rows arrive pre-sorted within the partition."""
     plan, nodes = _node_counts(spark, "ewma_user_value", sf_dir)
     assert plan.count("hashpartitioning(user_id") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_containment_join_has_no_array_shuffles_or_cartesian(spark, sf_dir):
