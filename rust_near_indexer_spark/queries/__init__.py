@@ -157,6 +157,17 @@ GATE_PRIORITY: tuple[str, ...] = (
     "daily_metrics_unpivot",
     "rolling_3day_user_spend",
     "customer_spend_quartiles",
+    # ---- round-6 classes: asymmetric containment dedup, association
+    # mining, skyline, keyed sequential fold, bounded graph propagation,
+    # feature binning, skew diagnostics ----
+    "dedup_containment_join",
+    "item_cooccurrence_pairs",
+    "pareto_frontier_orders",
+    "ewma_user_value",
+    "label_propagation_communities",
+    "feature_bin_liftstats",
+    "join_key_skew_profile",
+    "equi_depth_histogram",
 )
 
 

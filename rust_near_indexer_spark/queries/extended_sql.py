@@ -792,15 +792,19 @@ def rolling_3day_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql", "beyond-reference", "ntile"),
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer lifetime-spend quartiles via NTILE(4) (equal-count
-    distribution bucketing, custkey tie-break makes the split exact and
-    engine-identical), reduced to per-quartile boundary stats.
+    """Customer lifetime-spend quartiles via exact NTILE(4) semantics
+    (equal-count distribution bucketing, custkey tie-break makes the
+    split exact and engine-identical), reduced to per-quartile boundary
+    stats.
 
     Scale shape: the spend aggregate is keyed by custkey; the global
-    ntile is a single total-order pass over ONE ROW PER CUSTOMER (the
-    aggregate, not the fact table) — at extreme customer counts the
-    same two-phase rank as corpus_shuffle_order applies; the output is
-    4 rows."""
+    NTILE runs over ONE ROW PER CUSTOMER (the aggregate, not the fact
+    table) and — since billions of customers would still drown one
+    reducer — uses the same two-phase range rank as
+    equi_depth_histogram (``operators/ranking.py``) instead of a global
+    window; the output is 4 rows."""
+    from ..operators.ranking import two_phase_ntile
+
     c = load(spark, sf_dir, "customer").select("c_custkey")
     o = load(spark, sf_dir, "orders").select(
         "o_custkey", cents("o_totalprice").alias("cents")
@@ -810,8 +814,9 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("spend_cents"))
     )
-    w = Window.orderBy("spend_cents", "c_custkey")
-    tiled = spend.withColumn("quartile", F.ntile(4).over(w))
+    tiled = two_phase_ntile(spend, ["spend_cents", "c_custkey"], 4).withColumnRenamed(
+        "bucket", "quartile"
+    )
     return (
         tiled.groupBy("quartile")
         .agg(
@@ -907,8 +912,8 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Scale shape: the global rank that NTILE needs is computed WITHOUT
-    a global window — the terasort two-phase pattern already pinned
-    for corpus_shuffle_order: (1) ``repartitionByRange`` splits rows
+    a global window — the terasort two-phase pattern (shared helper
+    ``operators/ranking.py``): (1) ``repartitionByRange`` splits rows
     into contiguous (cents, orderkey) ranges (Spark's RangePartitioner
     derives balanced cuts from a deterministic reservoir sample — the
     exact rank is boundary-independent, balance is all the sample
@@ -920,36 +925,15 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the oracle's single NTILE window.  Every corpus-sized exchange
     is range- or pid-keyed; the only single-partition step is the
     per-range count cumsum (#partitions rows)."""
+    from ..operators.ranking import two_phase_ntile
+
     o = load(spark, sf_dir, "orders")
     v = o.select("o_orderkey", cents("o_totalprice").alias("cents"))
-    ranged = v.repartitionByRange(HIST_RANGE_PARTS, "cents", "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
-    w_cum = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("pn").over(w_cum), F.lit(0)).alias("offset")
-    )
-    total = counts.agg(F.sum("pn").alias("n_total"))
-    w_part = Window.partitionBy("pid").orderBy("cents", "o_orderkey")
-    ranked = (
-        ranged.withColumn("rn", F.row_number().over(w_part))
-        .join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(total))
-        .withColumn("rank", F.col("offset") + F.col("rn"))  # 1-based global
-    )
-    # NTILE(B) over N rows: buckets 1..(N mod B) hold ceil(N/B) rows,
-    # the rest floor(N/B).  (q=0 when N<B routes every row through the
-    # first branch, so the div-by-zero arm is never taken.)
-    b = HIST_BUCKETS
-    bucket = F.expr(
-        f"CASE WHEN rank <= (n_total % {b}) * (n_total div {b} + 1)"
-        f" THEN (rank - 1) div (n_total div {b} + 1) + 1"
-        f" ELSE (n_total % {b}) + (rank - (n_total % {b}) * (n_total div {b} + 1) - 1)"
-        f"      div (n_total div {b}) + 1 END"
+    tiled = two_phase_ntile(
+        v, ["cents", "o_orderkey"], HIST_BUCKETS, parts=HIST_RANGE_PARTS
     )
     return (
-        ranked.select("cents", bucket.alias("bucket"))
+        tiled.select("cents", "bucket")
         .groupBy("bucket")
         .agg(
             F.min("cents").alias("lo_cents"),

@@ -464,3 +464,13 @@ def test_cooccurrence_pairs_join_is_basket_keyed(spark, sf_dir):
     plan, nodes = _node_counts(spark, "item_cooccurrence_pairs", sf_dir)
     assert nodes.get("CartesianProduct", 0) == 0
     assert "hashpartitioning(ok" in plan or "SortMergeJoin" in plan
+
+
+def test_spend_quartiles_ntile_is_range_partitioned(spark, sf_dir):
+    """customer_spend_quartiles now rides the shared two-phase rank:
+    rangepartitioning on the (spend, custkey) order, pid-keyed windows,
+    broadcast carry — no global single-partition window remains."""
+    plan, nodes = _node_counts(spark, "customer_spend_quartiles", sf_dir)
+    assert "rangepartitioning(spend_cents" in plan
+    assert "hashpartitioning(pid" in plan
+    assert nodes.get("BroadcastExchange", 0) >= 1
