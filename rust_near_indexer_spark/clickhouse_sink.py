@@ -76,10 +76,15 @@ class ClickHouseSink:
 
     def write_rows(self, table: str, rows: Iterable[dict]) -> int:
         """Insert a batch of row dicts; returns batches sent.  Each batch
-        retries with the reference policy (database.rs:53-71)."""
+        retries with the reference policy (database.rs:53-71) and is
+        traced like the reference's instrumented insert (database.rs:41,
+        73 — span per insert with the table attribute)."""
+        from .tracing import TRACER
+
         n = 0
         for query, body in insert_payloads(table, rows, self.batch_rows):
-            with_retries(lambda q=query, b=body: self.post_fn(self._url(q), b))
+            with TRACER.span("clickhouse_insert", table=table, bytes=len(body)):
+                with_retries(lambda q=query, b=body: self.post_fn(self._url(q), b))
             n += 1
         return n
 

@@ -461,6 +461,33 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARD_TOKENS = 2000  # target tokens per output shard
 
 
+def shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shard assignment (doc_id, source, n_tokens,
+    shard_id) — the manifest ``token_budget_shards`` summarizes and
+    ``sinks.write_training_shards`` materializes as files."""
+    docs = load(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        hash60(F.col("doc_id")).alias("h"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = f.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w_cum).alias("cum"),
+    )
+    shard = F.floor((F.col("cum") - F.col("n_tokens")) / SHARD_TOKENS).cast("long")
+    return c.select("doc_id", "source", "n_tokens", shard.alias("shard_id"))
+
+
+
 @register(
     "token_budget_shards",
     oracle=f"""
@@ -503,27 +530,9 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the stratification key, per-shard window prefix-sum, no global
     ordering anywhere.  The actual file write would be
     ``partitionBy(source, shard_id)`` on this frame (sinks.py)."""
-    docs = load(spark, sf_dir, "documents")
-    f = docs.select(
-        "source",
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        hash60(F.col("doc_id")).alias("h"),
-    )
-    w_cum = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = f.select(
-        "source",
-        "doc_id",
-        "n_tokens",
-        F.sum("n_tokens").over(w_cum).alias("cum"),
-    )
-    shard = F.floor((F.col("cum") - F.col("n_tokens")) / SHARD_TOKENS).cast("long")
     return (
-        c.groupBy("source", shard.alias("shard_id"))
+        shard_assignments(spark, sf_dir)
+        .groupBy("source", "shard_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("shard_tokens"),

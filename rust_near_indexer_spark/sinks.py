@@ -305,3 +305,46 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    manifest: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+) -> dict:
+    """Materialize a sharding manifest as actual training-shard files —
+    the write step that ``token_budget_shards`` (queries/sampling.py)
+    sizes: one JSONL file tree ``source=<s>/shard_id=<k>/`` whose rows
+    are the corpus documents joined to their (source, shard_id)
+    assignment.
+
+    Layout contract (what a 1000-loader training job needs):
+    - directory-per-shard via ``partitionBy(source, shard_id)`` — the
+      shard key is IN THE PATH, so loaders claim shards by listing, and
+      partition pruning serves "give me shard 17" without a scan;
+    - deterministic CONTENT per shard (the manifest's assignment is
+      hash-derived), one file per shard via an explicit
+      ``repartition(source, shard_id)`` so each shard's rows land in
+      exactly one task → one file (atomic per-shard visibility);
+    - rows carry (doc_id, n_tokens, text) as JSON lines — the format
+      every tokenizer-side loader reads without a schema registry.
+
+    In-shard row order is NOT part of the contract (loaders shuffle);
+    determinism of shard MEMBERSHIP is, and that is what tests pin.
+
+    Scale shape: one equi-join of the corpus to the (doc-count-sized)
+    manifest on doc_id, one shuffle keyed by (source, shard_id), then a
+    parallel per-shard write.  Returns {"n_shards": ..., "n_docs": ...}.
+    """
+    assign = manifest.select("doc_id", "source", "shard_id")
+    rows = docs.select("doc_id", text_col).join(assign, "doc_id")
+    n_docs = rows.count()
+    n_shards = assign.select("source", "shard_id").distinct().count()
+    (
+        rows.repartition("source", "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("source", "shard_id")
+        .json(out_dir)
+    )
+    return {"n_shards": n_shards, "n_docs": n_docs}

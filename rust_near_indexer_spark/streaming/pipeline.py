@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from .. import metrics, schemas, sinks
 from ..plans import bronze, state
+from ..tracing import TRACER
 
 _STATE_COLS = ("receipt_id", "tx_hash", "tier", "write_block")
 
@@ -77,7 +78,31 @@ def process_batch(
 ) -> int:
     """One micro-batch: the streaming body of handle_streamer_message
     (handlers/mod.rs:66-139) over a batch of blocks.  Returns the number
-    of blocks processed (0 for an empty trigger)."""
+    of blocks processed (0 for an empty trigger).
+
+    Traced as the reference traces it: one ``handle_block_batch`` root
+    span per batch (the handle_streamer_message span,
+    handlers/mod.rs:58-65) with per-sink child spans; a no-op unless
+    tracing.init_tracing configured an exporter."""
+    with TRACER.span("handle_block_batch", batch_id=batch_id) as sp:
+        n = _process_batch_inner(
+            blocks, batch_id, out_dir, state_dir, accounts, ttl_blocks,
+            events_only, with_silver,
+        )
+        sp.attributes["n_blocks"] = n
+        return n
+
+
+def _process_batch_inner(
+    blocks: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    accounts: tuple,
+    ttl_blocks: int,
+    events_only: bool,
+    with_silver: bool,
+) -> int:
     spark = blocks.sparkSession
     if blocks.isEmpty():
         return 0
@@ -136,9 +161,12 @@ def process_batch(
         return obs.get["n"]
 
     for name, df in tables.items():
-        n = sinks.with_retries(
-            lambda d=df, p=os.path.join(out_dir, name): _append_observed(d, p)
-        )
+        # the reference's instrumented insert span (database.rs:41)
+        with TRACER.span("sink_append", table=name) as ssp:
+            n = sinks.with_retries(
+                lambda d=df, p=os.path.join(out_dir, name): _append_observed(d, p)
+            )
+            ssp.attributes["rows"] = n
         metrics.ASSETS_IN_BLOCK_CAPTURED_TOTAL.labels(asset_type=name).set(n)
 
     # TTL prune: a mapping written at W is unreadable once every future
@@ -151,9 +179,10 @@ def process_batch(
     max_h = agg["h"]
     metrics.BLOCK_PROCESSED_TOTAL.inc(agg["n"])
     metrics.LATEST_BLOCK_HEIGHT.set(max_h)
-    _save_state(
-        mappings.where(F.col("write_block") >= max_h - ttl_blocks), state_dir
-    )
+    with TRACER.span("save_state", max_block_height=int(max_h)):
+        _save_state(
+            mappings.where(F.col("write_block") >= max_h - ttl_blocks), state_dir
+        )
     flat_outcomes.unpersist()
     flat_txs.unpersist()
     blocks.unpersist()
