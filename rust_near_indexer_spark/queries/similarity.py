@@ -1159,3 +1159,131 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "role", "role_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — asymmetric distance computation (ADC).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim → 8 sub-vectors of 8)
+PQ_SUB = 8  # dims per subspace
+PQ_KS = 8  # codewords per subspace codebook
+PQ_BASE = 200  # codeword donors: vec_id 200..207 (Jégou et al.'s k-means
+# codebooks stand-in — a deterministic corpus draw, same rule as IVF's
+# CENTROID_BASE centroids; at scale the codebooks come from an offline
+# k-means on a sample and broadcast identically)
+
+# integer L2 between two micro-quantized sub-vectors (CAST is the same
+# HUGEINT guard as _DOT_PICO_SQL; |d| <= 8 * (2e6)^2 = 3.2e13 << 2^63)
+_L2_SQL = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+)
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, {_QVEC_SQL.format(v="embedding")} AS qe FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, CAST(m AS BIGINT) AS m,
+               list_slice(qe, m * {PQ_SUB} + 1, (m + 1) * {PQ_SUB}) AS sv
+        FROM e, unnest(range(0, {PQ_M})) AS u(m)
+    ),
+    cb AS (
+        SELECT vec_id - {PQ_BASE} AS j, m, sv AS cv FROM sub
+        WHERE vec_id >= {PQ_BASE} AND vec_id < {PQ_BASE + PQ_KS}
+    ),
+    dist AS (
+        SELECT s.vec_id, s.m, c.j, {_L2_SQL.format(a="s.sv", b="c.cv")} AS d
+        FROM sub s JOIN cb c ON c.m = s.m
+    ),
+    codes AS (
+        SELECT vec_id, m, j FROM (
+            SELECT vec_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT lut.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(lut.d) AS BIGINT) AS adc_l2
+        FROM codes c
+        JOIN dist lut ON lut.m = c.m AND lut.j = c.j
+        WHERE lut.vec_id < {N_QUERIES} AND c.vec_id != lut.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_l2, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, adc_l2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_l2, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "ann", "pq", "beyond-reference"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011) with
+    asymmetric distance computation: split each 64-dim vector into
+    {PQ_M} sub-vectors, encode each against a {PQ_KS}-codeword subspace
+    codebook (nearest by integer L2, codeword-id tie-break), and answer
+    queries by summing per-subspace lookup-table distances — the memory
+    layout serving billion-vector ANN at 8 bytes/vector.  Completes the
+    repo's ANN spectrum: brute-force (exact) / LSH buckets / IVF lists /
+    int8 / MMR-diversified / PQ-compressed.
+
+    Scale shape: encoding is a broadcast join of the corpus sub-vectors
+    against the {PQ_M}×{PQ_KS}-row codebook, with the argmin as ONE
+    map-combined ``min(struct(d, j))`` aggregate keyed by (vec, m) —
+    lexicographic struct-min is the deterministic tie-break, and
+    partial aggregation means the 8-dim arrays never cross a shuffle
+    (only (vec, m, d, j) quads do).  The query LUT ({N_QUERIES}×{PQ_M}×
+    {PQ_KS} distances) broadcasts; the ADC sum is a map-combined
+    aggregate keyed by (query, neighbor); the final top-k rides
+    WindowGroupLimit.  Exactly the production ADC scan: linear pass
+    over codes with an L1-resident LUT."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    qv = emb.select("vec_id", _qvec(F.col("embedding")).alias("qe"))
+    sub = qv.select(
+        "vec_id",
+        "qe",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    ).select(
+        "vec_id",
+        F.col("m").cast("long").alias("m"),
+        F.expr(f"slice(qe, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
+    )
+    cb = sub.where(
+        (F.col("vec_id") >= PQ_BASE) & (F.col("vec_id") < PQ_BASE + PQ_KS)
+    ).select((F.col("vec_id") - PQ_BASE).alias("j"), "m", F.col("sv").alias("cv"))
+    l2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dist = sub.join(F.broadcast(cb), "m").select("vec_id", "m", "j", l2.alias("d"))
+    codes = (
+        dist.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "j")).alias("best"))
+        .select("vec_id", "m", F.col("best.j").alias("j"))
+    )
+    lut = dist.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "j", "d"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "j"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("long").alias("adc_l2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_l2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_l2", "rank")
+        .orderBy("query_id", "rank")
+    )

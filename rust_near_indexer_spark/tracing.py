@@ -197,13 +197,21 @@ class Tracer:
         finally:
             s.end_ns = time.time_ns()
             stack.pop()
-            self._local.finished.append(s)
-            if not stack and self.exporter is not None:
-                batch, self._local.finished = self._local.finished, []
-                try:
-                    self.exporter.export(batch, self.service)
-                except Exception:
-                    pass  # tracing must never fail the pipeline
+            # Record finished spans ONLY when an exporter is configured:
+            # in no-op posture an unbounded `finished` buffer would be a
+            # slow leak across a long streaming run (and spans from the
+            # unconfigured era must not flush into a later-configured
+            # exporter's first trace).
+            if self.exporter is not None:
+                self._local.finished.append(s)
+                if not stack:
+                    batch, self._local.finished = self._local.finished, []
+                    try:
+                        self.exporter.export(batch, self.service)
+                    except Exception:
+                        pass  # tracing must never fail the pipeline
+            elif not stack:
+                self._local.finished.clear()
 
     def traceparent(self) -> Optional[str]:
         """W3C Trace Context header for the current span, or None."""

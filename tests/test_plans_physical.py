@@ -474,3 +474,17 @@ def test_spend_quartiles_ntile_is_range_partitioned(spark, sf_dir):
     assert "rangepartitioning(spend_cents" in plan
     assert "hashpartitioning(pid" in plan
     assert nodes.get("BroadcastExchange", 0) >= 1
+
+
+def test_pq_adc_codebook_broadcasts_and_topk_rides_group_limit(spark, sf_dir):
+    """PQ-ADC: the 64-row codebook and the query LUT broadcast; the
+    argmin and ADC sums are map-combined aggregates; the per-query
+    top-k is a WindowGroupLimit; nothing cartesian."""
+    plan, nodes = _node_counts(spark, "ann_pq_adc_topk", sf_dir)
+    assert nodes.get("BroadcastExchange", 0) >= 2  # codebook + LUT
+    assert nodes.get("CartesianProduct", 0) == 0
+    assert nodes.get("WindowGroupLimit", 0) >= 1
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "sv#" not in m.group(1) and "qe#" not in m.group(1)

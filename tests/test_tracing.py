@@ -135,3 +135,20 @@ def test_clickhouse_insert_span_carries_table():
     assert spans[0].name == "clickhouse_insert"
     assert spans[0].attributes["table"] == "events"
     assert spans[0].attributes["bytes"] > 0
+
+
+def test_unconfigured_spans_never_leak_into_a_later_exporter():
+    """No-op posture must not buffer: spans finished while no exporter
+    is configured are dropped (bounded memory across a long streaming
+    run) and must NOT flush into an exporter configured later."""
+    t = tracing.Tracer("svc", None)
+    for _ in range(50):
+        with t.span("noop"):
+            pass
+    assert t._local.finished == []
+    col = CollectExporter()
+    t.exporter = col
+    with t.span("first-real"):
+        pass
+    (_, spans), = col.batches
+    assert [s.name for s in spans] == ["first-real"]
