@@ -145,6 +145,42 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the end-to-end curation pipeline (curation.curate) over a
+    documents table and write the decision audit, the leak-safe split
+    assignment, and the per-split JSONL shard trees."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from . import curation, sinks
+    from .tables import load
+
+    spark = _spark(args.cpus)
+    docs = load(spark, args.sf_dir, "documents")
+    out = curation.curate(docs, quality_min_milli=args.quality_min)
+    out["decisions"].write.mode("overwrite").parquet(
+        os.path.join(args.out, "decisions")
+    )
+    out["splits"].write.mode("overwrite").parquet(os.path.join(args.out, "splits"))
+    manifest = out["manifest"]
+    for split in ("train", "val", "test"):
+        m = manifest.where(F.col("split") == split).select(
+            "doc_id", "source", "shard_id"
+        )
+        if m.isEmpty():
+            continue
+        sinks.write_training_shards(
+            docs, m, os.path.join(args.out, f"shards_{split}")
+        )
+    stages = {
+        r["stage"]: r["n"]
+        for r in out["decisions"].groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    print(f"curated {sum(stages.values())} docs: {stages} -> {args.out}")
+    return 0
+
+
 def cmd_sql(args) -> int:
     from .views import register_views
 
@@ -201,6 +237,14 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ex.add_argument("--shards", type=int, default=8)
     ex.set_defaults(fn=cmd_export)
+
+    cu = sub.add_parser(
+        "curate", help="end-to-end corpus curation: dedup -> quality -> split -> shards"
+    )
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cu.add_argument("--quality-min", type=int, default=350)
+    cu.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser(
         "sql", help="run ad-hoc SQL over the registered medallion views"

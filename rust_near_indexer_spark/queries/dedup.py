@@ -343,9 +343,24 @@ def _pair_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verified_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _verified_pairs_for_shingles(_doc_shingles(spark, sf_dir))
+
+
+def _verified_pairs_for(docs: DataFrame) -> DataFrame:
+    """Verified near-dup pairs for an ARBITRARY (doc_id, text) corpus —
+    the corpus-parameterized face of the LSH chain (curation.py composes
+    it over its own exact-dedup survivors, while the registry query
+    binds it to the augmented gate corpus via _doc_shingles)."""
+    sh = docs.select(
+        "doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh")
+    ).where(F.size("sh") > 0)
+    return _verified_pairs_for_shingles(sh)
+
+
+def _verified_pairs_for_shingles(shingled: DataFrame) -> DataFrame:
     hash2 = lambda h: (h % M59 * H2_MUL + H2_ADD) % F.lit(M59)  # noqa: E731
     docs = (
-        _doc_shingles(spark, sf_dir)
+        shingled
         .withColumn("hs1", F.transform(F.col("sh"), _hash60))
         .withColumn("hs2", F.transform(F.col("hs1"), hash2))
         .select("doc_id", "hs1", *_minhashes())

@@ -103,6 +103,8 @@ def tie_dir(tmp_path_factory):
         "user_modal_event",
         "hourly_event_windows",
         "latest_event_per_user",
+        "ewma_user_value",  # r6: same-us fold order only event_id breaks
+        "feature_bin_liftstats",  # r6: order-free, but bin edges on ties
     ],
 )
 def test_tie_collisions_hash_match(spark, tie_dir, name):
