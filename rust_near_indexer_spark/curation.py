@@ -47,15 +47,13 @@ SHARD_TOKENS = 2000
 
 
 def _quality_milli(text_col: str = "text") -> F.Column:
-    """Integer quality score 0..1000: the mean-word-length and
-    stopword-free heuristics of queries/text.py's quality scorer in a
-    single reusable column (engine-portable integer arithmetic)."""
-    words = F.split(F.col(text_col), " ")
-    n_words = F.size(words)
-    n_chars = F.length(text_col)
-    # mean word length in milli-chars, clamped into a 0..1000 band
-    mwl = F.when(n_words > 0, (F.lit(1000) * n_chars / n_words).cast("long")).otherwise(
-        F.lit(0)
+    """Integer quality score 0..1000: mean word length in milli-chars
+    clamped into a 0..1000 band — floor-division integer arithmetic so
+    the DuckDB oracle twin (curation_decisions) agrees bit-for-bit."""
+    # '' splits to [''] → denominator 1, mwl 0 → dropped
+    mwl = F.expr(
+        f"(1000 * length({text_col}))"
+        f" div greatest(size(split({text_col}, ' ')), 1)"
     )
     return F.least(F.greatest(mwl - 2000, F.lit(0)), F.lit(1000))
 

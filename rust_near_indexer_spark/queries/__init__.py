@@ -168,6 +168,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "feature_bin_liftstats",
     "join_key_skew_profile",
     "equi_depth_histogram",
+    "ann_pq_adc_topk",
+    "curation_decisions",
 )
 
 

@@ -627,3 +627,85 @@ def item_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_co").desc(), "part_a", "part_b")
         .limit(COOC_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# The END-TO-END curation pipeline as one oracle-gated query.
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    from ..curation import QUALITY_MIN_MILLI
+    from .dedup import lsh_ctes
+
+    return f"""
+    WITH RECURSIVE
+    ck AS (SELECT doc_id, md5(text) AS k FROM documents),
+    keep AS (SELECT k, MIN(doc_id) AS keeper FROM ck GROUP BY k),
+    kk AS (SELECT ck.doc_id, keep.keeper FROM ck JOIN keep USING (k)),
+    exact_kept AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN kk ON kk.doc_id = d.doc_id WHERE kk.doc_id = kk.keeper
+    ),
+    {lsh_ctes("SELECT doc_id, text FROM exact_kept")},
+    e AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+    und AS (
+        SELECT doc_a AS s, doc_b AS d FROM e
+        UNION SELECT doc_b, doc_a FROM e
+    ),
+    reach AS (
+        SELECT s AS node, s AS lbl FROM und
+        UNION SELECT u.d, r.lbl FROM reach r JOIN und u ON u.s = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+    labels AS (
+        SELECT ek.doc_id, COALESCE(c.cluster, ek.doc_id) AS cluster, ek.text
+        FROM exact_kept ek LEFT JOIN comp c ON c.node = ek.doc_id
+    ),
+    elected AS (SELECT cluster, MIN(doc_id) AS doc_id FROM labels GROUP BY cluster),
+    q AS (
+        SELECT l.doc_id,
+               LEAST(GREATEST((1000 * length(l.text))
+                     // GREATEST(len(string_split(l.text, ' ')), 1)
+                     - 2000, 0), 1000) AS qm
+        FROM labels l JOIN elected el ON el.doc_id = l.doc_id
+    ),
+    dec AS (
+        SELECT doc_id, 'kept' AS stage FROM q WHERE qm >= {QUALITY_MIN_MILLI}
+        UNION ALL
+        SELECT doc_id, 'low_quality' FROM q WHERE qm < {QUALITY_MIN_MILLI}
+        UNION ALL
+        SELECT doc_id, 'exact_dup' FROM kk WHERE doc_id != keeper
+        UNION ALL
+        SELECT l.doc_id, 'near_dup' FROM labels l
+        WHERE l.doc_id NOT IN (SELECT doc_id FROM elected)
+    )
+    SELECT doc_id, stage FROM dec ORDER BY doc_id
+    """
+
+
+@register(
+    "curation_decisions",
+    oracle=_curation_oracle(),
+    tags=("llm", "curation", "pipeline", "dedup", "beyond-reference"),
+)
+def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline (curation.curate) as one gated
+    query: exact dedup → LSH near-dup clusters → election → quality
+    filter, with every input document classified into exactly one of
+    kept / exact_dup / near_dup / low_quality.  The DuckDB oracle
+    re-runs the entire flow — including the recursive-CTE connected
+    components and the identical LSH chain over the exact-dedup
+    survivors — so the end-to-end pipeline, not just its stages, is
+    hash-checked cross-engine.
+
+    Scale shape: inherits each stage's audited plan (one content-hash
+    shuffle; banded LSH with the hot-bucket cap, never all-pairs;
+    O(log n) CC rounds over checkpointed frontiers; keyed election and
+    quality map; persisted stage hand-offs so the corpus is scanned
+    once per stage)."""
+    from ..curation import curate
+    from ..tables import load as _load
+
+    docs = _load(spark, sf_dir, "documents")
+    return curate(docs)["decisions"].orderBy("doc_id")

@@ -252,8 +252,12 @@ def _minhashes() -> list[F.Column]:
 
 
 # The full shingle→minhash→band→verify chain as DuckDB CTEs (no leading
-# WITH — composed by dedup_minhash_lsh and dedup_clusters below).
-_LSH_CTES = f"""aug AS ({AUG_SQL}),
+# WITH — composed by dedup_minhash_lsh and dedup_clusters below, and by
+# the curation_decisions oracle over its own corpus).
+def lsh_ctes(corpus_sql: str) -> str:
+    """The chain parameterized on the corpus SQL (must yield
+    (doc_id, text)); produces the CTE name ``pairs``."""
+    return f"""aug AS ({corpus_sql}),
     sh AS (
         SELECT doc_id, {_SHINGLES_SQL} AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug)
@@ -289,6 +293,9 @@ _LSH_CTES = f"""aug AS ({AUG_SQL}),
         FROM verified
         WHERE (1000 * inter) // uni >= {JACCARD_MILLI_THRESHOLD}
     )"""
+
+
+_LSH_CTES = lsh_ctes(AUG_SQL)
 
 
 @register(
