@@ -170,6 +170,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "equi_depth_histogram",
     "ann_pq_adc_topk",
     "curation_decisions",
+    "phrase_retrieval",
 )
 
 

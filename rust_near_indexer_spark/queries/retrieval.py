@@ -228,3 +228,83 @@ def boolean_and_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "total_tf", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase retrieval (exact n-word phrase over positional postings).
+# ---------------------------------------------------------------------------
+
+PHRASE = ("big", "order", "scan")  # ~9 hits at sf0.001, scales with corpus
+
+
+@register(
+    "phrase_retrieval",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             unnest(range(1, len(w) + 1)) AS u(i)
+        WHERE w[i] IN ('{PHRASE[0]}', '{PHRASE[1]}', '{PHRASE[2]}')
+    ),
+    m AS (
+        SELECT t0.doc_id, t0.pos
+        FROM tok t0
+        JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+                   AND t1.term = '{PHRASE[1]}'
+        JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+                   AND t2.term = '{PHRASE[2]}'
+        WHERE t0.term = '{PHRASE[0]}'
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("retrieval", "phrase", "positional-index", "beyond-reference"),
+)
+def phrase_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query over POSITIONAL postings: documents containing
+    the contiguous 3-word query phrase, with match count and first position —
+    the inverted-index primitive behind quoted-phrase search and
+    benchmark-contamination span checks (dedup_substring_spans' cousin
+    on the retrieval side).
+
+    Scale shape: the term predicate runs at the scan, so only postings
+    of the 3 query terms survive the explode (corpus rows for other
+    terms never leave the map side).  The phrase check is the
+    positional self-join — (doc, pos+1), (doc, pos+2) equi-joins on the
+    FILTERED postings, which are query-selectivity-sized, not
+    corpus-sized; the final count is map-combined per doc.  This is the
+    standard positional-intersection plan every search engine runs, and
+    the join inputs stay tiny precisely because the filter is pushed to
+    the scan (plan-pinned)."""
+    from ..plans.state import _materialize
+
+    d = load(spark, sf_dir, "documents")
+    # materialized once: the three positional branches would otherwise
+    # each re-scan + re-explode the corpus (the t0/t1/t2 consumers make
+    # Catalyst re-derive the filtered postings per branch)
+    tok = _materialize(
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term")
+        .where(F.col("term").isin(*PHRASE))
+    )
+    t0 = tok.where(F.col("term") == PHRASE[0]).select("doc_id", "pos")
+    t1 = tok.where(F.col("term") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    t2 = tok.where(F.col("term") == PHRASE[2]).select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    m = t0.join(t1, ["doc_id", "pos"]).join(t2, ["doc_id", "pos"])
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+

@@ -488,3 +488,13 @@ def test_pq_adc_codebook_broadcasts_and_topk_rides_group_limit(spark, sf_dir):
 
     for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "sv#" not in m.group(1) and "qe#" not in m.group(1)
+
+
+def test_phrase_retrieval_postings_computed_once(spark, sf_dir):
+    """The corpus is tokenized+filtered ONCE (materialized postings);
+    the three positional branches and their equi-joins consume the
+    checkpoint — zero parquet re-scans, no cartesian."""
+    plan, nodes = _node_counts(spark, "phrase_retrieval", sf_dir)
+    assert plan.count("Scan parquet") == 0
+    assert nodes.get("CartesianProduct", 0) == 0
+    assert nodes.get("BroadcastNestedLoopJoin", 0) == 0
