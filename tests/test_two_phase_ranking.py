@@ -52,3 +52,37 @@ def test_two_phase_ntile_equals_window_ntile(spark):
             for r in df.withColumn("nt", F.ntile(b).over(w)).collect()
         }
         assert got == want
+
+
+# --- property-based: arbitrary multisets + bucket counts ------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_H_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    b=st.integers(min_value=1, max_value=12),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@settings(**_H_SETTINGS)
+def test_two_phase_ntile_property(spark, vals, b, parts):
+    """For ANY value multiset, bucket count, and partition count, the
+    two-phase NTILE equals the single-window NTILE under the unique
+    (v, id) tie order."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v long")
+    got = {
+        r["id"]: r["bucket"]
+        for r in two_phase_ntile(df, ["v", "id"], b, parts=parts).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["nt"] for r in df.withColumn("nt", F.ntile(b).over(w)).collect()
+    }
+    assert got == want
