@@ -72,3 +72,32 @@ def test_curate_split_is_cluster_deterministic(spark):
     s1 = {r["doc_id"]: r["split"] for r in curation.curate(docs)["splits"].collect()}
     s2 = {r["doc_id"]: r["split"] for r in curation.curate(docs)["splits"].collect()}
     assert s1 == s2
+
+
+def test_curate_degenerate_corpora(spark):
+    """Degenerate inputs must classify cleanly, not crash: a singleton
+    corpus, an all-identical corpus (one keeper, rest exact_dup), and
+    short-doc corpora below the shingle width (no pairs possible)."""
+    one = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)), "web")],
+        "doc_id long, text string, source string",
+    )
+    out = curation.curate(one)
+    assert {r["stage"] for r in out["decisions"].collect()} == {"kept"}
+
+    same_text = " ".join(f"dup{i}" for i in range(30))
+    clones = spark.createDataFrame(
+        [(i, same_text, "web") for i in range(1, 6)],
+        "doc_id long, text string, source string",
+    )
+    dec = {r["doc_id"]: r["stage"] for r in curation.curate(clones)["decisions"].collect()}
+    assert dec[1] == "kept"
+    assert all(dec[i] == "exact_dup" for i in range(2, 6))
+
+    shorts = spark.createDataFrame(
+        [(1, "one two", "web"), (2, "uno", "web"), (3, "", "web")],
+        "doc_id long, text string, source string",
+    )
+    dec2 = {r["doc_id"]: r["stage"] for r in curation.curate(shorts)["decisions"].collect()}
+    assert set(dec2) == {1, 2, 3}
+    assert all(s in ("kept", "low_quality") for s in dec2.values())
