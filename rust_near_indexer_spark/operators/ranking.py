@@ -87,3 +87,49 @@ def two_phase_ntile(
         .withColumn("bucket", ntile_expr(buckets).cast("long"))
         .drop("rank", "n_total")
     )
+
+
+def two_phase_grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    parts: int = DEFAULT_PARTS,
+) -> DataFrame:
+    """Per-group 1-based ``rank`` over ``order_cols`` (unique within the
+    group) plus the group size ``n_group`` — without a one-reducer-per-
+    group window.
+
+    A plain ``row_number() OVER (PARTITION BY group ORDER BY ...)`` puts
+    each group's ENTIRE membership through one task: fine for many small
+    groups, a straggler when one group dominates (the one-language
+    corpus at 100 TB).  Here rows range-partition on
+    (*group, *order) — a group larger than a partition spans several
+    CONTIGUOUS partitions — each partition ranks its (pid, group) slice
+    locally, and per-(group, pid) counts roll into broadcast cumulative
+    offsets within the group.  The carry table is
+    O(groups × partitions), the only single-partition window input.
+    """
+    keys = [*group_cols, *order_cols]
+    ranged = df.repartitionByRange(parts, *keys).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy(*group_cols, "pid").agg(F.count(F.lit(1)).alias("pn"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    offsets = counts.select(
+        *group_cols,
+        "pid",
+        F.coalesce(F.sum("pn").over(w_cum), F.lit(0)).alias("offset"),
+        F.sum("pn").over(w_tot).alias("n_group"),
+    )
+    w_part = Window.partitionBy("pid", *group_cols).orderBy(*order_cols)
+    return (
+        ranged.withColumn("rn", F.row_number().over(w_part))
+        .join(F.broadcast(offsets), [*group_cols, "pid"])
+        .withColumn("rank", (F.col("offset") + F.col("rn")).cast("long"))
+        .drop("pid", "rn", "offset")
+    )

@@ -184,18 +184,27 @@ def _nearest_rank(p: int) -> str:
 )
 def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank percentiles of document length per language:
-    rank = ceil(n·p/100) selected from a row_number window, entirely in
-    integer arithmetic — engines differ in continuous-percentile
-    interpolation (and float quantile sketches are
-    partition-order-dependent), nearest-rank has one answer.  One
-    shuffle on lang; doc_id tie-break pins equal-length orderings."""
+    rank = ceil(n·p/100), entirely in integer arithmetic — engines
+    differ in continuous-percentile interpolation (and float quantile
+    sketches are partition-order-dependent), nearest-rank has one
+    answer; doc_id tie-break pins equal-length orderings.
+
+    Scale shape: the per-language rank comes from the GROUPED two-phase
+    range rank (operators/ranking.py) rather than a
+    one-reducer-per-language window — a dominant language (the real
+    shape of a web corpus) spans several contiguous range partitions
+    instead of becoming a straggler task; the per-(lang, pid) carry
+    table is the only single-partition window input."""
+    from ..operators.ranking import two_phase_grouped_rank
+
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
+    ranked = two_phase_grouped_rank(
+        docs.select("lang", "n_chars", "doc_id"), ["lang"], ["n_chars", "doc_id"]
+    ).select(
         "lang",
         "n_chars",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+        F.col("rank").alias("rk"),
+        F.col("n_group").alias("n"),
     )
 
     def at(p: int):

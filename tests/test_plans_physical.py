@@ -498,3 +498,12 @@ def test_phrase_retrieval_postings_computed_once(spark, sf_dir):
     assert plan.count("Scan parquet") == 0
     assert nodes.get("CartesianProduct", 0) == 0
     assert nodes.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_doc_length_percentiles_rank_is_grouped_two_phase(spark, sf_dir):
+    """The per-language rank must come from the grouped two-phase range
+    rank — no one-reducer-per-language window remains (a dominant
+    language would straggle); carry table broadcast-joined back."""
+    plan, nodes = _node_counts(spark, "doc_length_percentiles", sf_dir)
+    assert "rangepartitioning(lang" in plan
+    assert nodes.get("BroadcastExchange", 0) >= 1

@@ -86,3 +86,37 @@ def test_two_phase_ntile_property(spark, vals, b, parts):
         r["id"]: r["nt"] for r in df.withColumn("nt", F.ntile(b).over(w)).collect()
     }
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@settings(**_H_SETTINGS)
+def test_two_phase_grouped_rank_property(spark, vals, parts):
+    """Per-group rank + group size equal the windowed formulation for
+    arbitrary group/value multisets and partition counts."""
+    from rust_near_indexer_spark.operators.ranking import two_phase_grouped_rank
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(vals)], "id long, g string, v long"
+    )
+    got = {
+        r["id"]: (r["rank"], r["n_group"])
+        for r in two_phase_grouped_rank(df, ["g"], ["v", "id"], parts=parts).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r["id"]: (r["rk"], r["n"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("g")))
+        .collect()
+    }
+    assert got == want
