@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .caching import SessionCache
 from .canonical import hash60
 from .queries.dedup import JACCARD_MILLI_THRESHOLD  # noqa: F401 (re-export)
 from .queries.dedup import _verified_pairs_for
@@ -44,6 +45,13 @@ from .tables import spread
 QUALITY_MIN_MILLI = 350  # keep docs scoring >= this (0..1000 scale)
 SPLIT_PPM = (900_000, 50_000, 50_000)  # train / val / test
 SHARD_TOKENS = 2000
+
+# Stage hand-offs are persisted; routing them through a SessionCache
+# (keyed on applicationId + the input plan's semantic hash) means a
+# repeated curate() over the same corpus reuses the pinned stages
+# instead of stacking fresh copies in executor storage, and
+# caching.clear_caches() can release everything.
+_CURATE_CACHE = SessionCache("curation")
 
 
 def _quality_milli(text_col: str = "text") -> F.Column:
@@ -71,9 +79,33 @@ def curate(
       - ``manifest``: (doc_id, source, n_tokens, split, shard_id).
     Nothing is collected; every output is a DataFrame the caller can
     write, join, or audit.
+
+    Results (including the persisted stage hand-offs) are memoized per
+    (applicationId, input plan, threshold) in a :class:`SessionCache`;
+    call :func:`rust_near_indexer_spark.caching.clear_caches` to
+    release the executor storage.
     """
     spark = docs.sparkSession
-    base = spread(docs.select("doc_id", "text", "source"), "doc_id").persist()
+    key = ("curate", quality_min_milli, docs.semanticHash())
+    return _CURATE_CACHE.get_or_build(
+        spark, key, lambda: _curate_build(docs, quality_min_milli)
+    )
+
+
+def _curate_build(docs: DataFrame, quality_min_milli: int) -> dict[str, DataFrame]:
+    # Null text would vanish from every stage (md5(NULL) is NULL and the
+    # hash equi-joins drop NULL keys; NULL quality fails BOTH >= and <
+    # predicates) — violating document conservation.  Coalesce to ''
+    # up front so such docs flow through as empty documents (exact-dup
+    # or low_quality, deterministically).
+    base = spread(
+        docs.select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "source",
+        ),
+        "doc_id",
+    ).persist()
 
     # 1. exact dedup: keep-min per content hash
     keyed = base.withColumn("k", F.md5("text"))
@@ -162,4 +194,10 @@ def curate(
         "decisions": decisions,
         "splits": splits.select("doc_id", "split"),
         "manifest": manifest,
+        # persisted stage hand-offs, stored so SessionCache.clear()
+        # (→ caching.clear_caches) unpersists them with the entry
+        "_persisted_base": base,
+        "_persisted_exact_kept": exact_kept,
+        "_persisted_near_kept": near_kept,
+        "_persisted_q_kept": q_kept,
     }

@@ -20,6 +20,17 @@ This module is the shared scale-safe formulation:
 
 Every corpus-sized exchange is range- or pid-keyed.  Results are exact
 and boundary-independent, so they hash-match a single-window oracle.
+
+Correctness subtlety: the (pid, row) assignment feeds TWO plan branches
+(the per-pid counts and the local window).  RangePartitioner samples
+its boundaries per-execution, so the branches only agree if they share
+ONE physical exchange — true today via Spark's exchange reuse, but a
+config flip (``spark.sql.exchange.reuse=false``) or a canonicalization
+change would silently de-sync them and corrupt every downstream
+rank/NTILE.  ``_pin`` therefore materializes the ranged frame once
+(checkpoint when a checkpoint dir is set, else eager localCheckpoint —
+the same rule as ``plans/state._materialize``) so pid assignment is a
+fact, not an optimizer coincidence.
 """
 
 from __future__ import annotations
@@ -31,6 +42,15 @@ from pyspark.sql.window import Window
 DEFAULT_PARTS = 32  # #executors-sized at 100 TB; the carry stays tiny
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a frame consumed by >1 plan branch so nondeterministic
+    physical choices (range-boundary sampling) are made exactly once."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def two_phase_rank(
     df: DataFrame, order_cols: list[str], parts: int = DEFAULT_PARTS
 ) -> DataFrame:
@@ -40,8 +60,10 @@ def two_phase_rank(
 
     Returns the input columns + ``rank`` (long) + ``n_total`` (long).
     """
-    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
-        "pid", F.spark_partition_id()
+    ranged = _pin(
+        df.repartitionByRange(parts, *order_cols).withColumn(
+            "pid", F.spark_partition_id()
+        )
     )
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
     w_cum = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -110,8 +132,10 @@ def two_phase_grouped_rank(
     O(groups × partitions), the only single-partition window input.
     """
     keys = [*group_cols, *order_cols]
-    ranged = df.repartitionByRange(parts, *keys).withColumn(
-        "pid", F.spark_partition_id()
+    ranged = _pin(
+        df.repartitionByRange(parts, *keys).withColumn(
+            "pid", F.spark_partition_id()
+        )
     )
     counts = ranged.groupBy(*group_cols, "pid").agg(F.count(F.lit(1)).alias("pn"))
     w_cum = (

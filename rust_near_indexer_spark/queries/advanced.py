@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..canonical import cents
+from ..operators.ranking import _pin as _pin_ranged
 from ..tables import load
 from . import register
 from .dedup import _LSH_CTES, _verified_pairs
@@ -236,8 +237,12 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day"),
         cents("o_totalprice").alias("cents"),
     )
-    ranged = v.repartitionByRange(PARETO_RANGE_PARTS, "day").withColumn(
-        "pid", F.spark_partition_id()
+    # Pin the (pid, row) assignment once: the counts and window branches
+    # below must see identical range boundaries (operators/ranking._pin).
+    ranged = _pin_ranged(
+        v.repartitionByRange(PARETO_RANGE_PARTS, "day").withColumn(
+            "pid", F.spark_partition_id()
+        )
     )
     pmax = ranged.groupBy("pid").agg(F.max("cents").alias("mx"))
     w_cum = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -640,11 +645,12 @@ def _curation_oracle() -> str:
 
     return f"""
     WITH RECURSIVE
-    ck AS (SELECT doc_id, md5(text) AS k FROM documents),
+    d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    ck AS (SELECT doc_id, md5(text) AS k FROM d0),
     keep AS (SELECT k, MIN(doc_id) AS keeper FROM ck GROUP BY k),
     kk AS (SELECT ck.doc_id, keep.keeper FROM ck JOIN keep USING (k)),
     exact_kept AS (
-        SELECT d.doc_id, d.text FROM documents d
+        SELECT d.doc_id, d.text FROM d0 d
         JOIN kk ON kk.doc_id = d.doc_id WHERE kk.doc_id = kk.keeper
     ),
     {lsh_ctes("SELECT doc_id, text FROM exact_kept")},

@@ -338,13 +338,19 @@ def write_training_shards(
     parallel per-shard write.  Returns {"n_shards": ..., "n_docs": ...}.
     """
     assign = manifest.select("doc_id", "source", "shard_id")
-    rows = docs.select("doc_id", text_col).join(assign, "doc_id")
-    n_docs = rows.count()
-    n_shards = assign.select("source", "shard_id").distinct().count()
-    (
-        rows.repartition("source", "shard_id")
-        .write.mode("overwrite")
-        .partitionBy("source", "shard_id")
-        .json(out_dir)
-    )
+    # Persist the joined rows so the write plus the two stat actions
+    # cost ONE corpus-join scan (the write populates the cache; the
+    # counts read it), honoring the one-pass claim above.
+    rows = docs.select("doc_id", text_col).join(assign, "doc_id").persist()
+    try:
+        (
+            rows.repartition("source", "shard_id")
+            .write.mode("overwrite")
+            .partitionBy("source", "shard_id")
+            .json(out_dir)
+        )
+        n_docs = rows.count()
+        n_shards = rows.select("source", "shard_id").distinct().count()
+    finally:
+        rows.unpersist()
     return {"n_shards": n_shards, "n_docs": n_docs}

@@ -63,12 +63,48 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     when the scan is narrower than that: at 100 TB the scan already has
     more partitions than cores and the shuffle would be pure waste, so
     this becomes a no-op there.
+
+    Partition probe: ``df.rdd.getNumPartitions()`` would force a JVM
+    RDD conversion of the whole logical plan just to read a count (a
+    lazy-eval footgun on wide plans), so the split estimate comes from
+    the file listing instead — one split per file plus one per extra
+    ``maxPartitionBytes`` of the largest file.  An under-estimate only
+    means an extra no-op-sized shuffle on a corpus that is near the
+    core count anyway; at 100 TB the file count alone clears the bar.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if _estimated_splits(df) >= n:
         return df
     cols = [F.col(k) for k in keys]
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def _estimated_splits(df: DataFrame) -> int:
+    """Lower bound on the scan's input splits without touching df.rdd."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0  # non-file source (in-memory fixture): treat as narrow
+    if not files:
+        return 0
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    ).lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    digits = raw.rstrip("kmgb")
+    suffix = raw[len(digits) :].rstrip("b")
+    max_bytes = int(digits or "134217728") * units.get(suffix, 1)
+    extra = 0
+    try:
+        import os as _os
+
+        for f in files:
+            p = f.removeprefix("file:")
+            extra += max(0, (_os.path.getsize(p) - 1) // max_bytes)
+    except OSError:
+        pass  # remote FS: file count alone is the bound
+    return len(files) + extra
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -156,7 +156,11 @@ class OtlpHttpExporter:
         req = urllib.request.Request(
             url, data=body, method="POST", headers={"Content-Type": "application/json"}
         )
-        urllib.request.urlopen(req).read()
+        # Export runs inline on the driver at root-span end; a bounded
+        # timeout keeps a hung collector in the "swallowed exception"
+        # regime (Tracer.span catches it) instead of stalling the
+        # pipeline — tracing must never make the pipeline slower.
+        urllib.request.urlopen(req, timeout=5).read()
 
     def export(self, spans: list[Span], service: str) -> None:
         body = json.dumps(
