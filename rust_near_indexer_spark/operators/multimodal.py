@@ -174,20 +174,118 @@ def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Invert the per-scanline PNG filters (types 0-4, RFC 2083 §6).
+
+    Sub/Average/Paeth carry a within-row sequential dependency, so this
+    is a byte loop — fine inside the Arrow batch iterator where each
+    call handles one image; a SIMD unfilter drops in here untouched.
+    """
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if len(row) != stride:
+            raise ValueError("truncated PNG scanline")
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_png(data: bytes):
+    """Non-interlaced 8-bit PNG → HWC uint8 ndarray, pure stdlib
+    (struct + zlib).  Gray / RGB / gray+alpha / RGBA / palette are
+    real; 16-bit depth and Adam7 interlacing raise the documented
+    codec contract."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            plte = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    img = np.frombuffer(_png_unfilter(raw, h, stride, channels), np.uint8)
+    img = img.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        img = pal[img[:, :, 0]]
+    return img
+
+
 def decode_image(payload: bytes, meta: dict):
     """Image decode: bytes → HWC uint8 ndarray.
 
-    REAL for the stdlib-parseable binary PNM family — P6 (RGB) and P5
-    (grayscale) rasters are a pure header+``np.frombuffer`` parse, so
-    one genuine codec path executes in-sandbox.  Every other container
-    format (PNG/JPEG/WebP — codec libs absent here) raises
-    ``NotImplementedError`` with the same contract; a deployment with
-    PIL/opencv extends the magic-byte dispatch below, and the
-    mapInPandas plumbing around it is unchanged.  Runs inside the Arrow
-    batch iterator, one batch at a time, never on the driver.
+    REAL for two stdlib-parseable families: binary PNM — P6 (RGB) and
+    P5 (grayscale) are a pure header+``np.frombuffer`` parse — and
+    non-interlaced 8-bit PNG (zlib IDAT inflate + per-scanline
+    unfilter, ``_decode_png``), the format real corpora actually carry.
+    Remaining container formats (JPEG/WebP — entropy-codec libs absent
+    here) raise ``NotImplementedError`` with the same contract; a
+    deployment with PIL/opencv extends the magic-byte dispatch below,
+    and the mapInPandas plumbing around it is unchanged.  Runs inside
+    the Arrow batch iterator, one batch at a time, never on the driver.
     """
     import numpy as np
 
+    if bytes(payload[:8]) == PNG_MAGIC:
+        return _decode_png(bytes(payload))
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         # binary PNM: magic, whitespace/comments, width, height, maxval,
@@ -217,7 +315,7 @@ def decode_image(payload: bytes, meta: dict):
         return raster.reshape(h, w, c)
     raise NotImplementedError(
         f"image codec for magic {magic!r} unavailable in this environment "
-        "(PNM P5/P6 is the in-sandbox real path)"
+        "(PNM P5/P6 and non-interlaced 8-bit PNG are the in-sandbox real paths)"
     )
 
 

@@ -72,9 +72,9 @@ def test_decode_audio_wav_roundtrip():
 
 
 def test_unsupported_formats_still_raise():
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
-    with pytest.raises(NotImplementedError, match="PNM"):
-        multimodal.decode_image(png_magic, {})
+    jpegish = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    with pytest.raises(NotImplementedError, match="PNG"):
+        multimodal.decode_image(jpegish, {})
     mp3ish = b"ID3\x04" + b"\x00" * 16
     with pytest.raises(NotImplementedError, match="WAV"):
         multimodal.decode_audio(mp3ish, {})

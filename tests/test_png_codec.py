@@ -1,0 +1,149 @@
+"""Round-7 PNG decode path (VERDICT r06 #3): non-interlaced 8-bit PNG
+via stdlib zlib — IDAT inflate + per-scanline unfilter.
+
+The encoder below is written in-test (chunk framing + FORWARD filters
+0-4 applied per row), so the decoder must exactly invert every filter
+type against a known raster; golden byte fixtures aren't needed because
+the encoding itself is pinned here.  The end-to-end test pushes PNG
+payloads through the real mapInPandas ``decoded_stats`` path.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from rust_near_indexer_spark.operators import multimodal
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _forward_filter(img: np.ndarray, filters: list[int]) -> bytes:
+    """Apply the spec's FORWARD filters row-by-row (the inverse of what
+    the decoder does)."""
+    h, _w, c = img.shape
+    stride = img.shape[1] * c
+    flat = img.reshape(h, stride).astype(np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        row = flat[y]
+        ft = filters[y % len(filters)]
+        filt = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            a = row[i - c] if i >= c else 0
+            b = prev[i]
+            cc = prev[i - c] if i >= c else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[i] = (row[i] - pred) & 0xFF
+        out += bytes([ft]) + bytes(filt.astype(np.uint8))
+        prev = row
+    return bytes(out)
+
+
+def _png(img: np.ndarray, filters: list[int], color: int, plte: bytes = b"") -> bytes:
+    h, w, _c = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr)
+    if plte:
+        body += _chunk(b"PLTE", plte)
+    body += _chunk(b"IDAT", zlib.compress(_forward_filter(img, filters)))
+    body += _chunk(b"IEND", b"")
+    return multimodal.PNG_MAGIC + body
+
+
+def _raster(h: int, w: int, c: int, mul: int = 37) -> np.ndarray:
+    return (
+        (np.arange(h * w * c, dtype=np.int64) * mul % 256)
+        .astype(np.uint8)
+        .reshape(h, w, c)
+    )
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_each_filter_type_inverts(ft):
+    img = _raster(6, 5, 3)
+    got = multimodal.decode_image(_png(img, [ft], color=2), {})
+    assert np.array_equal(got, img), f"filter {ft} not inverted"
+
+
+def test_png_mixed_filters_rgb():
+    img = _raster(10, 7, 3, mul=113)
+    got = multimodal.decode_image(_png(img, [0, 1, 2, 3, 4], color=2), {})
+    assert np.array_equal(got, img)
+
+
+def test_png_grayscale_and_rgba_and_gray_alpha():
+    g = _raster(4, 9, 1)
+    assert np.array_equal(multimodal.decode_image(_png(g, [1, 4], color=0), {}), g)
+    ga = _raster(5, 3, 2)
+    assert np.array_equal(multimodal.decode_image(_png(ga, [2, 3], color=4), {}), ga)
+    rgba = _raster(3, 8, 4, mul=201)
+    assert np.array_equal(multimodal.decode_image(_png(rgba, [4], color=6), {}), rgba)
+
+
+def test_png_palette_resolves_to_rgb():
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = (np.arange(12, dtype=np.int64) % 4).astype(np.uint8).reshape(3, 4, 1)
+    png = _png(idx, [0, 2], color=3, plte=pal.tobytes())
+    got = multimodal.decode_image(png, {})
+    assert got.shape == (3, 4, 3)
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+
+
+def test_png_contract_boundaries():
+    img = _raster(2, 2, 3)
+    sixteen = _png(img, [0], color=2)
+    # patch IHDR depth byte (offset: 8 magic + 8 framing + 8 w/h)
+    sixteen = sixteen[:24] + b"\x10" + sixteen[25:]
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        multimodal.decode_image(sixteen, {})
+    interlaced = _png(img, [0], color=2)
+    interlaced = interlaced[:28] + b"\x01" + interlaced[29:]
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_image(interlaced, {})
+    with pytest.raises(ValueError, match="IHDR"):
+        multimodal.decode_image(multimodal.PNG_MAGIC + _chunk(b"IEND", b""), {})
+
+
+def test_png_decoded_stats_end_to_end(spark):
+    """PNG payloads through the real Spark mapInPandas decode path,
+    features checked against the source raster."""
+    img = _raster(9, 11, 3, mul=59)
+    png = _png(img, [0, 1, 2, 3, 4], color=2)
+    rows = [(7, "image", bytearray(png), None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.decoded_stats(media).collect()
+    assert len(got) == 1
+    vals = img.reshape(-1).astype(np.int64)
+    assert got[0].asDict() == {
+        "media_id": 7,
+        "kind": "image",
+        "dim0": 9,
+        "dim1": 11,
+        "n_values": int(vals.size),
+        "mean_milli": int(vals.sum() * 1000 // vals.size),
+    }
