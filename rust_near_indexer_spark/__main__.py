@@ -181,6 +181,76 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Operate the near-dup artifact (dedup_artifact.py) as a service:
+
+    - ``build``: cold-build signatures/pairs/labels from a (doc_id,
+      text) parquet corpus into ``--artifact``.
+    - ``append``: fold a new document batch in (work proportional to
+      the batch + touched clusters).
+    - ``lookup``: answer "which cluster is doc N in, and who else is
+      in it?" — the point-lookup the range-clustered layout serves
+      with pruned scans (parquet min/max file stats on the sorted
+      ``node``/``component`` columns).
+    """
+    from pyspark.sql import functions as F
+
+    from . import dedup_artifact as da
+
+    if args.action in ("build", "append") and not args.docs:
+        print("dedup build/append needs --docs <parquet>", file=sys.stderr)
+        return 2
+    if args.action == "lookup" and args.doc_id is None:
+        print("dedup lookup needs --doc-id N", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+
+    def _docs(path):
+        return spark.read.parquet(path).select("doc_id", "text")
+
+    if args.action == "build":
+        stats = da.write_dedup_artifact(_docs(args.docs), args.artifact)
+        print(
+            f"built {args.artifact}: {stats['n_sigs']} signatures, "
+            f"{stats['n_pairs']} verified pairs, "
+            f"{stats['n_labeled']} labeled docs"
+        )
+        return 0
+    if args.action == "append":
+        stats = da.append_dedup_artifact(spark, args.artifact, _docs(args.docs))
+        print(
+            f"appended into {args.artifact}: {stats['n_new_sigs']} new "
+            f"signatures, {stats['n_new_pairs']} new pairs, "
+            f"{stats['n_touched_components']} clusters recomputed"
+        )
+        return 0
+    # lookup
+    art = da.load_dedup_artifact(spark, args.artifact)
+    hit = art["labels"].where(F.col("node") == args.doc_id).collect()
+    if not hit:
+        print(f"doc {args.doc_id}: not in any near-dup cluster")
+        return 0
+    comp = hit[0]["component"]
+    members = sorted(
+        r["node"]
+        for r in art["labels"].where(F.col("component") == comp).collect()
+    )
+    pairs = (
+        art["pairs"]
+        .where(
+            (F.col("doc_a") == args.doc_id) | (F.col("doc_b") == args.doc_id)
+        )
+        .orderBy(F.desc("jaccard_milli"))
+        .collect()
+    )
+    print(f"doc {args.doc_id}: cluster {comp} ({len(members)} members)")
+    print(f"members: {members}")
+    for r in pairs:
+        other = r["doc_b"] if r["doc_a"] == args.doc_id else r["doc_a"]
+        print(f"  ~ doc {other} (jaccard {r['jaccard_milli'] / 1000:.3f})")
+    return 0
+
+
 def cmd_sql(args) -> int:
     from .views import register_views
 
@@ -245,6 +315,17 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     cu.add_argument("--quality-min", type=int, default=350)
     cu.set_defaults(fn=cmd_curate)
+
+    dd = sub.add_parser(
+        "dedup", help="build/append/query the near-dup artifact"
+    )
+    dd.add_argument("action", choices=["build", "append", "lookup"])
+    dd.add_argument("--artifact", required=True, help="artifact directory")
+    dd.add_argument(
+        "--docs", default=None, help="(doc_id, text) parquet for build/append"
+    )
+    dd.add_argument("--doc-id", type=int, default=None, help="lookup target")
+    dd.set_defaults(fn=cmd_dedup)
 
     s = sub.add_parser(
         "sql", help="run ad-hoc SQL over the registered medallion views"

@@ -269,23 +269,282 @@ def _decode_png(data: bytes):
     return img
 
 
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_matrix():
+    """The orthonormal 8x8 DCT-II basis A (A[k,n] = c(k)/2 ·
+    cos((2n+1)kπ/16)); spatial = Aᵀ·coef·A.  A @ Aᵀ = I, so the
+    inverse is exact to float precision (orthonormality is pinned by
+    test_jpeg_codec)."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for k in range(8):
+        c = math.sqrt(0.5) if k == 0 else 1.0
+        for n in range(8):
+            a[k, n] = 0.5 * c * math.cos((2 * n + 1) * k * math.pi / 16)
+    return a
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment reader: un-stuffs 0xFF 0x00, stops at
+    markers, and re-syncs across RSTn boundaries."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.acc, self.n = 0, 0
+
+    def _next_byte(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            raise EOFError("marker inside entropy segment")
+        self.pos += 1
+        return b
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.acc, self.n = self._next_byte(), 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self, idx: int) -> None:
+        """Byte-align and consume the expected RSTn marker (skipping a
+        stuffed FF 00 that all-ones padding may have produced)."""
+        self.n = 0
+        while (
+            self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        if (
+            self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (idx & 7)
+        ):
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict:
+    """DHT BITS/HUFFVAL → canonical {(length, code): symbol} map."""
+    table, code, vi = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """Receive/extend (ITU T.81 F.2.2.1): an n-bit magnitude to the
+    signed coefficient value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _decode_jpeg(data: bytes):
+    """Baseline sequential-DCT JPEG → HWC uint8 ndarray, pure
+    stdlib+numpy: marker parse, canonical-Huffman entropy decode (with
+    restart intervals), dequantize + de-zigzag, orthonormal-matrix
+    IDCT, nearest-neighbor chroma upsample, BT.601 YCbCr→RGB.
+    Progressive (SOF2) and arithmetic coding raise the documented
+    codec contract."""
+    import struct
+
+    import numpy as np
+
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    pos = 2  # past SOI
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tbl = np.zeros(64, np.int32)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                    seg[i + 1 : i + 65], np.uint8
+                ).astype(np.int32)
+                qt[tid] = tbl.reshape(8, 8)
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended huffman
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG samples")
+            comps = []
+            for c in range(nc):
+                cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential-DCT JPEG is supported "
+                f"(SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, tid = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                huff[(tc, tid)] = _jpeg_huff_table(
+                    bits, seg[i + 17 : i + 17 + nv]
+                )
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []  # (comp_index, dc_table, ac_table)
+            for s in range(ns):
+                cid, tsel = seg[1 + 2 * s], seg[2 + 2 * s]
+                ci = next(
+                    i for i, c in enumerate(frame[2]) if c[0] == cid
+                )
+                scan.append((ci, huff[(0, tsel >> 4)], huff[(1, tsel & 0xF)]))
+            return _jpeg_scan(
+                data, pos, frame, qt, scan, restart_interval
+            )
+    raise ValueError("malformed JPEG: no SOS marker")
+
+
+def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), np.float64) for c in comps
+    ]
+    idct = _jpeg_idct_matrix()
+    reader = _JpegBitReader(data, pos)
+    pred = [0] * len(comps)
+    n_restarts = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_restart(n_restarts)
+            n_restarts += 1
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, dc_tbl, ac_tbl in scan:
+            _cid, ch, cv, qid = comps[ci]
+            q = qt[qid]
+            for by in range(cv):
+                for bx in range(ch):
+                    coef = np.zeros(64, np.float64)
+                    t = _jpeg_huff_decode(reader, dc_tbl)
+                    pred[ci] += _jpeg_extend(reader.bits(t), t)
+                    coef[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, ac_tbl)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(s), s)
+                        k += 1
+                    block = idct.T @ (coef.reshape(8, 8) * q) @ idct
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+    out = []
+    for ci, (_cid, ch, cv, _qid) in enumerate(comps):
+        p = planes[ci]
+        if ch != hmax or cv != vmax:
+            if hmax % ch or vmax % cv:
+                raise NotImplementedError("non-integer JPEG sampling ratio")
+            p = np.repeat(np.repeat(p, vmax // cv, 0), hmax // ch, 1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        img = out[0][:, :, None]
+    elif len(out) == 3:
+        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        img = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=2,
+        )
+    else:
+        raise NotImplementedError(f"{len(out)}-component JPEG")
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes, meta: dict):
     """Image decode: bytes → HWC uint8 ndarray.
 
-    REAL for two stdlib-parseable families: binary PNM — P6 (RGB) and
-    P5 (grayscale) are a pure header+``np.frombuffer`` parse — and
+    REAL for three stdlib-parseable families: binary PNM — P6 (RGB)
+    and P5 (grayscale) are a pure header+``np.frombuffer`` parse —
     non-interlaced 8-bit PNG (zlib IDAT inflate + per-scanline
-    unfilter, ``_decode_png``), the format real corpora actually carry.
-    Remaining container formats (JPEG/WebP — entropy-codec libs absent
-    here) raise ``NotImplementedError`` with the same contract; a
-    deployment with PIL/opencv extends the magic-byte dispatch below,
-    and the mapInPandas plumbing around it is unchanged.  Runs inside
-    the Arrow batch iterator, one batch at a time, never on the driver.
+    unfilter, ``_decode_png``), and baseline sequential-DCT JPEG
+    (canonical-Huffman entropy decode + matrix IDCT, ``_decode_jpeg``)
+    — the two formats real corpora actually carry.  Remaining
+    container formats (WebP/progressive-JPEG — out of scope here)
+    raise ``NotImplementedError`` with the same contract; a deployment
+    with PIL/opencv extends the magic-byte dispatch below, and the
+    mapInPandas plumbing around it is unchanged.  Runs inside the
+    Arrow batch iterator, one batch at a time, never on the driver.
     """
     import numpy as np
 
     if bytes(payload[:8]) == PNG_MAGIC:
         return _decode_png(bytes(payload))
+    if bytes(payload[:3]) == b"\xff\xd8\xff":
+        return _decode_jpeg(bytes(payload))
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         # binary PNM: magic, whitespace/comments, width, height, maxval,
@@ -315,7 +574,8 @@ def decode_image(payload: bytes, meta: dict):
         return raster.reshape(h, w, c)
     raise NotImplementedError(
         f"image codec for magic {magic!r} unavailable in this environment "
-        "(PNM P5/P6 and non-interlaced 8-bit PNG are the in-sandbox real paths)"
+        "(PNM P5/P6, non-interlaced 8-bit PNG, and baseline JPEG are the "
+        "in-sandbox real paths)"
     )
 
 

@@ -124,3 +124,43 @@ def test_cli_query_explain(capsys):
     assert main(["--cpus", "4", "query", "pricing_summary", "--explain"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+
+
+def test_cli_dedup_build_append_lookup(spark, tmp_path, capsys):
+    """The dedup artifact as a service: build a corpus with one planted
+    near-dup family, append a new member, and point-look-up a doc's
+    cluster — the artifact-maintenance workflow a production pipeline
+    runs between training-data drops."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    w = base.split()
+    rows = [
+        (1, base),
+        (2, " ".join(w[:-1])),
+        (9, "completely unrelated text about cooking pasta dishes"),
+    ]
+    docs_p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs_p)
+    art = str(tmp_path / "art")
+
+    assert main(["--cpus", "4", "dedup", "build", "--docs", docs_p, "--artifact", art]) == 0
+    out = capsys.readouterr().out
+    assert "3 signatures" in out and "verified pairs" in out
+
+    batch_p = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(3, " ".join(w[1:]))], "doc_id long, text string"
+    ).write.parquet(batch_p)
+    assert main(["--cpus", "4", "dedup", "append", "--docs", batch_p, "--artifact", art]) == 0
+    out = capsys.readouterr().out
+    assert "1 new signatures" in out and "clusters recomputed" in out
+
+    assert main(["--cpus", "4", "dedup", "lookup", "--artifact", art, "--doc-id", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "cluster 1" in out and "members: [1, 2, 3]" in out
+
+    assert main(["--cpus", "4", "dedup", "lookup", "--artifact", art, "--doc-id", "9"]) == 0
+    assert "not in any near-dup cluster" in capsys.readouterr().out
+
+    # flag validation: missing operands exit 2 without touching Spark
+    assert main(["dedup", "build", "--artifact", art]) == 2
+    assert main(["dedup", "lookup", "--artifact", art]) == 2

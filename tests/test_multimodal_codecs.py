@@ -72,12 +72,16 @@ def test_decode_audio_wav_roundtrip():
 
 
 def test_unsupported_formats_still_raise():
-    jpegish = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    webpish = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
     with pytest.raises(NotImplementedError, match="PNG"):
-        multimodal.decode_image(jpegish, {})
+        multimodal.decode_image(webpish, {})
     mp3ish = b"ID3\x04" + b"\x00" * 16
     with pytest.raises(NotImplementedError, match="WAV"):
         multimodal.decode_audio(mp3ish, {})
+    # JPEG is a real path now: a truncated stream is MALFORMED, not
+    # unsupported
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16, {})
 
 
 def test_decoded_stats_end_to_end(spark):
