@@ -5,12 +5,15 @@ a typed metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched pandas iterators over ``mapInPandas`` — the only
 sanctioned Python boundary in this engine.
 
-Codec reality: the container has no PIL/opencv/ffmpeg, but the stdlib
-CAN genuinely decode two formats — binary PNM (P5/P6) images and PCM16
-WAV audio — so ``decode_image``/``decode_audio`` implement those for
-real (magic-byte dispatch) and raise ``NotImplementedError`` with the
-same contract for library-bound formats (PNG/JPEG/MP3/...), which a
-production image swaps in without touching the Spark plumbing.
+Codec reality: the container has no PIL/opencv/ffmpeg, but the decode
+paths are REAL for the formats corpora actually carry — binary PNM
+(P5/P6), non-interlaced 8-bit PNG (stdlib zlib inflate + unfilter),
+baseline sequential-DCT JPEG (canonical-Huffman entropy decode +
+matrix IDCT), PCM16 WAV audio, and MJPEG / raw-DIB frames inside
+RIFF/AVI video containers (``parse_avi``/``decode_video``).  Formats
+beyond those (WebP, progressive JPEG, MP3/OGG, non-MJPEG video
+codecs) raise ``NotImplementedError`` under the same contract, which
+a production image swaps in without touching the Spark plumbing.
 ``extract_features`` remains the deterministic fake decode whose
 Spark-side plumbing — schema, Arrow batching, partition mapping, UDF
 signature — is oracle-tested (queries/multimodal_features);
@@ -606,6 +609,159 @@ def decode_audio(payload: bytes, meta: dict):
         f"audio codec for magic {bytes(payload[:4])!r} unavailable in this "
         "environment (PCM16 WAV is the in-sandbox real path)"
     )
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield ``(fourcc, payload_offset, payload_size)`` for the RIFF
+    chunk sequence in ``data[pos:end]``.  Chunks are word-aligned: an
+    odd-sized payload is followed by one pad byte."""
+    while pos + 8 <= end:
+        fourcc = bytes(data[pos : pos + 4])
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > end:
+            raise ValueError("truncated RIFF chunk")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def parse_avi(data: bytes) -> dict:
+    """RIFF/AVI container parse → header fields + the stream-0 video
+    frame index, WITHOUT decoding any frame.
+
+    Walks ``LIST hdrl`` for the ``avih`` main header
+    (dwMicroSecPerFrame / dwTotalFrames / dwWidth / dwHeight) and
+    ``LIST movi`` (including nested ``LIST rec␣`` record groups) for
+    the ``00dc``/``00db`` chunks of the first stream.  Returns
+    ``{"width", "height", "usec_per_frame", "n_frames",
+    "frames": [(fourcc, offset, size), ...]}`` — frame payloads stay
+    as (offset, size) views so samplers can decode only the frames
+    they keep.
+    """
+    import struct
+
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    info = {"width": None, "height": None, "usec_per_frame": None,
+            "n_frames": None, "frames": []}
+
+    def walk(pos: int, end: int) -> None:
+        for fourcc, s, sz in _riff_chunks(data, pos, end):
+            if fourcc == b"LIST":
+                if bytes(data[s : s + 4]) in (b"hdrl", b"movi", b"rec "):
+                    walk(s + 4, s + sz)
+            elif fourcc == b"avih":
+                usec, _mbps, _pad, _flags, total = struct.unpack(
+                    "<5I", bytes(data[s : s + 20])
+                )
+                w, h = struct.unpack("<II", bytes(data[s + 32 : s + 40]))
+                info.update(
+                    usec_per_frame=usec, n_frames=total, width=w, height=h
+                )
+            elif fourcc[:2] == b"00" and fourcc[2:4] in (b"dc", b"db"):
+                info["frames"].append((fourcc, s, sz))
+
+    walk(12, len(data))
+    if info["width"] is None:
+        raise ValueError("malformed AVI: no avih header")
+    return info
+
+
+def decode_video(payload: bytes, meta: dict, frame_indices=None):
+    """Video decode: AVI container bytes → ``(frames, fps)`` where
+    ``frames`` is a list of ``(frame_idx, HWC uint8 ndarray)``.
+
+    REAL for two in-sandbox paths: **MJPEG** (``00dc`` chunks that are
+    baseline JPEGs with embedded DHT — what ffmpeg/opencv MJPEG writers
+    emit — decoded by ``_decode_jpeg``) and **uncompressed 24-bit DIB**
+    (``00db`` chunks: bottom-up BGR rows padded to 4-byte stride).
+    Other codecs raise ``NotImplementedError`` under the usual codec
+    contract.
+
+    ``frame_indices`` decodes only the named frames — the container
+    index is a header walk over (offset, size) pairs, so a sampler
+    that keeps every k-th frame pays entropy-decode cost only for the
+    kept frames.
+    """
+    import numpy as np
+
+    data = bytes(payload)
+    info = parse_avi(data)
+    frames = info["frames"]
+    sel = range(len(frames)) if frame_indices is None else frame_indices
+    out = []
+    for i in sel:
+        fourcc, off, sz = frames[i]
+        chunk = data[off : off + sz]
+        if fourcc.endswith(b"dc"):
+            if chunk[:3] != b"\xff\xd8\xff":
+                raise NotImplementedError(
+                    "only MJPEG 00dc chunks are supported"
+                )
+            out.append((i, _decode_jpeg(chunk)))
+        else:  # 00db: uncompressed DIB, bottom-up BGR, 4-byte row stride
+            w, h = info["width"], info["height"]
+            stride = (w * 3 + 3) & ~3
+            if sz < stride * h:
+                raise ValueError("truncated DIB frame")
+            rows = np.frombuffer(chunk[: stride * h], np.uint8).reshape(
+                h, stride
+            )
+            bgr = rows[::-1, : w * 3].reshape(h, w, 3)
+            out.append((i, bgr[:, :, ::-1].copy()))
+    fps = 1e6 / info["usec_per_frame"] if info["usec_per_frame"] else None
+    return out, fps
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx long, height long, width long, "
+    "mean_milli long, frame_md5 string"
+)
+
+
+def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Container-aware REAL frame sampling over ``mapInPandas``: for
+    each RIFF/AVI payload, walk the chunk index, decode ONLY every
+    ``every_k``-th frame (MJPEG/DIB via ``decode_video``), and emit
+    integer per-frame features — (height, width), 1000·mean-pixel
+    (floor), and the md5 of the decoded RGB raster.
+
+    Scale shape mirrors ``sample_frames``: the container bytes never
+    leave the scan partition; only (media_id, frame_idx, features)
+    rows continue downstream, and skipped frames are never
+    entropy-decoded (the chunk walk is a header scan).  Undecodable
+    or non-AVI payloads are dropped.
+    """
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "height",
+                                   "width", "mean_milli", "frame_md5")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    info = parse_avi(bytes(payload))
+                    keep = range(0, len(info["frames"]), every_k)
+                    decoded, _fps = decode_video(payload, {}, keep)
+                except Exception:  # not an AVI / unsupported codec: drop
+                    continue
+                for idx, img in decoded:
+                    vals = img.reshape(-1)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["height"].append(img.shape[0])
+                    out["width"].append(img.shape[1])
+                    out["mean_milli"].append(
+                        int(int(vals.sum()) * 1000 // vals.size)
+                    )
+                    out["frame_md5"].append(
+                        hashlib.md5(img.tobytes()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_sample, schema=VIDEO_FRAME_SCHEMA)
 
 
 DECODED_STATS_SCHEMA = (
