@@ -150,3 +150,15 @@ def test_audio_spectral_frames_spark(spark):
     assert r0["centroid_milli_hz"] == int(np.floor(f["centroid_hz"][0] * 1000))
     assert r0["mfcc0_milli"] == int(np.floor(f["mfcc"][0, 0] * 1000))
     assert r0["dominant_mel"] == int(f["dominant_mel"][0])
+
+
+def test_audio_spectral_frames_plan_no_shuffle(spark):
+    """Scale shape: PCM bytes go scan -> MapInPandas with no Exchange
+    in between (payloads never cross a shuffle)."""
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"x"), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:long,height:long,sample_rate:long,n_frames:long>",
+    )
+    plan = audio_spectral_frames(media)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan

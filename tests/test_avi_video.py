@@ -186,3 +186,15 @@ def test_sample_video_frames_spark(spark):
         src = srcs_a[idx]
         got = rows[(1, idx)]["mean_milli"] / 1000.0
         assert abs(got - src.mean()) < 2.5
+
+
+def test_sample_video_frames_plan_no_shuffle(spark):
+    """Scale shape: payload bytes go scan -> MapInPandas with no
+    Exchange in between (container bytes never cross a shuffle)."""
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:long,height:long,sample_rate:long,n_frames:long>",
+    )
+    plan = sample_video_frames(media)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan
