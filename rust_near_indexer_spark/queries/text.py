@@ -1562,3 +1562,64 @@ def score_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pctl_ppm"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding under a fixed merge table — the trained tokenizer's
+# distributed application path, gated end-to-end.
+# ---------------------------------------------------------------------------
+
+# Char-disjoint digraphs: with pairwise-disjoint character sets, greedy
+# lowest-rank BPE merging equals non-overlapping substring counting
+# (merging one pair can neither create nor destroy an occurrence of
+# another), which makes the encode loop relationally expressible — the
+# property the oracle below exploits.
+BPE_FIXED_MERGES = [("e", "s"), ("t", "h"), ("a", "n")]
+
+
+@register(
+    "bpe_fixed_merge_token_counts",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE trim(text) != ''
+    ),
+    words AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+        FROM d
+    ),
+    ww AS (
+        SELECT doc_id,
+               CAST(length(w) AS BIGINT) AS lw,
+               CAST((length(w) - length(replace(w, 'es', ''))) // 2
+                  + (length(w) - length(replace(w, 'th', ''))) // 2
+                  + (length(w) - length(replace(w, 'an', ''))) // 2
+                 AS BIGINT) AS occ
+        FROM words WHERE w != ''
+    )
+    SELECT doc_id,
+           CAST(SUM(lw + 1 - occ) AS BIGINT) AS n_tokens,
+           CAST(SUM(lw - 2 * occ) AS BIGINT) AS n_unk_chars
+    FROM ww GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "llm-pipeline", "tokenizer", "bpe"),
+)
+def bpe_fixed_merge_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token budget under the REAL BPE encoder
+    (operators/bpe.py: greedy lowest-rank merge loop, Zipf word cache,
+    Arrow-batched mapInPandas) with a fixed char-disjoint merge table —
+    the merge set a trainer run would normally produce, pinned so the
+    oracle can recompute the encode relationally (greedy merging of
+    char-disjoint pairs ≡ non-overlapping substring counts, so
+    n_tokens = Σ_w (len(w)+1 − occ(w)) and single-char leftovers =
+    Σ_w (len(w) − 2·occ(w))).  This gates the production encode path —
+    cache, rank resolution, END handling — not a simplified twin.
+
+    Scale shape: merge ranks ride the task closure (no join); the scan
+    feeds mapInPandas with no Exchange (payload never shuffles); the
+    output is one bounded row per doc.  Training is the separate
+    word_frequencies count + bounded driver induction (learn_bpe)."""
+    d = load(spark, sf_dir, "documents")
+    corpus = spread(d, "doc_id").where(F.trim(F.col("text")) != "")
+    from ..operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(corpus, BPE_FIXED_MERGES).orderBy("doc_id")

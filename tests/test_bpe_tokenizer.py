@@ -133,3 +133,27 @@ def test_token_counts_plan_no_shuffle(spark):
         .toString()
     )
     assert "MapInPandas" in plan and "Exchange" not in plan
+
+
+def test_fixed_merge_oracle_identity():
+    """The gate oracle for bpe_fixed_merge_token_counts rests on:
+    greedy BPE over char-disjoint pairs == non-overlapping substring
+    counting.  Pin that identity against the real encoder on an
+    adversarial word space built FROM the merge alphabet."""
+    from itertools import product
+
+    from rust_near_indexer_spark.operators.bpe import bpe_encode_word
+    from rust_near_indexer_spark.queries.text import BPE_FIXED_MERGES
+
+    ranks = {p: i for i, p in enumerate(BPE_FIXED_MERGES)}
+    alphabet = "esthan"
+    for n in (1, 2, 3, 4):
+        for chars in product(alphabet, repeat=n):
+            w = "".join(chars)
+            occ = sum(
+                (len(w) - len(w.replace(a + b, ""))) // 2
+                for a, b in BPE_FIXED_MERGES
+            )
+            toks = bpe_encode_word(w, ranks, {})
+            assert len(toks) == len(w) + 1 - occ, w
+            assert sum(1 for t in toks if len(t) == 1) == len(w) - 2 * occ, w
