@@ -41,10 +41,26 @@ from pyspark.sql.window import Window
 
 DEFAULT_PARTS = 32  # #executors-sized at 100 TB; the carry stays tiny
 
+# Formatted physical plans of the frames _pin materialized, newest last.
+# The checkpoint replaces everything below it with an RDD scan in the
+# FINAL explain, so the scale-shape regression tests (rangepartitioning
+# present, no corpus-wide global window) inspect the pinned subtree here
+# — the plan that actually executed — instead of the truncated top plan.
+from collections import deque
+
+PINNED_PLANS: deque = deque(maxlen=8)
+
 
 def _pin(df: DataFrame) -> DataFrame:
     """Materialize a frame consumed by >1 plan branch so nondeterministic
     physical choices (range-boundary sampling) are made exactly once."""
+    try:
+        mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        PINNED_PLANS.append(
+            df._jdf.queryExecution().explainString(mode.fromString("formatted"))
+        )
+    except Exception:  # pragma: no cover - inspection must never fail a query
+        pass
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)

@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from ..canonical import cents
 from ..operators.ranking import _pin as _pin_ranged
-from ..tables import load
+from ..tables import load, spread
 from . import register
 from .dedup import _LSH_CTES, _verified_pairs
 
@@ -507,13 +507,21 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|B| ≥ τ·|A|) prunes, exact shared-shingle counting verifies.
 
     Scale shape: identical to dedup_prefix_filter_join — one exploded
-    token table, df/size as keyed window counts, candidates from an
-    equi-join keyed by globally-rare shingles, verification re-joins
-    candidates against the token table; no array column ever crosses a
-    shuffle, never all-pairs."""
+    token table, candidates from an equi-join keyed by globally-rare
+    shingles, verification re-joins candidates against the token table;
+    no array column ever crosses a shuffle, never all-pairs.  Set sizes
+    ride the array BEFORE the explode (shingles are array_distinct, so
+    |set| = size(sh) — zero shuffles), document frequency is a
+    map-combined hash aggregate joined back onto the PROBE branch only,
+    and the index side carries no window at all — the only sort in the
+    plan is the per-doc rarity ranking the SSJoin prefix needs."""
     from .dedup import _shingles5
 
-    base = load(spark, sf_dir, "documents").select(
+    # spread the compact scan BEFORE the shingle projection: a small
+    # parquet file arrives as one split, and 5-gram generation is the
+    # CPU-heavy step (measured 3.4 s single-task vs 0.2 s spread at
+    # sf0.1); no-op at 100 TB where the scan already has > core splits
+    base = spread(load(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.split(F.col("text"), " ").alias("w")
     )
     exc = base.where(F.size("w") >= 10).select(
@@ -523,27 +531,31 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.state import _materialize
 
     corpus = base.unionByName(exc)
-    sh = corpus.select("doc_id", _shingles5(F.col("w")).alias("sh")).where(
-        F.size("sh") > 0
-    )
-    # the exploded token table feeds THREE branches (df/size windows,
-    # probe-side verify, index-side verify) — materialize once or the
-    # corpus tokenization re-runs per branch (same fix as skew profile)
-    tok = _materialize(sh.select("doc_id", F.explode("sh").alias("s")))
-    t1 = tok.select(
-        "doc_id",
-        "s",
-        F.count(F.lit(1)).over(Window.partitionBy("s")).alias("df"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
-    )
-    t2 = t1.withColumn(
+    sh = corpus.select("doc_id", _shingles5(F.col("w")).alias("sh"))
+    # Materialize the ARRAY frame before exploding, and only then
+    # explode: Catalyst's InferFiltersFromGenerate inserts
+    # `size(sh) > 0 AND isnotnull(sh)` under the Generate, duplicating
+    # the whole higher-order shingle expression into a Filter that
+    # predicate-pushdown then moves below the spread Exchange onto the
+    # single-split scan — measured 3.3 s serial vs 0.1 s exploding the
+    # stored arrays (the filter then tests a stored column).  The
+    # barrier also lets the four tok consumers (df aggregate, probe
+    # ranking, index side, verify sides) re-explode from the checkpoint
+    # instead of re-tokenizing the corpus.  sz rides the array
+    # pre-explode: _shingles5 is array_distinct, so the oracle's
+    # COUNT(*) OVER (PARTITION BY doc_id) == size(sh) exactly; explode
+    # drops empty arrays, matching the old `WHERE size(sh) > 0`.
+    docs = _materialize(sh.select("doc_id", F.size("sh").alias("sz"), "sh"))
+    tok = docs.select("doc_id", "sz", F.explode("sh").alias("s"))
+    df_tbl = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(df_tbl, "s").withColumn(
         "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
     )
-    prefix = t2.where(
+    prefix = ranked.where(
         F.col("rn")
         <= F.col("sz") - F.expr(f"({CONT_TAU_MILLI} * sz + 999) div 1000") + 1
     ).select(F.col("doc_id").alias("contained_id"), "s", F.col("sz").alias("sz_a"))
-    idx = t1.select(
+    idx = tok.select(
         F.col("doc_id").alias("container_id"), "s", F.col("sz").alias("sz_b")
     )
     cand = (

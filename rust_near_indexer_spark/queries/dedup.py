@@ -62,7 +62,11 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 10th, +100000, every 7th word dropped) — ONE corpus scan: each
     row explodes into its 1-3 variants (a UNION of three scans would read
     the corpus three times at 100 TB)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the compact scan BEFORE the variant computation: the
+    # near-dup rewrite is a higher-order filter+concat over every word,
+    # and a small parquet file arrives as one split — without this the
+    # whole augmentation runs on one core (no-op at 100 TB)
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     words = F.split(F.col("text"), " ")
     # drop every 7th word (1-based positions 7, 14, …)
     near_text = F.concat_ws(" ", F.filter(words, lambda w, i: (i + 1) % 7 != 0))
@@ -85,10 +89,15 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    exploded = d.select(F.explode(variants).alias("v")).select("v.doc_id", "v.text")
-    # every consumer md5-hashes thousands of shingles per doc — spread the
-    # compact scan across the cluster before that compute (no-op at scale)
-    return spread(exploded, "doc_id")
+    # explode_outer, not explode: InferFiltersFromGenerate would wrap
+    # the inner explode in a `size(variants) > 0` Filter that duplicates
+    # the whole variant expression (incl. the higher-order near-dup
+    # rewrite) and pushes it below the spread Exchange back onto the
+    # single-split scan.  The array always holds the identity struct, so
+    # outer ≡ inner here and no null row can appear.
+    return d.select(F.explode_outer(variants).alias("v")).select(
+        "v.doc_id", "v.text"
+    )
 
 
 # DuckDB rendering of the same augmentation (list lambdas are 1-indexed).
@@ -977,20 +986,31 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged.
 
     (No reference analog — SURVEY §2B north-star dedup suite.)"""
+    from ..plans.state import _materialize
+
     aug = augmented_docs(spark, sf_dir)
-    tok = aug.select(
-        "doc_id", F.explode(_shingles5(F.split(F.col("text"), " "))).alias("s")
+    # Materialize the ARRAY frame, then explode the stored column:
+    # exploding the raw higher-order shingle expression makes
+    # InferFiltersFromGenerate duplicate it into a Filter that pushes
+    # below augmented_docs' spread Exchange onto the single-split scan
+    # (same pathology measured at 3.3 s serial on the containment
+    # join); the barrier also serves tok's three consumers (windows +
+    # both verify sides) from one tokenization.  _shingles5 is
+    # array_distinct, so size(sh) == the oracle's per-doc COUNT(*).
+    docs = _materialize(
+        aug.select(
+            "doc_id", _shingles5(F.split(F.col("text"), " ")).alias("sh")
+        ).select("doc_id", F.size("sh").alias("sz"), "sh")
     )
-    # df + set size as window counts over the one token table (tok is
-    # distinct per doc, so count-per-doc == |set|); rank after df exists
-    t1 = tok.select(
-        "doc_id",
-        "s",
-        F.count(F.lit(1)).over(Window.partitionBy("s")).alias("df"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
-    )
-    t2 = t1.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    tok = docs.select("doc_id", "sz", F.explode("sh").alias("s"))
+    # df as a map-combined hash aggregate joined back for the rarity
+    # ranking (the index/verify sides never need it); rank after df
+    t2 = (
+        tok.join(tok.groupBy("s").agg(F.count(F.lit(1)).alias("df")), "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+        )
     )
     # prefix length |d| - ceil(τ|d|) + 1, integer ceil via (+999)//1000
     prefix = t2.where(

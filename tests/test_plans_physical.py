@@ -397,9 +397,14 @@ def test_equi_depth_histogram_rank_is_range_partitioned(spark, sf_dir):
     contiguous (cents, orderkey) ranges, per-range row_number windows
     keyed by the range id, and broadcast cumulative offsets.  The only
     single-partition window is the #partitions-row offset cumsum; no
-    corpus-sized global Window remains."""
+    corpus-sized global Window remains.  The range exchange lives in the
+    subtree _pin materialized (the checkpoint truncates it out of the
+    final explain), so it is asserted via ranking.PINNED_PLANS."""
+    from rust_near_indexer_spark.operators import ranking
+
+    ranking.PINNED_PLANS.clear()
     plan, nodes = _node_counts(spark, "equi_depth_histogram", sf_dir)
-    assert "rangepartitioning(cents" in plan
+    assert any("rangepartitioning(cents" in p for p in ranking.PINNED_PLANS)
     assert "hashpartitioning(pid" in plan
     assert nodes.get("BroadcastExchange", 0) >= 1 or "BroadcastHashJoin" in nodes
     assert nodes.get("CartesianProduct", 0) == 0
@@ -408,9 +413,14 @@ def test_equi_depth_histogram_rank_is_range_partitioned(spark, sf_dir):
 def test_pareto_frontier_prefix_is_range_partitioned(spark, sf_dir):
     """The skyline's prefix-max must be the two-phase pattern: a
     rangepartitioning exchange on day, per-range windows keyed by pid,
-    broadcast cross-partition maxima — no corpus-sized global Window."""
+    broadcast cross-partition maxima — no corpus-sized global Window.
+    The range exchange is asserted via the _pin inspection hook (the
+    checkpoint truncates it out of the final explain)."""
+    from rust_near_indexer_spark.operators import ranking
+
+    ranking.PINNED_PLANS.clear()
     plan, nodes = _node_counts(spark, "pareto_frontier_orders", sf_dir)
-    assert "rangepartitioning(day" in plan
+    assert any("rangepartitioning(day" in p for p in ranking.PINNED_PLANS)
     assert "hashpartitioning(pid" in plan
     assert nodes.get("BroadcastExchange", 0) >= 1
     assert nodes.get("CartesianProduct", 0) == 0
@@ -469,9 +479,14 @@ def test_cooccurrence_pairs_join_is_basket_keyed(spark, sf_dir):
 def test_spend_quartiles_ntile_is_range_partitioned(spark, sf_dir):
     """customer_spend_quartiles now rides the shared two-phase rank:
     rangepartitioning on the (spend, custkey) order, pid-keyed windows,
-    broadcast carry — no global single-partition window remains."""
+    broadcast carry — no global single-partition window remains.  The
+    range exchange is asserted via the _pin inspection hook (the
+    checkpoint truncates it out of the final explain)."""
+    from rust_near_indexer_spark.operators import ranking
+
+    ranking.PINNED_PLANS.clear()
     plan, nodes = _node_counts(spark, "customer_spend_quartiles", sf_dir)
-    assert "rangepartitioning(spend_cents" in plan
+    assert any("rangepartitioning(spend_cents" in p for p in ranking.PINNED_PLANS)
     assert "hashpartitioning(pid" in plan
     assert nodes.get("BroadcastExchange", 0) >= 1
 
@@ -504,6 +519,11 @@ def test_doc_length_percentiles_rank_is_grouped_two_phase(spark, sf_dir):
     """The per-language rank must come from the grouped two-phase range
     rank — no one-reducer-per-language window remains (a dominant
     language would straggle); carry table broadcast-joined back."""
+    from rust_near_indexer_spark.operators import ranking
+
+    ranking.PINNED_PLANS.clear()
     plan, nodes = _node_counts(spark, "doc_length_percentiles", sf_dir)
-    assert "rangepartitioning(lang" in plan
+    # the final plan's rangepartitioning(lang is only the presentation
+    # sort — the grouped-rank exchange is asserted in the pinned subtree
+    assert any("rangepartitioning(lang" in p for p in ranking.PINNED_PLANS)
     assert nodes.get("BroadcastExchange", 0) >= 1
