@@ -1,0 +1,338 @@
+"""Pure-stdlib+numpy FLAC decoder (native FLAC streams, no containers).
+
+Covers the format's real surface: CONSTANT / VERBATIM / FIXED(0-4) /
+LPC(1-32) subframes, Rice and Rice2 residual partitions including the
+escape (raw) encoding, wasted bits, and all four channel assignments
+(independent, left/side, right/side, mid/side).  8/16/24-bit samples.
+Frame CRC-8/CRC-16 are verified — a corrupted stream fails loudly, not
+with garbage samples.
+
+This is the `decode_audio` path for `fLaC` magic (the reference
+pipeline treats media as opaque binary + typed metadata; decode happens
+in Arrow-batched workers — see operators/multimodal.py).  Decode is
+per-payload Python: acceptable because it runs inside `mapInPandas`
+workers against individually small payloads, never on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_CRC8_POLY = 0x07
+_CRC16_POLY = 0x8005
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if (crc & top) else (crc << 1)
+        table.append(crc & mask)
+    return table
+
+
+_CRC8_TABLE = _crc_table(_CRC8_POLY, 8)
+_CRC16_TABLE = _crc_table(_CRC16_POLY, 16)
+
+
+def crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF]
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader."""
+
+    def __init__(self, data: bytes, pos_bytes: int = 0):
+        self.data = data
+        self.pos = pos_bytes * 8  # absolute bit position
+
+    def read(self, n: int) -> int:
+        """n-bit unsigned big-endian."""
+        out = 0
+        pos, data = self.pos, self.data
+        end = pos + n
+        if end > len(data) * 8:
+            raise ValueError("FLAC: bitstream truncated")
+        while n > 0:
+            byte = data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return out
+
+    def sread(self, n: int) -> int:
+        """n-bit signed (two's complement)."""
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        """Count 0-bits up to the terminating 1-bit."""
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.pos >> 3
+
+
+def _read_utf8_coded(bits: _Bits) -> int:
+    """FLAC's UTF-8-style coded frame/sample number (up to 56 bits)."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    probe = b0
+    while probe & 0x40:
+        n += 1
+        probe <<= 1
+    if n == 0:
+        raise ValueError("FLAC: invalid coded number")
+    val = b0 & (0x3F >> n)
+    for _ in range(n):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("FLAC: invalid coded-number continuation")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+def _read_residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError(f"FLAC: reserved residual method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = bits.read(4)
+    nparts = 1 << porder
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC: partition smaller than predictor order")
+        param = bits.read(plen)
+        if param == escape:
+            raw = bits.read(5)
+            if raw == 0:
+                out.extend([0] * n)
+            else:
+                out.extend(bits.sread(raw) for _ in range(n))
+        else:
+            for _ in range(n):
+                q = bits.unary()
+                r = bits.read(param) if param else 0
+                z = (q << param) | r
+                out.append((z >> 1) ^ -(z & 1))  # zigzag
+    return out
+
+
+def _predict(warmup: list[int], coeffs: list[int], shift: int, residual: list[int]) -> list[int]:
+    samples = list(warmup)
+    order = len(coeffs)
+    for res in residual:
+        acc = 0
+        for j, c in enumerate(coeffs):
+            acc += c * samples[-1 - j]
+        samples.append(res + (acc >> shift))
+    return samples
+
+
+def _read_subframe(bits: _Bits, blocksize: int, bps: int) -> list[int]:
+    if bits.read(1):
+        raise ValueError("FLAC: subframe padding bit set")
+    ftype = bits.read(6)
+    wasted = 0
+    if bits.read(1):  # wasted-bits flag, then unary count-1
+        wasted = bits.unary() + 1
+    eff = bps - wasted
+    if ftype == 0:  # CONSTANT
+        samples = [bits.sread(eff)] * blocksize
+    elif ftype == 1:  # VERBATIM
+        samples = [bits.sread(eff) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype - 8
+        warmup = [bits.sread(eff) for _ in range(order)]
+        residual = _read_residual(bits, blocksize, order)
+        samples = _predict(warmup, FIXED_COEFFS[order], 0, residual)
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        warmup = [bits.sread(eff) for _ in range(order)]
+        precision = bits.read(4)
+        if precision == 0xF:
+            raise ValueError("FLAC: invalid LPC precision")
+        precision += 1
+        shift = bits.sread(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coeffs = [bits.sread(precision) for _ in range(order)]
+        residual = _read_residual(bits, blocksize, order)
+        samples = _predict(warmup, coeffs, shift, residual)
+    else:
+        raise ValueError(f"FLAC: reserved subframe type {ftype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+_BLOCKSIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192,
+    14: 16384, 15: 32768,
+}
+_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def decode_flac(payload: bytes):
+    """FLAC stream → (samples int32 ndarray [n] or [n, ch], rate, bps).
+
+    Raises ValueError on malformed streams / CRC mismatch and
+    NotImplementedError for format corners outside the subset
+    (reserved codes).
+    """
+    data = bytes(payload)
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    # --- metadata blocks ---
+    pos = 4
+    streaminfo = None
+    while True:
+        hdr = data[pos]
+        btype = hdr & 0x7F
+        last = bool(hdr & 0x80)
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + size]
+        if btype == 0:
+            if size != 34:
+                raise ValueError("FLAC: bad STREAMINFO size")
+            si = _Bits(body)
+            si.read(16)  # min blocksize
+            si.read(16)  # max blocksize
+            si.read(24)
+            si.read(24)
+            rate = si.read(20)
+            channels = si.read(3) + 1
+            bps = si.read(5) + 1
+            total = si.read(36)
+            streaminfo = (rate, channels, bps, total)
+        pos += 4 + size
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC: missing STREAMINFO")
+    rate, channels, bps, total = streaminfo
+    if bps not in (8, 16, 24):
+        raise NotImplementedError(f"{bps}-bit FLAC not supported (8/16/24)")
+
+    # --- frames ---
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    while pos < len(data):
+        frame_start = pos
+        bits = _Bits(data, pos)
+        sync = bits.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("FLAC: lost frame sync")
+        if bits.read(1):
+            raise ValueError("FLAC: reserved sync bit")
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        ss_code = bits.read(3)
+        if bits.read(1):
+            raise ValueError("FLAC: reserved frame-header bit")
+        _read_utf8_coded(bits)
+        if bs_code == 0:
+            raise ValueError("FLAC: reserved blocksize code")
+        elif bs_code == 6:
+            blocksize = bits.read(8) + 1
+        elif bs_code == 7:
+            blocksize = bits.read(16) + 1
+        else:
+            blocksize = _BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        elif sr_code == 15:
+            raise ValueError("FLAC: invalid sample-rate code")
+        fbps = bps if ss_code == 0 else _SAMPLE_SIZES.get(ss_code)
+        if fbps is None:
+            raise ValueError("FLAC: reserved sample-size code")
+        hdr_end = bits.byte_pos()
+        if crc8(data[frame_start:hdr_end]) != bits.read(8):
+            raise ValueError("FLAC: frame header CRC-8 mismatch")
+
+        if ch_code < 8:
+            nch = ch_code + 1
+            if nch != channels:
+                raise ValueError("FLAC: channel count changed mid-stream")
+            sub = [_read_subframe(bits, blocksize, fbps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if channels != 2:
+                raise ValueError("FLAC: stereo decorrelation in non-stereo stream")
+            # the SIDE channel carries one extra bit
+            if ch_code == 8:  # left/side
+                left = _read_subframe(bits, blocksize, fbps)
+                side = _read_subframe(bits, blocksize, fbps + 1)
+                sub = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _read_subframe(bits, blocksize, fbps + 1)
+                right = _read_subframe(bits, blocksize, fbps)
+                sub = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _read_subframe(bits, blocksize, fbps)
+                side = _read_subframe(bits, blocksize, fbps + 1)
+                sub = [[], []]
+                for m, s in zip(mid, side):
+                    m = (m << 1) | (s & 1)
+                    sub[0].append((m + s) >> 1)
+                    sub[1].append((m - s) >> 1)
+        else:
+            raise ValueError(f"FLAC: reserved channel assignment {ch_code}")
+
+        bits.align()
+        crc_end = bits.byte_pos()
+        if crc16(data[frame_start:crc_end]) != bits.read(16):
+            raise ValueError("FLAC: frame CRC-16 mismatch")
+        pos = bits.byte_pos()
+        for c in range(channels):
+            chans[c].extend(sub[c])
+
+    n = min(len(c) for c in chans) if chans else 0
+    if total and n > total:
+        chans = [c[: int(total)] for c in chans]
+    arr = np.array(chans, dtype=np.int32).T
+    if channels == 1:
+        arr = arr[:, 0]
+    return arr, rate, bps

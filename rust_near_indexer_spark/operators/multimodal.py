@@ -586,16 +586,22 @@ def decode_audio(payload: bytes, meta: dict):
     """Audio decode: bytes → (samples float32 ndarray in [-1, 1],
     sample_rate).
 
-    REAL for RIFF/WAVE PCM16 via the stdlib ``wave`` module — the
-    in-sandbox genuine codec path.  Compressed formats (MP3/OGG/FLAC —
-    codec libs absent) raise ``NotImplementedError`` under the same
-    contract.
+    REAL for RIFF/WAVE PCM16 (stdlib ``wave``) and for native FLAC
+    streams (operators/flac.py: CONSTANT/VERBATIM/FIXED/LPC subframes,
+    Rice/Rice2 residuals, all stereo decorrelation modes, CRC-verified).
+    Remaining compressed formats (MP3/OGG — codec libs absent) raise
+    ``NotImplementedError`` under the same contract.
     """
     import io
     import wave
 
     import numpy as np
 
+    if bytes(payload[:4]) == b"fLaC":
+        from .flac import decode_flac
+
+        samples, rate, bps = decode_flac(payload)
+        return samples.astype(np.float32) / float(1 << (bps - 1)), rate
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
         with wave.open(io.BytesIO(bytes(payload))) as wf:
             if wf.getsampwidth() != 2:
@@ -607,7 +613,7 @@ def decode_audio(payload: bytes, meta: dict):
             return pcm.astype(np.float32) / 32768.0, wf.getframerate()
     raise NotImplementedError(
         f"audio codec for magic {bytes(payload[:4])!r} unavailable in this "
-        "environment (PCM16 WAV is the in-sandbox real path)"
+        "environment (PCM16 WAV and FLAC are the in-sandbox real paths)"
     )
 
 

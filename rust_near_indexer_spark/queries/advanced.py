@@ -532,19 +532,16 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = base.unionByName(exc)
     sh = corpus.select("doc_id", _shingles5(F.col("w")).alias("sh"))
-    # Materialize the ARRAY frame before exploding, and only then
-    # explode: Catalyst's InferFiltersFromGenerate inserts
-    # `size(sh) > 0 AND isnotnull(sh)` under the Generate, duplicating
-    # the whole higher-order shingle expression into a Filter that
-    # predicate-pushdown then moves below the spread Exchange onto the
-    # single-split scan — measured 3.3 s serial vs 0.1 s exploding the
-    # stored arrays (the filter then tests a stored column).  The
-    # barrier also lets the four tok consumers (df aggregate, probe
-    # ranking, index side, verify sides) re-explode from the checkpoint
-    # instead of re-tokenizing the corpus.  sz rides the array
-    # pre-explode: _shingles5 is array_distinct, so the oracle's
-    # COUNT(*) OVER (PARTITION BY doc_id) == size(sh) exactly; explode
-    # drops empty arrays, matching the old `WHERE size(sh) > 0`.
+    # Materialize the ARRAY frame before exploding: the four tok
+    # consumers (df aggregate, probe ranking, index side, verify sides)
+    # re-explode from the checkpoint instead of re-tokenizing the
+    # corpus, and the barrier guards against InferFiltersFromGenerate
+    # duplicating the higher-order shingle expression into a pushed-down
+    # Filter on sessions where tune() hasn't excluded the rule (measured
+    # 3.3 s serial vs 0.1 s on the stored arrays — see session.py).
+    # sz rides the array pre-explode: _shingles5 is array_distinct, so
+    # the oracle's COUNT(*) OVER (PARTITION BY doc_id) == size(sh)
+    # exactly; explode drops empty arrays, matching `WHERE size(sh)>0`.
     docs = _materialize(sh.select("doc_id", F.size("sh").alias("sz"), "sh"))
     tok = docs.select("doc_id", "sz", F.explode("sh").alias("s"))
     df_tbl = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))

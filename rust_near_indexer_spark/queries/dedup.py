@@ -989,14 +989,13 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.state import _materialize
 
     aug = augmented_docs(spark, sf_dir)
-    # Materialize the ARRAY frame, then explode the stored column:
-    # exploding the raw higher-order shingle expression makes
-    # InferFiltersFromGenerate duplicate it into a Filter that pushes
-    # below augmented_docs' spread Exchange onto the single-split scan
-    # (same pathology measured at 3.3 s serial on the containment
-    # join); the barrier also serves tok's three consumers (windows +
-    # both verify sides) from one tokenization.  _shingles5 is
-    # array_distinct, so size(sh) == the oracle's per-doc COUNT(*).
+    # Materialize the ARRAY frame, then explode the stored column: the
+    # barrier serves tok's three consumers (rarity ranking + both
+    # verify sides) from ONE tokenization, and guards against
+    # InferFiltersFromGenerate duplicating the shingle expression into
+    # a pushed-down Filter on sessions where tune() hasn't excluded the
+    # rule (see session.py).  _shingles5 is array_distinct, so
+    # size(sh) == the oracle's per-doc COUNT(*).
     docs = _materialize(
         aug.select(
             "doc_id", _shingles5(F.split(F.col("text"), " ")).alias("sh")

@@ -50,15 +50,24 @@ def test_salt_column_not_leaked(spark, skewed):
     assert "_salt" not in out.columns
 
 
-def test_spread_widens_narrow_scans_only(spark):
+def test_spread_widens_narrow_scans_only(spark, tmp_path):
     """tables.spread repartitions a narrow frame up to defaultParallelism
-    and leaves an already-wide frame untouched (the 100 TB no-op path)."""
+    and leaves an already-wide FILE scan untouched (the 100 TB no-op
+    path).  The width probe is file-listing-based (the r06-advice df.rdd
+    retirement), so in-memory frames are treated as narrow by design —
+    they are fixture-sized, and the probe must never materialize a plan."""
     from rust_near_indexer_spark.tables import spread
 
     n = spark.sparkContext.defaultParallelism
     narrow = spark.range(100).coalesce(1)
     assert spread(narrow, "id").rdd.getNumPartitions() == n
 
-    wide = spark.range(100).repartition(n + 4)
+    path = str(tmp_path / "wide.parquet")
+    spark.range(1000).repartition(n + 4).write.parquet(path)
+    wide = spark.read.parquet(path)  # n+4 files >= n splits
     out = spread(wide, "id")
     assert out is wide  # untouched, not just same width
+
+    # in-memory frames have no file listing: documented treat-as-narrow
+    mem_wide = spark.range(100).repartition(n + 4)
+    assert spread(mem_wide, "id") is not mem_wide
