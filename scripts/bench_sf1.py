@@ -63,6 +63,8 @@ def main() -> int:
     spark = get_spark("bench-sf1", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     registry = load_registry()
     results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    import gc
+
     for sf, sf_dir in SFS:
         clear_caches()  # per-SF caches (LSH artifact read, shingles) start cold
         for q in QUERIES:
@@ -71,6 +73,15 @@ def main() -> int:
                 t0 = time.perf_counter()
                 registry[q].spark(spark, sf_dir).collect()
                 rr.append(round(time.perf_counter() - t0, 3))
+            # Release THIS query's localCheckpoint blocks before the next
+            # query runs: at sf1 the materialized token tables are large
+            # enough that letting them accrete across the 20-query loop
+            # puts later queries under executor-storage pressure
+            # (bm25 measured 86 s mid-loop vs 49 s isolated).  Python GC
+            # drops the DataFrame refs; ContextCleaner then unpersists.
+            clear_caches()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             med = sorted(rr)[len(rr) // 2]
             results[q][sf] = med
             print(f"[sf1-bench] sf{sf} {q}: median {med:.3f}s of {rr}",
