@@ -235,7 +235,38 @@ def run_streaming(
     writer = stream.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir
     )
-    if source_kind == "rate-lookup":
+    if source_kind == "http-poll":
+        # Unbounded network source — bounded-stop (R5) from the driver:
+        # poll until the stream's COMMITTED ordinal reaches the
+        # endpoint's tip height (the same index-until-tip loop a live
+        # blocksapi deployment runs).  The condition must be the
+        # checkpointed offset, not a processed-this-run counter: a
+        # RESUMED run starts mid-log and would never count `tip` blocks.
+        import ast
+        import time
+
+        tip = sources.fetch_height(blocks_dir)
+        query = writer.trigger(processingTime="0 seconds").start()
+
+        def _tip_reached() -> bool:
+            p = query.lastProgress
+            if not p:
+                return False
+            try:
+                eo = p["sources"][0]["endOffset"]
+                if isinstance(eo, str):
+                    # pyspark renders python-datasource offsets with
+                    # str(dict) — repr, not JSON — hence literal_eval
+                    eo = ast.literal_eval(eo)
+                return int(eo.get("next", -1)) >= tip
+            except Exception:
+                return False
+
+        while query.isActive and not _tip_reached():
+            time.sleep(0.05)
+        query.stop()
+        query.awaitTermination()
+    elif source_kind == "rate-lookup":
         # The sequence source is unbounded — bounded-stop (R5) comes
         # from the driver: stop once every block in the lookup table has
         # been joined through (idle tail triggers join to zero rows).

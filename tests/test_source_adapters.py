@@ -36,6 +36,51 @@ def blocks_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def blocks_server(blocks_dir):
+    """Live localhost blocksapi-style server over the SAME fixture
+    blocks: GET /blocks?from=N&limit=K (height-ordered JSON array) and
+    GET /height (total count) — what the http-poll adapter speaks."""
+    import glob
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    blocks: list[dict] = []
+    for p in sorted(glob.glob(os.path.join(blocks_dir, "*.jsonl"))):
+        with open(p) as f:
+            blocks.extend(json.loads(ln) for ln in f if ln.strip())
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - stdlib API name
+            parsed = urlparse(self.path)
+            if parsed.path == "/height":
+                body = json.dumps(len(blocks)).encode()
+            elif parsed.path == "/blocks":
+                q = parse_qs(parsed.query)
+                start = int(q.get("from", ["0"])[0])
+                limit = int(q.get("limit", ["1"])[0])
+                body = json.dumps(blocks[start : start + limit]).encode()
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+    httpd.server_close()
+
+
 def _table_fps(spark, out: str) -> dict[str, tuple]:
     fps = {}
     for name, pk in sinks.TABLE_PKS.items():
@@ -47,18 +92,23 @@ def _table_fps(spark, out: str) -> dict[str, tuple]:
     return fps
 
 
-def test_all_source_kinds_fingerprint_match(spark, blocks_dir, tmp_path):
+def test_all_source_kinds_fingerprint_match(spark, blocks_dir, blocks_server, tmp_path):
     fps = {}
     for kind in SOURCE_KINDS:
         out = str(tmp_path / f"out-{kind}")
+        # http-poll's "location" is a live URL (R1's real-network path:
+        # default urllib transport against an actual socket); the rest
+        # read the fixture directory.  rate-lookup and http-poll batch
+        # by BLOCKS per trigger, the file kinds by files.
+        location = blocks_server if kind == "http-poll" else blocks_dir
         run_streaming(
             spark,
-            blocks_dir,
+            location,
             out,
             checkpoint_dir=str(tmp_path / f"ckpt-{kind}"),
             ttl_blocks=TTL_BLOCKS,
             source_kind=kind,
-            max_files_per_trigger=1 if kind != "rate-lookup" else 40,
+            max_files_per_trigger=1 if kind in ("file", "kafka-envelope") else 40,
         )
         fps[kind] = _table_fps(spark, out)
     base = fps["file"]
@@ -72,3 +122,66 @@ def test_unknown_kind_rejected(spark, blocks_dir):
 
     with pytest.raises(ValueError, match="unknown block source kind"):
         block_stream(spark, "grpc", blocks_dir)
+
+
+def test_http_poll_resumes_from_checkpoint_as_tip_advances(
+    spark, blocks_dir, tmp_path
+):
+    """The live scenario R3 + R1 compose into: index to the server's
+    tip, stop, the chain grows, restart from the same checkpoint — the
+    second run must pick up at the committed ordinal (initialOffset/
+    readBetweenOffsets from checkpoint restore over a real socket) and
+    the final tables must fingerprint-match a single uninterrupted
+    file-source run."""
+    import glob
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    blocks: list[dict] = []
+    for p in sorted(glob.glob(os.path.join(blocks_dir, "*.jsonl"))):
+        with open(p) as f:
+            blocks.extend(json.loads(ln) for ln in f if ln.strip())
+    visible = {"n": len(blocks) // 2}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            parsed = urlparse(self.path)
+            if parsed.path == "/height":
+                body = json.dumps(visible["n"]).encode()
+            else:
+                q = parse_qs(parsed.query)
+                start = int(q.get("from", ["0"])[0])
+                limit = int(q.get("limit", ["1"])[0])
+                window = blocks[: visible["n"]][start : start + limit]
+                body = json.dumps(window).encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        common = dict(
+            checkpoint_dir=ckpt, ttl_blocks=TTL_BLOCKS,
+            source_kind="http-poll", max_files_per_trigger=40,
+        )
+        run_streaming(spark, url, out, **common)   # indexes to half-tip
+        visible["n"] = len(blocks)                 # the chain grows
+        run_streaming(spark, url, out, **common)   # resume to new tip
+
+        ref = str(tmp_path / "ref")
+        run_streaming(
+            spark, blocks_dir, ref,
+            checkpoint_dir=str(tmp_path / "ckpt-ref"),
+            ttl_blocks=TTL_BLOCKS, source_kind="file",
+        )
+        assert _table_fps(spark, out) == _table_fps(spark, ref)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
