@@ -853,3 +853,57 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_featurize, schema=FEATURES_SCHEMA)
+
+
+def mux_avi_dib(frames, usec_per_frame: int = 40_000) -> bytes:
+    """Minimal RIFF/AVI muxer for uncompressed 24-bit DIB frames (HWC
+    RGB uint8 ndarrays in, bottom-up BGR ``00db`` chunks out) — the
+    payload synthesizer for the gated video path.  Kept deliberately
+    independent of the in-test muxer so encode and decode goldens don't
+    share construction code."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = frames[0].shape
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0, len(frames), 0, 0, 0, 0
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    stride = (w * 3 + 3) & ~3
+    bodies = []
+    for img in frames:
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+        bodies.append(chunk(b"00db", rows.tobytes()))
+    movi = lst(b"movi", b"".join(bodies))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_avi_dib(media_id: int, n_frames: int, h: int = 8, w: int = 8) -> bytes:
+    """Deterministic DIB AVI: pixel(f, r, c, ch) = (media_id*31 + f*17 +
+    r*5 + c*3 + ch) % 251 — pure integer arithmetic an external SQL
+    engine reproduces with generate_series."""
+    import numpy as np
+
+    f = np.arange(n_frames)[:, None, None, None]
+    r = np.arange(h)[None, :, None, None]
+    c = np.arange(w)[None, None, :, None]
+    ch = np.arange(3)[None, None, None, :]
+    px = (media_id * 31 + f * 17 + r * 5 + c * 3 + ch) % 251
+    return mux_avi_dib([p.astype(np.uint8) for p in px])

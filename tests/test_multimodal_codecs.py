@@ -120,3 +120,43 @@ def test_decoded_stats_end_to_end(spark):
         "mean_milli": int(apcm.sum() * 1000 // apcm.size),
     }
     assert set(got) == {1, 2}
+
+
+def test_synth_wav_roundtrips_through_real_decode():
+    """The audio gate's payload generator: real RIFF/WAVE bytes whose
+    decode recovers the integer tone exactly (float32 normalization is
+    exact at |s| <= 2000)."""
+    import numpy as np
+
+    from rust_near_indexer_spark.operators.audio import synth_pcm16, synth_wav_bytes
+    from rust_near_indexer_spark.operators.multimodal import decode_audio
+
+    for did, n in [(0, 64), (17, 100), (49999, 127)]:
+        samples, rate = decode_audio(synth_wav_bytes(did, n), {})
+        assert rate == 8000 and len(samples) == n
+        back = np.rint(samples.astype(np.float64) * 32768.0).astype(np.int64)
+        assert back.tolist() == synth_pcm16(did, n).tolist()
+
+
+def test_synth_avi_roundtrips_through_real_decode():
+    """The video gate's payload generator: a real RIFF/AVI DIB container
+    whose selective decode recovers the generator pixels bit-exactly."""
+    import numpy as np
+
+    from rust_near_indexer_spark.operators.multimodal import (
+        decode_video,
+        parse_avi,
+        synth_avi_dib,
+    )
+
+    payload = synth_avi_dib(media_id=7, n_frames=4)
+    info = parse_avi(payload)
+    assert info["n_frames"] == 4 and len(info["frames"]) == 4
+    decoded, fps = decode_video(payload, {}, frame_indices=[0, 2])
+    assert [i for i, _ in decoded] == [0, 2]
+    for fi, img in decoded:
+        r = np.arange(8)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        want = (7 * 31 + fi * 17 + r * 5 + c * 3 + ch) % 251
+        assert (img.astype(np.int64) == want).all()
