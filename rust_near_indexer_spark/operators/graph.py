@@ -117,3 +117,32 @@ def connected_components(
         "node", F.col("node").alias("component")
     )
     return mapped.unionByName(roots)
+
+
+def elect_representatives(members: DataFrame) -> DataFrame:
+    """Canonical-document election: given cluster members
+    ``(cluster_id, node, src_rank, n_chars)``, keep ONE per cluster by
+    (lowest src_rank, longest text, smallest id).
+
+    ONE struct-min aggregate per cluster — min over
+    ``(src_rank, -n_chars, node)`` structs is the lexicographic argmin,
+    so no per-cluster window or membership sort exists in the plan; at
+    100 TB this is a map-combined hash aggregate however large a
+    cluster gets."""
+    elected = members.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                F.col("src_rank").alias("r"),
+                (-F.col("n_chars")).alias("neg_len"),
+                F.col("node").alias("keeper"),
+            )
+        ).alias("win"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return elected.select(
+        "cluster_id",
+        F.col("win.keeper").alias("keeper"),
+        F.col("win.r").cast("long").alias("keeper_src_rank"),
+        (-F.col("win.neg_len")).cast("long").alias("keeper_n_chars"),
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+    )

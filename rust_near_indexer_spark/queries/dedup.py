@@ -1439,3 +1439,82 @@ def fuzzy_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "dedup_canonical_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    e AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+    und AS (
+        SELECT doc_a AS s, doc_b AS d FROM e
+        UNION
+        SELECT doc_b, doc_a FROM e
+    ),
+    reach AS (
+        SELECT s AS node, s AS lbl FROM und
+        UNION
+        SELECT u.d AS node, r.lbl FROM reach r JOIN und u ON u.s = r.node
+    ),
+    comp AS MATERIALIZED (
+        SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    members AS (
+        SELECT c.cluster_id, c.node,
+               CAST(substring(d.source, 4) AS BIGINT) AS src_rank,
+               length(a.text) AS n_chars
+        FROM comp c
+        JOIN aug a ON a.doc_id = c.node
+        JOIN documents d ON d.doc_id = c.node % 100000
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cluster_id
+            ORDER BY src_rank, n_chars DESC, node
+        ) AS rn
+        FROM members
+    )
+    SELECT cluster_id,
+           node AS keeper,
+           CAST(src_rank AS BIGINT) AS keeper_src_rank,
+           CAST(n_chars AS BIGINT) AS keeper_n_chars,
+           CAST((SELECT COUNT(*) FROM members m
+                 WHERE m.cluster_id = ranked.cluster_id) - 1 AS BIGINT)
+             AS n_dropped
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+    tags=("llm", "dedup", "curation", "beyond-reference"),
+)
+def dedup_canonical_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven canonical election: within every near-dup cluster
+    keep ONE document by (source priority, longer text, smaller id) —
+    the curation decision real pipelines make instead of blind keep-min
+    (a Wikipedia duplicate should beat its forum mirror regardless of
+    which id is smaller).  Source rank here is the numeric suffix of
+    ``source`` (src0 outranks src19) — a deployment swaps in its tier
+    table.
+
+    Scale shape: the cluster labels come from the maintained dedup
+    ARTIFACT (parquet read, no LSH recomputation); the election is ONE
+    struct-min aggregate per cluster — min of (rank, -len, id) structs
+    is the lexicographic argmin, so no per-cluster window or sort of
+    the full membership is needed (the same agg-not-window rule as
+    top_customers)."""
+    comp = _pair_components(spark, sf_dir)
+    aug = augmented_docs(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    src = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"),
+        F.expr("CAST(substring(source, 4) AS BIGINT)").alias("src_rank"),
+    )
+    members = (
+        comp.withColumnRenamed("component", "cluster_id")
+        .join(aug, comp.node == aug.doc_id)
+        .withColumn("base_id", F.col("node") % 100000)
+        .join(src, "base_id")
+    )
+    from ..operators.graph import elect_representatives
+
+    return elect_representatives(members).orderBy("cluster_id")

@@ -105,3 +105,43 @@ def test_connected_components_under_reliable_checkpoint(spark, tmp_path):
             getattr(sc._jsc.sc(), "checkpointDir_$eq")(
                 sc._jvm.scala.Option.empty()
             )
+
+
+def test_elect_representatives_policy_diverges_from_keep_min(spark):
+    """The election must implement (src_rank, -n_chars, node) — planted
+    clusters where the min-id doc LOSES on source priority or length
+    (the gate corpus's clusters are single-source, so only this fixture
+    distinguishes the policy from blind keep-min)."""
+    from rust_near_indexer_spark.operators.graph import elect_representatives
+
+    rows = [
+        # cluster 1: min id 10 is from a LOWER-priority source than 12
+        (1, 10, 5, 100), (1, 11, 5, 300), (1, 12, 2, 50),
+        # cluster 2: same source; min id 20 is SHORTER than 21
+        (2, 20, 3, 80), (2, 21, 3, 200),
+        # cluster 3: full tie on (rank, len) -> min id wins
+        (3, 30, 1, 99), (3, 31, 1, 99),
+    ]
+    members = spark.createDataFrame(
+        rows, "cluster_id long, node long, src_rank long, n_chars long"
+    )
+    got = {
+        r["cluster_id"]: (r["keeper"], r["keeper_src_rank"],
+                          r["keeper_n_chars"], r["n_dropped"])
+        for r in elect_representatives(members).collect()
+    }
+    assert got[1] == (12, 2, 50, 2)   # priority beats id and length
+    assert got[2] == (21, 3, 200, 1)  # length beats id
+    assert got[3] == (30, 1, 99, 1)   # id breaks full ties
+
+
+def test_elect_representatives_plan_is_one_aggregate(spark):
+    """No per-cluster window/sort: the election is a hash aggregate."""
+    from rust_near_indexer_spark.operators.graph import elect_representatives
+
+    members = spark.createDataFrame(
+        [(1, 1, 1, 1)], "cluster_id long, node long, src_rank long, n_chars long"
+    )
+    plan = elect_representatives(members)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
