@@ -244,13 +244,13 @@ def decode_flac(payload: bytes):
             channels = si.read(3) + 1
             bps = si.read(5) + 1
             total = si.read(36)
-            streaminfo = (rate, channels, bps, total)
+            streaminfo = (rate, channels, bps, total, body[18:34])
         pos += 4 + size
         if last:
             break
     if streaminfo is None:
         raise ValueError("FLAC: missing STREAMINFO")
-    rate, channels, bps, total = streaminfo
+    rate, channels, bps, total, md5_expect = streaminfo
     if bps not in (8, 16, 24):
         raise NotImplementedError(f"{bps}-bit FLAC not supported (8/16/24)")
 
@@ -333,6 +333,26 @@ def decode_flac(payload: bytes):
     if total and n > total:
         chans = [c[: int(total)] for c in chans]
     arr = np.array(chans, dtype=np.int32).T
+    # Stream-level MD5 (STREAMINFO bytes 18-33): the spec's guard over
+    # the DECODED samples — the only check that covers STREAMINFO
+    # itself (a flipped `total` truncates output with every frame CRC
+    # intact; the fuzz test found exactly that escape).  All-zero md5
+    # means "unset" per spec and is skipped.
+    if md5_expect != b"\x00" * 16:
+        import hashlib
+
+        width = bps // 8
+        inter = arr.reshape(-1)  # frame-major, channel-interleaved
+        lo = inter.astype(f"<i{max(width, 1)}" if width != 3 else "<i4")
+        if width == 3:
+            raw = lo.astype("<i4").tobytes()
+            raw = b"".join(
+                raw[i : i + 3] for i in range(0, len(raw), 4)
+            )  # drop the top byte of each LE int32 → 24-bit LE
+        else:
+            raw = lo.tobytes()
+        if hashlib.md5(raw).digest() != bytes(md5_expect):
+            raise ValueError("FLAC: stream MD5 mismatch (decoded samples)")
     if channels == 1:
         arr = arr[:, 0]
     return arr, rate, bps

@@ -59,15 +59,16 @@ class W:
         return bytes(out)
 
 
-def streaminfo(rate: int, channels: int, bps: int, total: int) -> bytes:
+def streaminfo(rate: int, channels: int, bps: int, total: int,
+               md5: bytes = b"\x00" * 16) -> bytes:
     w = W()
     w.u(1, 1).u(0, 7)  # last-metadata-block, type 0
     w.u(34, 24)
     w.u(16, 16).u(65535, 16)  # min/max blocksize
     w.u(0, 24).u(0, 24)
     w.u(rate, 20).u(channels - 1, 3).u(bps - 1, 5).u(total, 36)
-    for _ in range(16):
-        w.u(0, 8)  # md5 zeroed (unchecked)
+    for b in md5:
+        w.u(b, 8)  # all-zero = unset (skip verification) per spec
     return b"fLaC" + w.bytes()
 
 
@@ -307,3 +308,34 @@ def test_decode_audio_dispatches_flac():
     out, rate = decode_audio(data, {})
     assert rate == 44100 and out.dtype == np.float32
     assert np.allclose(out, np.array(samples) / 32768.0)
+
+
+def test_fuzzed_streams_fail_loudly_never_silently():
+    """Structured fuzz: random corruptions of a valid stream must raise
+    (ValueError/NotImplementedError) or decode to the ORIGINAL samples
+    (corruption in ignored metadata) — never return different audio
+    silently.  CRCs are the enforcement mechanism being tested."""
+    import random
+
+    import hashlib
+
+    rng = random.Random(11)
+    samples = [rng.randrange(-32768, 32768) for _ in range(32)]
+    md5 = hashlib.md5(np.array(samples, "<i2").tobytes()).digest()
+    good = streaminfo(8000, 1, 16, 32, md5=md5) + frame(
+        [lambda w: sub_verbatim(w, samples, 16)], 32, 1
+    )
+    out, _, _ = decode_flac(good)  # correct md5 verifies clean
+    assert out.tolist() == samples
+    silent_wrong = 0
+    for _ in range(300):
+        bad = bytearray(good)
+        for _ in range(rng.randrange(1, 4)):
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        try:
+            out, _, _ = decode_flac(bytes(bad))
+        except (ValueError, NotImplementedError, IndexError):
+            continue
+        if out.tolist() != samples:
+            silent_wrong += 1
+    assert silent_wrong == 0

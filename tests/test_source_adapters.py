@@ -185,3 +185,62 @@ def test_http_poll_resumes_from_checkpoint_as_tip_advances(
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_poll_drops_corrupt_payloads_loudly(spark, tmp_path):
+    """kafka-envelope's corrupt-payload contract holds for http-poll
+    too: a block the server serves as unparseable JSON becomes a NULL
+    block_height row and is dropped by the adapter — the stream keeps
+    going instead of dying inside from_json."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from rust_near_indexer_spark.streaming import block_stream
+
+    blocks, _ = fixtures.generate(n_blocks=6, ttl_blocks=TTL_BLOCKS)
+    served = [dict(b) for b in blocks]
+    served[2] = {"garbage": "\x00not-a-block"}  # parses as JSON, wrong shape
+    served[4] = {"block_height": None}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            p = urlparse(self.path)
+            if p.path == "/height":
+                body = json.dumps(len(served)).encode()
+            else:
+                q = parse_qs(p.query)
+                s, l = int(q["from"][0]), int(q["limit"][0])
+                body = json.dumps(served[s : s + l]).encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_port}"
+        stream = block_stream(spark, "http-poll", url, blocks_per_trigger=6)
+        got = []
+
+        def _b(df, bid):
+            got.extend(r["block_height"] for r in df.select("block_height").collect())
+
+        q = (stream.writeStream.foreachBatch(_b)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(processingTime="0 seconds").start())
+        import time
+
+        t0 = time.time()
+        while time.time() - t0 < 60 and len(got) < 4:
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+        want = [b["block_height"] for i, b in enumerate(blocks) if i not in (2, 4)]
+        assert sorted(got) == sorted(want)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
