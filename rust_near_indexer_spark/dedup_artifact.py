@@ -106,7 +106,25 @@ def candidate_pair_ids(bands: DataFrame) -> DataFrame:
 def _write_tables(
     sigs: DataFrame, pairs: DataFrame, labels: DataFrame, path: str
 ) -> None:
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    """Publish the three tables atomically under ``path``.
+
+    ``path`` is a SYMLINK to an immutable ``<path>.data-*`` directory;
+    publishing builds a fresh data dir and atomically replaces the
+    symlink (``os.rename`` of a new symlink over the old one is atomic
+    on POSIX), so a reader that resolved ``path`` at any instant sees
+    either the complete previous artifact or the complete new one —
+    never an empty window and never a half-written directory (ADVICE
+    r07: the old double-rename had a no-artifact gap between renames).
+
+    Concurrency contract: any number of READERS race safely with one
+    writer.  Two concurrent WRITERS are safe at the filesystem level
+    (last swap wins, the loser's data dir is orphaned, both artifacts
+    were complete) but ``append_dedup_artifact`` is read-modify-write,
+    so concurrent *appends* can lose a batch — appends are single-writer
+    by contract (test_dedup_artifact.py::test_concurrent_write_swap).
+    """
+    tmp = f"{path}.data-{uuid.uuid4().hex[:12]}"
+    link_tmp = f"{path}.lnk-{uuid.uuid4().hex[:12]}"
     try:
         (
             sigs.repartitionByRange(ARTIFACT_FILES, "doc_id")
@@ -131,15 +149,28 @@ def _write_tables(
                 {"version": ARTIFACT_VERSION, "max_bucket_docs": MAX_BUCKET_DOCS},
                 fh,
             )
-        old = None
-        if os.path.exists(path):
-            old = f"{path}.old-{uuid.uuid4().hex[:12]}"
-            os.rename(path, old)
-        os.rename(tmp, path)
-        if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
+        prev_target = None
+        if os.path.islink(path):
+            prev_target = os.path.realpath(path)
+        elif os.path.isdir(path):
+            # Legacy real-dir artifact (pre-symlink layout): migrate it
+            # aside so the symlink can take its name.  This one-time
+            # migration has the old gap; all subsequent swaps are atomic.
+            legacy = f"{path}.data-legacy-{uuid.uuid4().hex[:12]}"
+            os.rename(path, legacy)
+            prev_target = legacy
+        # symlink target is a sibling: keep it relative so the artifact
+        # tree can be moved/mounted elsewhere as a unit
+        os.symlink(os.path.basename(tmp), link_tmp)
+        os.rename(link_tmp, path)  # atomic swap (replaces old symlink)
+        tmp = None  # published — no cleanup
+        if prev_target is not None and os.path.isdir(prev_target):
+            shutil.rmtree(prev_target, ignore_errors=True)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.islink(link_tmp):
+            os.unlink(link_tmp)
 
 
 def write_dedup_artifact(docs: DataFrame, path: str) -> dict:
@@ -210,6 +241,23 @@ def append_dedup_artifact(
         art["labels"],
     )
     sig_new = signatures_for(new_docs).persist()
+    # Enforce the append-not-upsert contract: a re-appended doc_id would
+    # silently duplicate signature rows, candidate itself, and corrupt
+    # labels.  Cost is bounded by the batch (semi-join on the range-
+    # clustered signature table, min/max-pruned).
+    collisions = (
+        sig_new.select("doc_id")
+        .join(sig_old.select("doc_id"), "doc_id", "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if collisions:
+        sig_new.unpersist()
+        ids = sorted(r.doc_id for r in collisions)
+        raise ValueError(
+            f"append_dedup_artifact: doc_ids already in the artifact "
+            f"(append, not upsert): {ids}{'…' if len(ids) == 5 else ''}"
+        )
     sig_all = sig_old.unionByName(sig_new).persist()
 
     # Candidate generation: ONLY new-doc bands probe the (capped) band

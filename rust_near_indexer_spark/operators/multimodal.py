@@ -496,6 +496,10 @@ def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):
                                 continue
                             break  # EOB
                         k += r
+                        if k > 63:
+                            raise ValueError(
+                                "JPEG coefficient index out of range"
+                            )
                         coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(s), s)
                         k += 1
                     block = idct.T @ (coef.reshape(8, 8) * q) @ idct

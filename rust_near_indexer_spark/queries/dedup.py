@@ -62,6 +62,16 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 10th, +100000, every 7th word dropped) — ONE corpus scan: each
     row explodes into its 1-3 variants (a UNION of three scans would read
     the corpus three times at 100 TB)."""
+    return augmented_docs_with_base(spark, sf_dir).select("doc_id", "text")
+
+
+def augmented_docs_with_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``augmented_docs`` plus an explicit ``base_id`` column carrying the
+    originating document's id through every variant.  Consumers that need
+    to re-join a variant to its base row MUST use this column rather than
+    reconstructing it arithmetically (``node % 100000`` is only valid
+    while base doc_ids stay below the +100000 variant offset — sf1's
+    key-shifted replicas break that, ADVICE r07)."""
     # spread the compact scan BEFORE the variant computation: the
     # near-dup rewrite is a higher-order filter+concat over every word,
     # and a small parquet file arrives as one split — without this the
@@ -72,12 +82,17 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_text = F.concat_ws(" ", F.filter(words, lambda w, i: (i + 1) % 7 != 0))
     variants = F.array_compact(
         F.array(
-            F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+            F.struct(
+                F.col("doc_id").alias("doc_id"),
+                F.col("text").alias("text"),
+                F.col("doc_id").alias("base_id"),
+            ),
             F.when(
                 F.col("doc_id") % 25 == 0,
                 F.struct(
                     (F.col("doc_id") + 200000).alias("doc_id"),
                     F.col("text").alias("text"),
+                    F.col("doc_id").alias("base_id"),
                 ),
             ),
             F.when(
@@ -85,6 +100,7 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     (F.col("doc_id") + 100000).alias("doc_id"),
                     near_text.alias("text"),
+                    F.col("doc_id").alias("base_id"),
                 ),
             ),
         )
@@ -96,7 +112,7 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-split scan.  The array always holds the identity struct, so
     # outer ≡ inner here and no null row can appear.
     return d.select(F.explode_outer(variants).alias("v")).select(
-        "v.doc_id", "v.text"
+        "v.doc_id", "v.text", "v.base_id"
     )
 
 
@@ -108,6 +124,19 @@ AUG_SQL = """
     UNION ALL
     SELECT doc_id + 100000,
            array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 != 0), ' ')
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+# Same augmentation with the originating doc_id carried explicitly
+# (matches ``augmented_docs_with_base``).
+AUG_BASE_SQL = """
+    SELECT doc_id, text, doc_id AS base_id FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, text, doc_id FROM documents WHERE doc_id % 25 = 0
+    UNION ALL
+    SELECT doc_id + 100000,
+           array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 != 0), ' '),
+           doc_id
     FROM documents WHERE doc_id % 10 = 0
 """
 
@@ -1459,13 +1488,14 @@ def fuzzy_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS MATERIALIZED (
         SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
     ),
+    augb AS ({AUG_BASE_SQL}),
     members AS (
         SELECT c.cluster_id, c.node,
                CAST(substring(d.source, 4) AS BIGINT) AS src_rank,
                length(a.text) AS n_chars
         FROM comp c
-        JOIN aug a ON a.doc_id = c.node
-        JOIN documents d ON d.doc_id = c.node % 100000
+        JOIN augb a ON a.doc_id = c.node
+        JOIN documents d ON d.doc_id = a.base_id
     ),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (
@@ -1502,8 +1532,8 @@ def dedup_canonical_representatives(spark: SparkSession, sf_dir: str) -> DataFra
     the full membership is needed (the same agg-not-window rule as
     top_customers)."""
     comp = _pair_components(spark, sf_dir)
-    aug = augmented_docs(spark, sf_dir).select(
-        "doc_id", F.length("text").alias("n_chars")
+    aug = augmented_docs_with_base(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars"), "base_id"
     )
     src = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("base_id"),
@@ -1512,7 +1542,6 @@ def dedup_canonical_representatives(spark: SparkSession, sf_dir: str) -> DataFra
     members = (
         comp.withColumnRenamed("component", "cluster_id")
         .join(aug, comp.node == aug.doc_id)
-        .withColumn("base_id", F.col("node") % 100000)
         .join(src, "base_id")
     )
     from ..operators.graph import elect_representatives

@@ -1581,7 +1581,7 @@ BPE_FIXED_MERGES = [("e", "s"), ("t", "h"), ("a", "n")]
     "bpe_fixed_merge_token_counts",
     oracle=r"""
     WITH d AS (
-        SELECT doc_id, text FROM documents WHERE trim(text) != ''
+        SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\S')
     ),
     words AS (
         SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
@@ -1619,7 +1619,11 @@ def bpe_fixed_merge_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is one bounded row per doc.  Training is the separate
     word_frequencies count + bounded driver induction (learn_bpe)."""
     d = load(spark, sf_dir, "documents")
-    corpus = spread(d, "doc_id").where(F.trim(F.col("text")) != "")
+    # whitespace-aware, not trim(): trim strips only spaces on both
+    # engines, so a tab-only doc would survive and then diverge — Spark
+    # emits a (doc_id, 0, 0) row where the oracle's word GROUP BY emits
+    # nothing (ADVICE r07)
+    corpus = spread(d, "doc_id").where(F.col("text").rlike(r"\S"))
     from ..operators.bpe import bpe_token_counts
 
     return bpe_token_counts(corpus, BPE_FIXED_MERGES).orderBy("doc_id")
