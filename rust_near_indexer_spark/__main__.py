@@ -251,6 +251,86 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """Operate the ANN index artifact (ann_artifact.py) as a service:
+
+    - ``build``: quantize/assign/encode a (vec_id, embedding, label)
+      parquet corpus into ``--artifact``.
+    - ``append``: fold a new vector batch in (one broadcast assignment
+      + one broadcast encoding pass over the batch only).
+    - ``search``: exact top-k for a stored vector id over the IVF
+      lists — probes its closest lists only, the pruned-scan path the
+      clustered layout serves.
+    """
+    from pyspark.sql import functions as F
+
+    from . import ann_artifact as aa
+    from .queries.similarity import N_PROBE, _dot_pico
+
+    if args.action in ("build", "append") and not args.vectors:
+        print("ann build/append needs --vectors <parquet>", file=sys.stderr)
+        return 2
+    if args.action == "search" and args.vec_id is None:
+        print("ann search needs --vec-id N", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+
+    def _vecs(path):
+        return spark.read.parquet(path).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("label").cast("int").alias("label"),
+        )
+
+    if args.action == "build":
+        stats = aa.write_ann_artifact(_vecs(args.vectors), args.artifact)
+        print(
+            f"built {args.artifact}: {stats['n_vectors']} vectors, "
+            f"{stats['n_lists']} IVF lists, {stats['n_codes']} PQ codes"
+        )
+        return 0
+    if args.action == "append":
+        stats = aa.append_ann_artifact(spark, args.artifact, _vecs(args.vectors))
+        print(f"appended into {args.artifact}: {stats['n_new_vectors']} vectors")
+        return 0
+    # search: IVF probe for a stored vector
+    art = aa.load_ann_artifact(spark, args.artifact)
+    hit = art["vectors"].where(F.col("vec_id") == args.vec_id).collect()
+    if not hit:
+        print(f"vec {args.vec_id}: not in the index")
+        return 1
+    q = art["vectors"].where(F.col("vec_id") == args.vec_id).select(
+        F.col("qe").alias("q_qe")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(art["centroids"]))
+        .select("q_qe", "list_id", _dot_pico(F.col("q_qe"), F.col("c_qe")).alias("d"))
+        .orderBy(F.desc("d"), "list_id")
+        .limit(N_PROBE)
+        .select("q_qe", "list_id")
+    )
+    top = (
+        F.broadcast(probes)
+        .join(art["ivf"], "list_id")
+        .where(F.col("vec_id") != args.vec_id)
+        .select(
+            "vec_id",
+            "label",
+            _dot_pico(F.col("q_qe"), F.col("qe")).alias("cosine_pico"),
+        )
+        .orderBy(F.desc("cosine_pico"), "vec_id")
+        .limit(args.top_k)
+        .collect()
+    )
+    print(f"vec {args.vec_id}: top-{args.top_k} over {N_PROBE} probed lists")
+    for r in top:
+        print(
+            f"  vec {r['vec_id']} (label {r['label']}, "
+            f"cosine {r['cosine_pico'] / 1e12:.6f})"
+        )
+    return 0
+
+
 def cmd_sql(args) -> int:
     from .views import register_views
 
@@ -326,6 +406,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     dd.add_argument("--doc-id", type=int, default=None, help="lookup target")
     dd.set_defaults(fn=cmd_dedup)
+
+    an = sub.add_parser(
+        "ann", help="build/append/search the ANN index artifact"
+    )
+    an.add_argument("action", choices=["build", "append", "search"])
+    an.add_argument("--artifact", required=True, help="artifact directory")
+    an.add_argument(
+        "--vectors",
+        default=None,
+        help="(vec_id, embedding, label) parquet for build/append",
+    )
+    an.add_argument("--vec-id", type=int, default=None, help="search target")
+    an.add_argument("--top-k", type=int, default=5, help="search result size")
+    an.set_defaults(fn=cmd_ann)
 
     s = sub.add_parser(
         "sql", help="run ad-hoc SQL over the registered medallion views"

@@ -46,8 +46,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,71 +104,31 @@ def candidate_pair_ids(bands: DataFrame) -> DataFrame:
 def _write_tables(
     sigs: DataFrame, pairs: DataFrame, labels: DataFrame, path: str
 ) -> None:
-    """Publish the three tables atomically under ``path``.
+    """Publish the three tables atomically under ``path`` via the shared
+    symlink-swap publisher (artifact_io.publish_artifact): readers never
+    observe a missing or half-written artifact, and appends are
+    single-writer by contract (ADVICE r07; see artifact_io docstring)."""
+    from .artifact_io import publish_artifact, write_clustered
 
-    ``path`` is a SYMLINK to an immutable ``<path>.data-*`` directory;
-    publishing builds a fresh data dir and atomically replaces the
-    symlink (``os.rename`` of a new symlink over the old one is atomic
-    on POSIX), so a reader that resolved ``path`` at any instant sees
-    either the complete previous artifact or the complete new one —
-    never an empty window and never a half-written directory (ADVICE
-    r07: the old double-rename had a no-artifact gap between renames).
+    def build_into(tmp: str) -> None:
+        write_clustered(
+            sigs, os.path.join(tmp, "signatures"), ["doc_id"], ARTIFACT_FILES
+        )
+        write_clustered(
+            pairs, os.path.join(tmp, "pairs"), ["doc_a", "doc_b"], ARTIFACT_FILES
+        )
+        write_clustered(
+            labels,
+            os.path.join(tmp, "labels"),
+            ["component", "node"],
+            ARTIFACT_FILES,
+        )
 
-    Concurrency contract: any number of READERS race safely with one
-    writer.  Two concurrent WRITERS are safe at the filesystem level
-    (last swap wins, the loser's data dir is orphaned, both artifacts
-    were complete) but ``append_dedup_artifact`` is read-modify-write,
-    so concurrent *appends* can lose a batch — appends are single-writer
-    by contract (test_dedup_artifact.py::test_concurrent_write_swap).
-    """
-    tmp = f"{path}.data-{uuid.uuid4().hex[:12]}"
-    link_tmp = f"{path}.lnk-{uuid.uuid4().hex[:12]}"
-    try:
-        (
-            sigs.repartitionByRange(ARTIFACT_FILES, "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "signatures"))
-        )
-        (
-            pairs.repartitionByRange(ARTIFACT_FILES, "doc_a", "doc_b")
-            .sortWithinPartitions("doc_a", "doc_b")
-            .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "pairs"))
-        )
-        (
-            labels.repartitionByRange(ARTIFACT_FILES, "component", "node")
-            .sortWithinPartitions("component", "node")
-            .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "labels"))
-        )
-        with open(os.path.join(tmp, "_meta.json"), "w") as fh:
-            json.dump(
-                {"version": ARTIFACT_VERSION, "max_bucket_docs": MAX_BUCKET_DOCS},
-                fh,
-            )
-        prev_target = None
-        if os.path.islink(path):
-            prev_target = os.path.realpath(path)
-        elif os.path.isdir(path):
-            # Legacy real-dir artifact (pre-symlink layout): migrate it
-            # aside so the symlink can take its name.  This one-time
-            # migration has the old gap; all subsequent swaps are atomic.
-            legacy = f"{path}.data-legacy-{uuid.uuid4().hex[:12]}"
-            os.rename(path, legacy)
-            prev_target = legacy
-        # symlink target is a sibling: keep it relative so the artifact
-        # tree can be moved/mounted elsewhere as a unit
-        os.symlink(os.path.basename(tmp), link_tmp)
-        os.rename(link_tmp, path)  # atomic swap (replaces old symlink)
-        tmp = None  # published — no cleanup
-        if prev_target is not None and os.path.isdir(prev_target):
-            shutil.rmtree(prev_target, ignore_errors=True)
-    finally:
-        if tmp is not None:
-            shutil.rmtree(tmp, ignore_errors=True)
-        if os.path.islink(link_tmp):
-            os.unlink(link_tmp)
+    publish_artifact(
+        path,
+        {"version": ARTIFACT_VERSION, "max_bucket_docs": MAX_BUCKET_DOCS},
+        build_into,
+    )
 
 
 def write_dedup_artifact(docs: DataFrame, path: str) -> dict:
@@ -341,16 +299,9 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     """Staleness key: the artifact is valid only for the exact
     documents.parquet bytes (size+mtime) and chain version it was built
     from — a regenerated corpus or changed code forces a rebuild."""
-    import hashlib
+    from .artifact_io import corpus_fingerprint
 
-    p = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(p)
-        sig = f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        sig = os.path.abspath(p)
-    sig += f"|v{ARTIFACT_VERSION}"
-    return hashlib.md5(sig.encode()).hexdigest()[:12]
+    return corpus_fingerprint(sf_dir, "documents.parquet", ARTIFACT_VERSION)
 
 
 def ensure_dedup_artifact(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -164,3 +164,45 @@ def test_cli_dedup_build_append_lookup(spark, tmp_path, capsys):
     # flag validation: missing operands exit 2 without touching Spark
     assert main(["dedup", "build", "--artifact", art]) == 2
     assert main(["dedup", "lookup", "--artifact", art]) == 2
+
+
+def test_cli_ann_build_append_search(spark, tmp_path, capsys):
+    """The ANN index artifact as a service: build a vector corpus
+    (including the quantizer donor id ranges), append a batch, and
+    IVF-probe search for a stored vector's neighbors."""
+    import math
+
+    def vec(i):
+        raw = [math.sin(0.7 * i + 1.3 * j) for j in range(64)]
+        n = math.sqrt(sum(x * x for x in raw))
+        return [x / n for x in raw]
+
+    rows = [(i, vec(i), i % 7) for i in range(230)]
+    vec_p = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.parquet(vec_p)
+    art = str(tmp_path / "ann")
+
+    assert main(["--cpus", "4", "ann", "build", "--vectors", vec_p, "--artifact", art]) == 0
+    out = capsys.readouterr().out
+    assert "230 vectors" in out and "16 IVF lists" in out
+
+    batch_p = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(500, vec(500), 3)], "vec_id long, embedding array<double>, label int"
+    ).write.parquet(batch_p)
+    assert main(["--cpus", "4", "ann", "append", "--vectors", batch_p, "--artifact", art]) == 0
+    assert "1 vectors" in capsys.readouterr().out
+
+    assert main(["--cpus", "4", "ann", "search", "--artifact", art, "--vec-id", "500", "--top-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "top-3 over 4 probed lists" in out
+    assert out.count("cosine") == 3
+
+    assert main(["--cpus", "4", "ann", "search", "--artifact", art, "--vec-id", "99999"]) == 1
+    assert "not in the index" in capsys.readouterr().out
+
+    # flag validation: missing operands exit 2 without touching Spark
+    assert main(["ann", "build", "--artifact", art]) == 2
+    assert main(["ann", "search", "--artifact", art]) == 2
