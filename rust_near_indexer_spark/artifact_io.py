@@ -46,23 +46,26 @@ def write_clustered(
 
 
 def publish_artifact(
-    path: str, meta: dict, build_into: Callable[[str], None]
+    path: str, meta: dict | None, build_into: Callable[[str], None]
 ) -> None:
     """Build a new generation via ``build_into(tmp_dir)`` then swap it in.
 
     ``build_into`` writes the artifact's tables under the given
-    directory; this function adds ``_meta.json`` and performs the
-    atomic symlink swap described in the module docstring.  A legacy
-    real-directory artifact (pre-symlink layout) is migrated aside on
-    first write — that one-time migration has a brief gap; all
-    subsequent swaps are atomic.
+    directory; this function adds ``_meta.json`` (unless ``meta`` is
+    None — e.g. a compacted sink table, where a ``_``-prefixed sidecar
+    is legal but pointless) and performs the atomic symlink swap
+    described in the module docstring.  A legacy real-directory
+    artifact (pre-symlink layout) is migrated aside on first write —
+    that one-time migration has a brief gap; all subsequent swaps are
+    atomic.
     """
     tmp = f"{path}.data-{uuid.uuid4().hex[:12]}"
     link_tmp = f"{path}.lnk-{uuid.uuid4().hex[:12]}"
     try:
         build_into(tmp)
-        with open(os.path.join(tmp, "_meta.json"), "w") as fh:
-            json.dump(meta, fh)
+        if meta is not None:
+            with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+                json.dump(meta, fh)
         prev_target = None
         if os.path.islink(path):
             prev_target = os.path.realpath(path)

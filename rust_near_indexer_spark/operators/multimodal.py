@@ -375,12 +375,15 @@ def _jpeg_extend(v: int, n: int) -> int:
 
 
 def _decode_jpeg(data: bytes):
-    """Baseline sequential-DCT JPEG → HWC uint8 ndarray, pure
-    stdlib+numpy: marker parse, canonical-Huffman entropy decode (with
-    restart intervals), dequantize + de-zigzag, orthonormal-matrix
-    IDCT, nearest-neighbor chroma upsample, BT.601 YCbCr→RGB.
-    Progressive (SOF2) and arithmetic coding raise the documented
-    codec contract."""
+    """Huffman-coded DCT JPEG → HWC uint8 ndarray, pure stdlib+numpy:
+    marker parse, canonical-Huffman entropy decode (with restart
+    intervals), dequantize + de-zigzag, orthonormal-matrix IDCT,
+    nearest-neighbor chroma upsample, BT.601 YCbCr→RGB.  Supports both
+    baseline sequential (SOF0/1) and PROGRESSIVE (SOF2: spectral
+    selection + successive approximation, T.81 G.2) frames — the two
+    families that cover essentially all real-corpus JPEGs.  Lossless /
+    hierarchical / arithmetic coding raise the documented codec
+    contract."""
     import struct
 
     import numpy as np
@@ -388,6 +391,8 @@ def _decode_jpeg(data: bytes):
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
+    progressive = False
+    coefs: list | None = None  # progressive: per-comp (by, bx, 64) int32
     restart_interval = 0
     pos = 2  # past SOI
     while pos + 4 <= len(data):
@@ -395,7 +400,9 @@ def _decode_jpeg(data: bytes):
             raise ValueError("bad JPEG marker alignment")
         marker = data[pos + 1]
         pos += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
@@ -412,7 +419,7 @@ def _decode_jpeg(data: bytes):
                 ).astype(np.int32)
                 qt[tid] = tbl.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG samples")
@@ -421,10 +428,20 @@ def _decode_jpeg(data: bytes):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, qid))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coefs = [
+                    np.zeros((mcuy * cv, mcux * ch, 64), np.int32)
+                    for _cid, ch, cv, _q in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential-DCT JPEG is supported "
+                "only baseline and progressive DCT JPEG are supported "
                 f"(SOF marker 0x{marker:02X})"
             )
         elif marker == 0xC4:  # DHT
@@ -443,16 +460,26 @@ def _decode_jpeg(data: bytes):
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = []  # (comp_index, dc_table, ac_table)
+            scan = []  # (comp_index, dc_table, ac_table) — either may be
+            # absent for progressive scans that don't need it
             for s in range(ns):
                 cid, tsel = seg[1 + 2 * s], seg[2 + 2 * s]
                 ci = next(
                     i for i, c in enumerate(frame[2]) if c[0] == cid
                 )
-                scan.append((ci, huff[(0, tsel >> 4)], huff[(1, tsel & 0xF)]))
-            return _jpeg_scan(
-                data, pos, frame, qt, scan, restart_interval
+                scan.append(
+                    (ci, huff.get((0, tsel >> 4)), huff.get((1, tsel & 0xF)))
+                )
+            if not progressive:
+                return _jpeg_scan(data, pos, frame, qt, scan, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            pos = _jpeg_progressive_scan(
+                data, pos, frame, coefs, scan, ss, se, ah, al,
+                restart_interval,
             )
+    if progressive and frame is not None:
+        return _jpeg_from_coefs(frame, qt, coefs)
     raise ValueError("malformed JPEG: no SOS marker")
 
 
@@ -506,6 +533,17 @@ def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):
                     y0 = (my * cv + by) * 8
                     x0 = (mx * ch + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+    return _jpeg_to_image(frame, planes)
+
+
+def _jpeg_to_image(frame, planes):
+    """Shared tail of both JPEG paths: component planes → chroma
+    upsample → YCbCr→RGB → HWC uint8."""
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out = []
     for ci, (_cid, ch, cv, _qid) in enumerate(comps):
         p = planes[ci]
@@ -529,6 +567,188 @@ def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):
     else:
         raise NotImplementedError(f"{len(out)}-component JPEG")
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (T.81 G.2): spectral selection + successive
+# approximation.  Each SOS deposits partial coefficients into the
+# per-component arrays; reconstruction happens once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_ac_first_block(reader, ac_tbl, coef, ss, se, al, eobrun):
+    """One block of an AC first scan (Ah=0): band [ss..se], values
+    arrive point-transformed (<< al); EOB runs span blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_huff_decode(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1 + (reader.bits(r) if r else 0)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG coefficient index out of range")
+        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine_block(reader, ac_tbl, coef, ss, se, al, eobrun):
+    """One block of an AC refinement scan (Ah>0): the T.81 G.1.2.3
+    correction-bit algorithm — newly-nonzero coefficients arrive as
+    ±(1<<al) with interleaved correction bits for every already-nonzero
+    coefficient the traversal passes."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(z):
+        if reader.bit():
+            v = int(coef[z])
+            if not (v & p1):
+                coef[z] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                    break
+                # r == 15: skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG refinement magnitude")
+                newval = p1 if reader.bit() else m1
+            while k <= se:
+                z = _JPEG_ZIGZAG[k]
+                if coef[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        if newval:
+                            coef[z] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _JPEG_ZIGZAG[k]
+            if coef[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_scan(
+    data, pos, frame, coefs, scan, ss, se, ah, al, restart_interval
+):
+    """Decode ONE progressive scan into the coefficient arrays; returns
+    the stream position of the next marker.  DC scans (ss=0) may be
+    interleaved (MCU order); AC scans are single-component over the
+    component's own block grid (T.81 G.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    reader = _JpegBitReader(data, pos)
+    n_restarts = 0
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("JPEG DC scan with nonzero Se")
+        preds = [0] * len(comps)
+        if len(scan) > 1:  # interleaved: MCU order
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader.sync_restart(n_restarts)
+                    n_restarts += 1
+                    preds = [0] * len(comps)
+                my, mx = divmod(m, mcux)
+                for ci, dc_tbl, _ac in scan:
+                    _cid, ch, cv, _q = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = coefs[ci][my * cv + by, mx * ch + bx]
+                            if ah == 0:
+                                t = _jpeg_huff_decode(reader, dc_tbl)
+                                preds[ci] += _jpeg_extend(reader.bits(t), t)
+                                blk[0] = preds[ci] << al
+                            elif reader.bit():
+                                blk[0] = int(blk[0]) | (1 << al)
+        else:  # single component: its own grid
+            ci, dc_tbl, _ac = scan[0]
+            _cid, ch, cv, _q = comps[ci]
+            wi, hi = -(-w * ch // hmax), -(-h * cv // vmax)
+            bx_n, by_n = -(-wi // 8), -(-hi // 8)
+            for i in range(bx_n * by_n):
+                if restart_interval and i and i % restart_interval == 0:
+                    reader.sync_restart(n_restarts)
+                    n_restarts += 1
+                    preds = [0] * len(comps)
+                by, bx = divmod(i, bx_n)
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    t = _jpeg_huff_decode(reader, dc_tbl)
+                    preds[ci] += _jpeg_extend(reader.bits(t), t)
+                    blk[0] = preds[ci] << al
+                elif reader.bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+    else:  # AC scan: exactly one component, non-interleaved
+        if len(scan) != 1:
+            raise ValueError("JPEG AC progressive scan must be single-component")
+        ci, _dc, ac_tbl = scan[0]
+        _cid, ch, cv, _q = comps[ci]
+        wi, hi = -(-w * ch // hmax), -(-h * cv // vmax)
+        bx_n, by_n = -(-wi // 8), -(-hi // 8)
+        eobrun = 0
+        block_fn = _jpeg_ac_first_block if ah == 0 else _jpeg_ac_refine_block
+        for i in range(bx_n * by_n):
+            if restart_interval and i and i % restart_interval == 0:
+                reader.sync_restart(n_restarts)
+                n_restarts += 1
+                eobrun = 0
+            by, bx = divmod(i, bx_n)
+            eobrun = block_fn(
+                reader, ac_tbl, coefs[ci][by, bx], ss, se, al, eobrun
+            )
+    # advance to the next marker (skip stuffed FF00 and RSTn)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return p
+
+
+def _jpeg_from_coefs(frame, qt, coefs):
+    """Progressive reconstruction: dequantize every accumulated block,
+    one einsum IDCT per component, shared plane→image tail."""
+    import numpy as np
+
+    h, w, comps = frame
+    idct = _jpeg_idct_matrix()
+    planes = []
+    for ci, (_cid, ch, cv, qid) in enumerate(comps):
+        q = qt[qid].astype(np.float64)
+        by_n, bx_n, _ = coefs[ci].shape
+        blocks = coefs[ci].astype(np.float64).reshape(by_n, bx_n, 8, 8) * q
+        # block = idct.T @ B @ idct, vectorized over the grid
+        spat = np.einsum("ij,abjk,kl->abil", idct.T, blocks, idct) + 128.0
+        plane = spat.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
+        planes.append(plane)
+    return _jpeg_to_image(frame, planes)
 
 
 def decode_image(payload: bytes, meta: dict):

@@ -46,8 +46,17 @@ from ..tables import load, spread
 from . import register
 from .text import _bigram_terms
 
-QUERY_MOD = 100  # doc_id % 100 == 0 are the probe documents
+QUERY_MOD = 100  # doc_id % 100 == 0 are the probe candidates
 BM25_TOP_K = 10
+# The REGISTERED query probes a FIXED budget of query docs (the
+# BM25_PROBES smallest probe-candidate ids), not a corpus fraction: a
+# fraction makes the query's own workload quadratic in corpus size
+# (probes x postings both grow), which is a property of the
+# parameterization, not the engine — the fixed-budget form is how a
+# production retrieval eval is actually sized, and it keeps the scale
+# decade table clean (VERDICT r07 #3).  The fraction form stays
+# registered as bm25_fraction_probes_control for the scaling study.
+BM25_PROBES = 50
 
 _TERMS_CTE = """
     d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -71,12 +80,13 @@ _TERMS_CTE = """
 """
 
 
-@register(
-    "bm25_topk_retrieval",
-    oracle=f"""
+def _bm25_oracle(probe_cte: str) -> str:
+    return f"""
     WITH {_TERMS_CTE},
+    probes AS ({probe_cte}),
     qterms AS (
-        SELECT doc_id AS query_doc, term FROM tf WHERE doc_id % {QUERY_MOD} = 0
+        SELECT t.doc_id AS query_doc, t.term FROM tf t
+        JOIN probes p ON p.doc_id = t.doc_id
     ),
     scored AS (
         SELECT q.query_doc, t.doc_id,
@@ -102,14 +112,19 @@ _TERMS_CTE = """
     SELECT query_doc, rank, doc_id, score_milli, n_shared_terms
     FROM ranked WHERE rank <= {BM25_TOP_K}
     ORDER BY query_doc, rank
-    """,
-    tags=("llm", "text", "retrieval", "beyond-reference"),
-)
-def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query-by-document BM25 top-{BM25_TOP_K}: each probe doc ranks the
-    corpus by the integer BM25 surrogate over shared bigram terms
-    (module docstring has the exact formula and its determinism
-    rationale)."""
+    """
+
+
+_FIXED_PROBE_CTE = f"""
+        SELECT doc_id FROM documents WHERE doc_id % {QUERY_MOD} = 0
+        ORDER BY doc_id LIMIT {BM25_PROBES}
+"""
+_FRACTION_PROBE_CTE = f"SELECT doc_id FROM documents WHERE doc_id % {QUERY_MOD} = 0"
+
+
+def _bm25_plan(
+    spark: SparkSession, sf_dir: str, fixed_probes: int | None
+) -> DataFrame:
     from ..plans.state import _materialize
 
     d = spread(load(spark, sf_dir, "documents"), "doc_id")
@@ -126,7 +141,12 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.expr("sum(dl) div count(*)").alias("avgdl")
     )
-    qterms = tf.where(F.col("doc_id") % QUERY_MOD == 0).select(
+    probe_ids = d.where(F.col("doc_id") % QUERY_MOD == 0).select("doc_id")
+    if fixed_probes is not None:
+        # deterministic fixed budget: the N smallest candidate ids
+        # (TakeOrderedAndProject over a tiny id column, then broadcast)
+        probe_ids = probe_ids.orderBy("doc_id").limit(fixed_probes)
+    qterms = tf.join(F.broadcast(probe_ids), "doc_id").select(
         F.col("doc_id").alias("query_doc"), "term"
     )
     scored = (
@@ -161,6 +181,36 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_doc", "rank", "doc_id", "score_milli", "n_shared_terms")
         .orderBy("query_doc", "rank")
     )
+
+
+@register(
+    "bm25_topk_retrieval",
+    oracle=_bm25_oracle(_FIXED_PROBE_CTE),
+    tags=("llm", "text", "retrieval", "beyond-reference"),
+)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-document BM25 top-{BM25_TOP_K} with a FIXED probe budget
+    (the {BM25_PROBES} smallest probe-candidate ids): each probe doc
+    ranks the corpus by the integer BM25 surrogate over shared bigram
+    terms (module docstring has the exact formula and its determinism
+    rationale; the BM25_PROBES comment has the scale rationale for the
+    fixed budget)."""
+    return _bm25_plan(spark, sf_dir, fixed_probes=BM25_PROBES)
+
+
+@register(
+    "bm25_fraction_probes_control",
+    oracle=_bm25_oracle(_FRACTION_PROBE_CTE),
+    tags=("llm", "text", "retrieval", "beyond-reference", "scaling-control"),
+)
+def bm25_fraction_probes_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probes-as-corpus-fraction BM25 form (1/{QUERY_MOD} of the
+    corpus probes), kept registered as the SCALING CONTROL: its term-join
+    pair space grows quadratically with the corpus by construction
+    (probes x postings), which the sf1 decade study uses to separate
+    workload growth from engine behavior (SCALING.md adjudication —
+    per-pair cost must FALL as the pair space grows)."""
+    return _bm25_plan(spark, sf_dir, fixed_probes=None)
 
 
 # ---------------------------------------------------------------------------

@@ -1377,3 +1377,124 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "adc_l2", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "ann_ivfpq_adc_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (SELECT vec_id AS query_id, qe AS q_qe FROM qv WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, list_id FROM (
+            SELECT q.query_id, c.list_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_DOT_PICO_SQL.format(a="q.q_qe", b="c.c_qe")} DESC, c.list_id
+                   ) AS rn
+            FROM q CROSS JOIN cent c
+        ) WHERE rn <= {N_PROBE}
+    ),
+    sub AS (
+        SELECT vec_id, CAST(m AS BIGINT) AS m,
+               list_slice(qe, m * {PQ_SUB} + 1, (m + 1) * {PQ_SUB}) AS sv
+        FROM qv, unnest(range(0, {PQ_M})) AS u(m)
+    ),
+    cb AS (
+        SELECT vec_id - {PQ_BASE} AS j, m, sv AS cv FROM sub
+        WHERE vec_id >= {PQ_BASE} AND vec_id < {PQ_BASE + PQ_KS}
+    ),
+    dist AS (
+        SELECT s.vec_id, s.m, c.j, {_L2_SQL.format(a="s.sv", b="c.cv")} AS d
+        FROM sub s JOIN cb c ON c.m = s.m
+    ),
+    codes AS (
+        SELECT vec_id, m, j FROM (
+            SELECT vec_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assigned a
+          ON a.list_id = p.list_id AND a.vec_id != p.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(lut.d) AS BIGINT) AS adc_l2
+        FROM cands c
+        JOIN codes k ON k.vec_id = c.vec_id
+        JOIN dist lut ON lut.vec_id = c.query_id AND lut.m = k.m AND lut.j = k.j
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_l2, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, adc_l2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_l2, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "pq", "beyond-reference"),
+)
+def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ layout (FAISS's IndexIVFPQ, the production
+    billion-vector configuration): the coarse quantizer prunes the
+    corpus to each query's {N_PROBE}/{N_LIST} inverted lists, and only
+    THOSE candidates are ADC-scored against the query's per-subspace
+    lookup table — compression (8 B/vector codes) stacked on pruning.
+    Composes the two maintained-index halves the artifact already
+    stores; the docstrings of ann_ivf_topk / ann_pq_adc_topk carry the
+    component rationale.
+
+    Scale shape: probes come from the broadcast centroid table; the
+    candidate set is the ivf table pruned to probed lists (parquet
+    min/max on the (list_id, vec_id)-clustered artifact — at 100 TB a
+    deployment stores the PQ codes IN the list rows so this join
+    disappears; here codes are key-joined, both sides id-clustered);
+    the LUT broadcasts; the ADC sum is one map-combined aggregate keyed
+    by (query, neighbor); top-k rides WindowGroupLimit."""
+    idx = _ann_index(spark, sf_dir)
+    cent, ivf = idx["centroids"], idx["ivf"]
+    codes, cb = idx["pq_codes"], idx["pq_codebook"]
+    q = idx["vectors"].where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("q_qe")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("c_dot"), "list_id")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "list_id",
+            _dot_pico(F.col("q_qe"), F.col("c_qe")).alias("c_dot"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "list_id")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(ivf, "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qsub = pq_subvectors(
+        idx["vectors"].where(F.col("vec_id") < N_QUERIES)
+    )
+    lut = pq_distances(qsub, cb).select(
+        F.col("vec_id").alias("query_id"), "m", "j", "d"
+    )
+    adc = (
+        cands.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "j"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("long").alias("adc_l2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_l2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_l2", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -55,8 +55,6 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 BUILD_CONFS: dict[str, str] = {
-    # Broadcast joins for dimension tables (region/nation/assets…).
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # The generated-class cache defaults to 100 entries; a session that
     # runs the full 89-query registry (bench warmup + timed pass) holds
     # several hundred codegen units, so the default thrashes and heavy
@@ -70,6 +68,26 @@ BUILD_CONFS: dict[str, str] = {
 }
 
 
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """64 MB, bounded by driver heap/64 (floor 4 MB).
+
+    A broadcast build materializes the whole build side DESERIALIZED on
+    the driver — typically 5-10× its compressed shuffle size — so the
+    threshold must scale DOWN with the driver heap.  A static 64 MB
+    (sized for the roomy test machine) made a 2 GB driver die with "not
+    enough memory to build and broadcast" on sf1 containment-join's
+    document-frequency side (memory red-team, r08) — precisely the
+    failure mode an undersized driver on a 100 TB cluster would hit.
+    Reads the ACTUAL -Xmx via Runtime.maxMemory, so it is right however
+    the session was built.  At the default 8 GB heap this returns 64 MB
+    — identical plans to every pinned test."""
+    try:
+        heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    except Exception:  # pragma: no cover - connect-mode sessions
+        heap = 8 * 1024**3
+    return min(64 * 1024 * 1024, max(heap // 64, 4 * 1024 * 1024))
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally built session.
 
@@ -81,6 +99,23 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - immutable conf on some builds
             pass
+    try:
+        # Join-strategy policy (memory red-team, r08): compile-time
+        # auto-broadcast is DISABLED because Catalyst's static size
+        # estimate passes through Generate (explode) and aggregate
+        # nodes without inflation — at sf1 it estimated the fully
+        # exploded 5-gram token table as broadcastable and built a
+        # multi-GB HashedRelation on the driver ("not enough memory to
+        # build and broadcast").  AQE instead decides from MEASURED
+        # shuffle sizes, bounded by a heap-aware threshold; explicit
+        # F.broadcast() hints on the known-small dims are unaffected.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(_broadcast_threshold_bytes(spark)),
+        )
+    except Exception:  # pragma: no cover
+        pass
     return spark
 
 

@@ -24,6 +24,30 @@ The reference's sink layer re-expressed Spark-first:
 Scale posture: dedup-on-read shuffles only the partitions a query reads
 (PK prefix is block_height → partition-local); compaction is per
 height-bucket, embarrassingly parallel, and idempotent.
+
+Concurrency contract (VERDICT r07 #5 audit):
+
+- **append vs append — SAFE.**  Each Spark task writes a uniquely-named
+  part file through a job-scoped staging dir, so two racing appends
+  both land in full, whatever the interleaving.  If the race is an
+  accidental DOUBLE-RUN of the same batch (two schedulers fire the same
+  ingest), the duplicate rows carry the same PK and ``read_final``'s
+  last-write-wins collapses them — same rows either way because the
+  duplicates are value-identical (test_sinks.py::
+  test_concurrent_appends_idempotent proves both the race and the
+  resume-height composition under it).  This mirrors the reference,
+  where double-inserted rows coexist in ReplacingMergeTree until a
+  merge and FINAL reads stay exact.
+- **append vs read — SAFE.**  Readers list part files at plan time;
+  an in-flight append's staging files are ``_``-prefixed and invisible.
+- **compact/retain vs read — SAFE.**  Compaction publishes by atomic
+  symlink swap (never a missing dir); retention unlinks whole bucket
+  dirs a reader either saw or didn't.
+- **compact/retain vs append — EXCLUSIVE by contract.**  Compaction
+  rewrites from a point-in-time read, so an append racing the swap can
+  lose rows.  Maintenance runs in a window (the reference leans on
+  ClickHouse server-side merge/insert coordination, database.rs:90-98;
+  at 100 TB use Delta/Iceberg's commit protocol for the same).
 """
 
 from __future__ import annotations
@@ -142,20 +166,31 @@ def read_final(spark: SparkSession, path: str, pk: tuple) -> DataFrame:
 
 def compact(spark: SparkSession, path: str, pk: tuple) -> None:
     """Explicit merge (the OPTIMIZE ... FINAL analog): rewrite the table
-    with superseded PK versions dropped.  Idempotent."""
+    with superseded PK versions dropped.  Idempotent.
+
+    Publishes via the shared atomic symlink swap (artifact_io): after
+    the first compaction the table path is a symlink to an immutable
+    generation directory, so concurrent READERS see either the complete
+    pre-compact or the complete post-compact table — never a missing
+    dir (the old double-rename had that gap).  Appends keep working
+    through the symlink.  Compaction itself is MAINTENANCE-WINDOW
+    exclusive with appends (module docstring §concurrency): it rewrites
+    from a point-in-time read, so an append racing the swap can lose
+    rows — the reference gets merge-vs-insert safety from the
+    ClickHouse server (database.rs:90-98); at 100 TB use a table format
+    with a commit protocol (Delta/Iceberg) for the same."""
+    from .artifact_io import publish_artifact
+
     final = read_final(spark, path, pk).withColumn(
         "ingest_seq", F.lit(0).cast("long")
     )
-    tmp = path.rstrip("/") + ".compact.tmp"
-    _with_bucket(final).write.mode("overwrite").partitionBy("height_bucket").parquet(tmp)
-    # atomic-enough local swap; on object stores use a metastore/Delta
-    final_dir = path.rstrip("/")
-    old = final_dir + ".old"
-    os.rename(final_dir, old)
-    os.rename(tmp, final_dir)
-    import shutil
 
-    shutil.rmtree(old)
+    def build_into(tmp: str) -> None:
+        _with_bucket(final).write.mode("overwrite").partitionBy(
+            "height_bucket"
+        ).parquet(tmp)
+
+    publish_artifact(path.rstrip("/"), None, build_into)
 
 
 def retain(path: str, min_height: int) -> int:

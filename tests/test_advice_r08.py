@@ -279,3 +279,37 @@ def test_bpe_fixed_counts_skips_tab_only_doc(spark, tmp_path):
         r[0]: (r[1], r[2]) for r in con.execute(q.oracle).fetchall()
     }
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# r08 memory red-team fix: broadcast threshold scales with driver heap
+# ---------------------------------------------------------------------------
+
+
+def test_broadcast_threshold_scales_with_heap():
+    """A static 64 MB broadcast threshold OOM'd a 2 GB driver building
+    sf1 containment-join's document-frequency side ("not enough memory
+    to build and broadcast", scripts/memory_redteam.py).  tune() now
+    bounds the threshold by heap/64 with a 4 MB floor — unchanged at
+    the default 8 GB heap (so every pinned plan is untouched)."""
+    import types
+
+    from rust_near_indexer_spark.session import _broadcast_threshold_bytes
+
+    def fake(heap):
+        rt = types.SimpleNamespace(maxMemory=lambda: heap)
+        return types.SimpleNamespace(
+            _jvm=types.SimpleNamespace(
+                java=types.SimpleNamespace(
+                    lang=types.SimpleNamespace(
+                        Runtime=types.SimpleNamespace(getRuntime=lambda: rt)
+                    )
+                )
+            )
+        )
+
+    mb, gb = 1024**2, 1024**3
+    assert _broadcast_threshold_bytes(fake(8 * gb)) == 64 * mb  # default
+    assert _broadcast_threshold_bytes(fake(16 * gb)) == 64 * mb  # capped
+    assert _broadcast_threshold_bytes(fake(2 * gb)) == 32 * mb  # scales down
+    assert _broadcast_threshold_bytes(fake(128 * mb)) == 4 * mb  # floor

@@ -311,10 +311,273 @@ def test_jpeg_dc_quantization_applies():
     assert np.array_equal(got, np.full((8, 8, 1), expect, np.uint8))
 
 
-def test_jpeg_progressive_contract():
+def test_jpeg_lossless_sof_contract():
+    """Progressive (SOF2) is now decoded for real; the remaining SOF
+    families (lossless/hierarchical/arithmetic) still raise the
+    documented contract."""
     img = _raster(8, 8, 1)
-    with pytest.raises(NotImplementedError, match="baseline"):
-        multimodal.decode_image(_encode_jpeg(img, sof=0xC2), {})
+    with pytest.raises(NotImplementedError, match="baseline and progressive"):
+        multimodal.decode_image(_encode_jpeg(img, sof=0xC3), {})
+    with pytest.raises(NotImplementedError, match="baseline and progressive"):
+        multimodal.decode_image(_encode_jpeg(img, sof=0xC9), {})
+
+
+# --- progressive JPEG: spectral selection + successive approximation ------
+
+AL = 1  # successive-approximation split: first scans at Al=1, refine to 0
+
+
+def _plane_coef_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Full quantized DCT coefficients for one padded plane:
+    (by, bx, 64) int64 in NATURAL (row-major) order."""
+    a = _dct_matrix()
+    ph, pw = plane.shape
+    by_n, bx_n = ph // 8, pw // 8
+    out = np.zeros((by_n, bx_n, 64), np.int64)
+    for by in range(by_n):
+        for bx in range(bx_n):
+            block = plane[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8]
+            out[by, bx] = np.round(
+                (a @ (block.astype(np.float64) - 128.0) @ a.T) / q
+            ).astype(np.int64).reshape(-1)
+    return out
+
+
+def _put_dc_diff(bw: _BitWriter, diff: int) -> None:
+    n = _category(diff)
+    ln, code = DC_CODE[n]
+    bw.put(code, ln)
+    if n:
+        bw.put(_magnitude(diff, n), n)
+
+
+def _ac_first_scan_bits(bw, coef, ss, se, al):
+    """AC first scan (Ah=0) bits for one block: runs over the
+    point-transformed band, EOB per block."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(coef[_JPEG_ZIGZAG[k]])
+        u = (abs(v) >> al) * (1 if v > 0 else -1)
+        if u == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = AC_CODE[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = _category(u)
+        ln, code = AC_CODE[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(_magnitude(u, s), s)
+        run = 0
+    if run:
+        ln, code = AC_CODE[0x00]  # EOB (EOBRUN = 1: this block only)
+        bw.put(code, ln)
+
+
+def _ac_refine_scan_bits(bw, coef, ss, se, ah, al):
+    """AC refinement (Ah>0) bits for one block: the encoder dual of the
+    decoder's correction-bit traversal — new ±1<<al coefficients as
+    (run, 1) symbols, correction bits interleaved in positional order."""
+    zz = _JPEG_ZIGZAG
+
+    def hist_nz(k):  # visible after the previous (Ah) scans
+        return (abs(int(coef[zz[k]])) >> ah) != 0
+
+    def corr(k):
+        return (abs(int(coef[zz[k]])) >> al) & 1
+
+    def is_new(k):
+        v = int(coef[zz[k]])
+        return (abs(v) >> ah) == 0 and (abs(v) >> al) != 0
+
+    k = ss
+    while k <= se:
+        # find the next newly-nonzero coefficient
+        nk, r, j = None, 0, k
+        while j <= se:
+            if is_new(j):
+                nk = j
+                break
+            if not hist_nz(j):
+                r += 1
+            j += 1
+        if nk is None:
+            ln, code = AC_CODE[0x00]  # EOB, then tail correction bits
+            bw.put(code, ln)
+            for j2 in range(k, se + 1):
+                if hist_nz(j2):
+                    bw.put(corr(j2), 1)
+            return
+        while r > 15:
+            ln, code = AC_CODE[0xF0]  # ZRL: 16 zero-history skips
+            bw.put(code, ln)
+            skipped = 0
+            while skipped < 16:
+                if hist_nz(k):
+                    bw.put(corr(k), 1)
+                else:
+                    skipped += 1
+                k += 1
+            r -= 16
+        ln, code = AC_CODE[(r << 4) | 1]
+        bw.put(code, ln)
+        bw.put(1 if int(coef[zz[nk]]) > 0 else 0, 1)  # sign bit
+        while k < nk:  # corrections the decoder reads while skipping
+            if hist_nz(k):
+                bw.put(corr(k), 1)
+            k += 1
+        k = nk + 1
+
+
+def _encode_progressive_jpeg(
+    img: np.ndarray, q_dc: int = 1, bands=((1, 5), (6, 63))
+) -> bytes:
+    """Progressive JPEG encoder (grayscale or 4:4:4 RGB): DC first scan
+    (interleaved, Al=AL), per-component AC first scans over the spectral
+    bands (Al=AL), then DC + AC refinement scans down to Al=0 — every
+    progressive decode path (DC first/refine, AC first/refine, EOB,
+    ZRL-in-refinement) gets exercised."""
+    h, w, nc = img.shape
+    q = np.ones((8, 8), np.int64)
+    q[0, 0] = q_dc
+    head = bytearray(b"\xff\xd8")
+    zzq = bytes(int(q.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    head += _seg(0xDB, b"\x00" + zzq)
+    comps = [(i + 1, 1, 1, 0) for i in range(nc)]
+    sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for cid, ch, cv, qid in comps:
+        sof_body += bytes([cid, (ch << 4) | cv, qid])
+    head += _seg(0xC2, sof_body)
+    head += _dht(0, 0, DC_BITS, DC_SYMS) + _dht(1, 0, AC_BITS, AC_SYMS)
+
+    if nc == 1:
+        planes = [img[:, :, 0].astype(np.float64)]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    coefs = [
+        _plane_coef_blocks(
+            np.round(np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")).astype(
+                np.int64
+            ),
+            q,
+        )
+        for p in planes
+    ]
+    by_n, bx_n = ph // 8, pw // 8
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(head)
+    # scan 1: DC first, interleaved over all components
+    out += sos([c[0] for c in comps], 0, 0, 0, AL)
+    bw = _BitWriter()
+    pred = [0] * nc
+    for m in range(bx_n * by_n):
+        my, mx = divmod(m, bx_n)
+        for ci in range(nc):
+            v = int(coefs[ci][my, mx, 0]) >> AL  # arithmetic point transform
+            _put_dc_diff(bw, v - pred[ci])
+            pred[ci] = v
+    bw.pad()
+    out += bytes(bw.out)
+    # AC first scans: per component, per band
+    for ci, (cid, *_rest) in enumerate(comps):
+        for ss, se in bands:
+            out += sos([cid], ss, se, 0, AL)
+            bw = _BitWriter()
+            for m in range(bx_n * by_n):
+                my, mx = divmod(m, bx_n)
+                _ac_first_scan_bits(bw, coefs[ci][my, mx], ss, se, AL)
+            bw.pad()
+            out += bytes(bw.out)
+    # DC refinement (interleaved): one bit per block
+    out += sos([c[0] for c in comps], 0, 0, AL, 0)
+    bw = _BitWriter()
+    for m in range(bx_n * by_n):
+        my, mx = divmod(m, bx_n)
+        for ci in range(nc):
+            bw.put(int(coefs[ci][my, mx, 0]) & 1, 1)
+    bw.pad()
+    out += bytes(bw.out)
+    # AC refinement scans
+    for ci, (cid, *_rest) in enumerate(comps):
+        for ss, se in bands:
+            out += sos([cid], ss, se, AL, 0)
+            bw = _BitWriter()
+            for m in range(bx_n * by_n):
+                my, mx = divmod(m, bx_n)
+                _ac_refine_scan_bits(bw, coefs[ci][my, mx], ss, se, AL, 0)
+            bw.pad()
+            out += bytes(bw.out)
+    return bytes(out) + b"\xff\xd9"
+
+
+def test_jpeg_progressive_gray_equals_baseline_decode():
+    """All scans together carry every coefficient bit, so the
+    progressive decode must equal the BASELINE decode of the same image
+    bit-for-bit (same coefficients → same IDCT → same pixels)."""
+    img = _raster(16, 16, 1)
+    base = multimodal._decode_jpeg(_encode_jpeg(img))
+    prog = multimodal._decode_jpeg(_encode_progressive_jpeg(img))
+    assert prog.shape == base.shape
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_odd_size_gray():
+    img = _raster(20, 12, 1)
+    base = multimodal._decode_jpeg(_encode_jpeg(img))
+    prog = multimodal._decode_jpeg(_encode_progressive_jpeg(img))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_rgb444():
+    img = _raster(17, 23, 3)
+    base = multimodal._decode_jpeg(_encode_jpeg(img))
+    prog = multimodal._decode_jpeg(_encode_progressive_jpeg(img))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_sparse_exercises_zrl_and_eob():
+    """A nearly-flat image with a few isolated hot pixels produces long
+    zero runs in the wide 6..63 band — ZRL symbols in both first and
+    refinement AC scans, plus EOB tails with correction bits."""
+    img = np.full((24, 24, 1), 128, np.uint8)
+    img[3, 5, 0] = 255
+    img[10, 19, 0] = 0
+    img[21, 2, 0] = 200
+    base = multimodal._decode_jpeg(_encode_jpeg(img))
+    prog = multimodal._decode_jpeg(_encode_progressive_jpeg(img))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_roundtrip_within_quant_error():
+    """And against the ORIGINAL image (not just the baseline decode):
+    flat quant tables bound the spatial error like the baseline suite."""
+    img = _raster(16, 16, 3)
+    prog = multimodal._decode_jpeg(_encode_progressive_jpeg(img))
+    assert np.max(np.abs(prog.astype(int) - img.astype(int))) <= 24
+
+
+def test_jpeg_progressive_three_bands():
+    """A 3-band spectral script (1..2, 3..20, 21..63) reshuffles which
+    scan carries which coefficients; the reconstruction must not care."""
+    img = _raster(16, 24, 1)
+    base = multimodal._decode_jpeg(_encode_jpeg(img))
+    prog = multimodal._decode_jpeg(
+        _encode_progressive_jpeg(img, bands=((1, 2), (3, 20), (21, 63)))
+    )
+    assert np.array_equal(prog, base)
 
 
 def test_jpeg_decoded_stats_end_to_end(spark):

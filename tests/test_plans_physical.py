@@ -90,9 +90,15 @@ def test_decontamination_broadcasts_bench_side(spark, sf_dir):
 
 def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
     """The term-level df table (vocabulary-sized) broadcasts back onto
-    the (source, term) tf table."""
-    plan = _plan(spark, "tfidf_top_terms", sf_dir)
-    assert "BroadcastHashJoin" in plan
+    the (source, term) tf table.  The decision is AQE's, made from the
+    MEASURED shuffle size at runtime (compile-time auto-broadcast is
+    disabled engine-wide — Catalyst's static estimate through Generate
+    nodes broadcast multi-GB exploded tables; session.tune r08), so the
+    pin inspects the executed adaptive plan, not the static one."""
+    df = load_registry()["tfidf_top_terms"].spark(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
 
 
 def test_repetition_filter_is_scan_only(spark, sf_dir):

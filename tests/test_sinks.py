@@ -166,3 +166,88 @@ def test_zorder_write_narrows_per_file_spans(spark, tmp_path, sf_dir):
         # which no single-column sort achieves (that gives 1/16 on one
         # dim and ~1.0 on the other)
         assert avg_span < 0.7 * g_span, (c, avg_span, g_span)
+
+
+def test_concurrent_appends_idempotent(spark, blocks, tmp_path):
+    """VERDICT r07 #5: two RACING ingest jobs writing the same batch
+    (the accidental double-run two schedulers can fire) interleave at
+    the filesystem level; every part file lands, FINAL reads collapse
+    the value-identical duplicates, and the resume height composes as
+    if one job ran."""
+    import threading
+
+    base = str(tmp_path / "sink")
+    errs: list[Exception] = []
+
+    def run(seq: int) -> None:
+        try:
+            sinks.ingest_bronze(spark, blocks, base, ingest_seq=seq)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(s,)) for s in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    once = str(tmp_path / "once")
+    sinks.ingest_bronze(spark, blocks, once, ingest_seq=1)
+    for name, pk in sinks.TABLE_PKS.items():
+        a = _fp(sinks.read_final(spark, f"{base}/{name}", pk))
+        b = _fp(sinks.read_final(spark, f"{once}/{name}", pk))
+        assert a == b, f"{name}: concurrent double-run diverged"
+        # both jobs' rows are on disk (nothing lost, duplicates coexist
+        # until a merge — the ReplacingMergeTree model)
+        raw = spark.read.parquet(f"{base}/{name}").count()
+        assert raw == 2 * spark.read.parquet(f"{once}/{name}").count()
+
+    h_double = sinks.last_indexed_height(spark, f"{base}/events")
+    h_single = sinks.last_indexed_height(spark, f"{once}/events")
+    assert h_double == h_single
+    assert sinks.resume_start(0, False, h_double) == h_single + 1
+
+
+def test_compact_swap_never_hides_table(spark, blocks, tmp_path):
+    """Compaction publishes by atomic symlink swap.  The FIRST compact
+    migrates the legacy real dir (documented one-time gap); every later
+    compact replaces the symlink atomically — at the instant of that
+    swap the table is still fully readable (no missing-dir window).
+    Appends keep working through the symlink between compactions."""
+    import os
+    import unittest.mock as mock
+
+    base = str(tmp_path / "sink")
+    sinks.ingest_bronze(spark, blocks, base, ingest_seq=1)
+    path = f"{base}/events"
+    pk = sinks.TABLE_PKS["events"]
+    before = _fp(sinks.read_final(spark, path, pk))
+
+    # first compact: legacy real-dir migration → path becomes a symlink
+    sinks.compact(spark, path, pk)
+    assert os.path.islink(path)
+    assert _fp(sinks.read_final(spark, path, pk)) == before
+
+    # appends flow through the symlink; FINAL semantics still hold
+    tail = blocks.where(F.col("block_height") >= 1100)
+    sinks.ingest_bronze(spark, tail, base, ingest_seq=2)
+    assert _fp(sinks.read_final(spark, path, pk)) == before
+
+    # second compact: atomic symlink replace — the table must be fully
+    # readable at the very instant of the swap
+    real_rename = os.rename
+    seen = {}
+
+    def spy(src, dst):
+        if dst == path:
+            seen["visible_at_swap"] = any(
+                f.startswith("height_bucket=") for f in os.listdir(path)
+            )
+        real_rename(src, dst)
+
+    with mock.patch("os.rename", side_effect=spy):
+        sinks.compact(spark, path, pk)
+    assert seen["visible_at_swap"] is True
+    assert os.path.islink(path)
+    assert _fp(sinks.read_final(spark, path, pk)) == before
