@@ -7,13 +7,15 @@ sanctioned Python boundary in this engine.
 
 Codec reality: the container has no PIL/opencv/ffmpeg, but the decode
 paths are REAL for the formats corpora actually carry — binary PNM
-(P5/P6), non-interlaced 8-bit PNG (stdlib zlib inflate + unfilter),
-baseline sequential-DCT JPEG (canonical-Huffman entropy decode +
-matrix IDCT), PCM16 WAV audio, and MJPEG / raw-DIB frames inside
-RIFF/AVI video containers (``parse_avi``/``decode_video``).  Formats
-beyond those (WebP, progressive JPEG, MP3/OGG, non-MJPEG video
-codecs) raise ``NotImplementedError`` under the same contract, which
-a production image swaps in without touching the Spark plumbing.
+(P5/P6, 8- and 16-bit), PNG at 8/16-bit depth with and without Adam7
+interlacing (stdlib zlib inflate + per-pass unfilter), baseline AND
+progressive DCT JPEG (canonical-Huffman entropy decode, spectral
+selection + successive approximation, matrix IDCT), PCM16 WAV audio,
+and MJPEG / raw-DIB frames inside RIFF/AVI video containers
+(``parse_avi``/``decode_video``).  Formats beyond those (WebP,
+lossless/arithmetic JPEG, MP3/OGG, non-MJPEG video codecs) raise
+``NotImplementedError`` under the same contract, which a production
+image swaps in without touching the Spark plumbing.
 ``extract_features`` remains the deterministic fake decode whose
 Spark-side plumbing — schema, Arrow batching, partition mapping, UDF
 signature — is oracle-tested (queries/multimodal_features);
@@ -224,11 +226,25 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (RFC 2083 §2.6) — each
+# pass is an independently-filtered sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def _decode_png(data: bytes):
-    """Non-interlaced 8-bit PNG → HWC uint8 ndarray, pure stdlib
-    (struct + zlib).  Gray / RGB / gray+alpha / RGBA / palette are
-    real; 16-bit depth and Adam7 interlacing raise the documented
-    codec contract."""
+    """PNG → HWC uint8 ndarray, pure stdlib (struct + zlib).  Gray /
+    RGB / gray+alpha / RGBA / palette, 8- and 16-bit depths (16-bit
+    exposes the high byte — the standard 16→8 reduction), interlaced
+    (Adam7, per-pass unfiltering) and non-interlaced.  Sub-byte depths
+    (1/2/4-bit) raise the documented codec contract."""
     import struct
     import zlib
 
@@ -251,19 +267,46 @@ def _decode_png(data: bytes):
     if ihdr is None or not idat:
         raise ValueError("malformed PNG: missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"{depth}-bit PNG not supported (8/16-bit only)"
+        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color} not supported")
+    if color == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not legal")
+    nb = depth // 8
+    bpp = channels * nb
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    img = np.frombuffer(_png_unfilter(raw, h, stride, channels), np.uint8)
-    img = img.reshape(h, w, channels)
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        img = np.frombuffer(_png_unfilter(raw, h, stride, bpp), np.uint8)
+        img = img.reshape(h, w, bpp)
+    elif interlace == 1:  # Adam7
+        img = np.zeros((h, w, bpp), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # pass is empty for this image size
+            stride = wp * bpp
+            seg = raw[off : off + hp * (stride + 1)]
+            off += hp * (stride + 1)
+            sub = np.frombuffer(
+                _png_unfilter(seg, hp, stride, bpp), np.uint8
+            ).reshape(hp, wp, bpp)
+            img[y0::dy, x0::dx, :] = sub
+        if off != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+    else:
+        raise NotImplementedError(f"PNG interlace method {interlace}")
+    if depth == 16:
+        # samples are big-endian: byte 0 is the high byte
+        img = img.reshape(h, w, channels, 2)[:, :, :, 0].copy()
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -755,16 +798,16 @@ def decode_image(payload: bytes, meta: dict):
     """Image decode: bytes → HWC uint8 ndarray.
 
     REAL for three stdlib-parseable families: binary PNM — P6 (RGB)
-    and P5 (grayscale) are a pure header+``np.frombuffer`` parse —
-    non-interlaced 8-bit PNG (zlib IDAT inflate + per-scanline
-    unfilter, ``_decode_png``), and baseline sequential-DCT JPEG
-    (canonical-Huffman entropy decode + matrix IDCT, ``_decode_jpeg``)
-    — the two formats real corpora actually carry.  Remaining
-    container formats (WebP/progressive-JPEG — out of scope here)
-    raise ``NotImplementedError`` with the same contract; a deployment
-    with PIL/opencv extends the magic-byte dispatch below, and the
-    mapInPandas plumbing around it is unchanged.  Runs inside the
-    Arrow batch iterator, one batch at a time, never on the driver.
+    and P5 (grayscale), 8- and 16-bit, a pure header+``np.frombuffer``
+    parse — PNG at 8/16-bit depth, interlaced or not (zlib IDAT
+    inflate + per-scanline unfilter, ``_decode_png``), and
+    baseline + progressive DCT JPEG (canonical-Huffman entropy decode
+    + matrix IDCT, ``_decode_jpeg``) — the formats real corpora
+    actually carry.  Remaining formats (WebP, lossless/arithmetic
+    JPEG) raise ``NotImplementedError`` with the same contract; a
+    deployment with PIL/opencv extends the magic-byte dispatch below,
+    and the mapInPandas plumbing around it is unchanged.  Runs inside
+    the Arrow batch iterator, one batch at a time, never on the driver.
     """
     import numpy as np
 
@@ -792,9 +835,20 @@ def decode_image(payload: bytes, meta: dict):
             i = j
         i += 1  # the single whitespace after maxval
         w, h, maxval = fields[0], fields[1], fields[2]
-        if maxval > 255:
-            raise NotImplementedError("16-bit PNM not supported")
+        if not 0 < maxval < 65536:
+            raise ValueError(f"illegal PNM maxval {maxval}")
         c = 3 if magic == b"P6" else 1
+        if maxval > 255:
+            # 16-bit PNM: big-endian 2-byte samples; expose the high
+            # byte (same 16→8 reduction as the PNG path)
+            n = w * h * c
+            buf = bytes(payload[i : i + 2 * n])
+            raster = np.frombuffer(buf[: len(buf) // 2 * 2], dtype=">u2")
+            if raster.size != n:
+                raise ValueError(
+                    f"truncated PNM: want {2 * n} bytes, got {len(buf)}"
+                )
+            return (raster >> 8).astype(np.uint8).reshape(h, w, c)
         raster = np.frombuffer(bytes(payload[i : i + w * h * c]), dtype=np.uint8)
         if raster.size != w * h * c:
             raise ValueError(f"truncated PNM: want {w * h * c} bytes, got {raster.size}")

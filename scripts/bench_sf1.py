@@ -30,6 +30,10 @@ QUERIES = [
     "item_cooccurrence_pairs",
     "pricing_summary",
     "bm25_topk_retrieval",
+    # the probes-as-fraction form: quadratic pair space BY CONSTRUCTION,
+    # kept as the control that separates workload growth from engine
+    # behavior (VERDICT r07 #3; the registered headline is fixed-probe)
+    "bm25_fraction_probes_control",
     "quality_classifier_score",
     "corpus_curation_funnel",
     "text_pii_scrub",
@@ -93,7 +97,7 @@ def main() -> int:
     lines = [
         MARK_A,
         "",
-        "## The sf1 decade (round 7)",
+        "## The sf1 decade (round 8 refresh)",
         "",
         "The 100 TB arguments extrapolated from sf0.1; this table adds a",
         "decade (sf1 = `scripts/make_sf1.py`, key-shifted 10x replication",

@@ -160,3 +160,31 @@ def test_synth_avi_roundtrips_through_real_decode():
         ch = np.arange(3)[None, None, :]
         want = (7 * 31 + fi * 17 + r * 5 + c * 3 + ch) % 251
         assert (img.astype(np.int64) == want).all()
+
+
+def test_pnm_16bit_high_byte():
+    """maxval > 255 → big-endian 2-byte samples; decode exposes the
+    high byte (the same 16→8 reduction as the PNG path).  Low bytes are
+    noisy to catch accidental low-byte or little-endian reads."""
+    import numpy as np
+
+    from rust_near_indexer_spark.operators import multimodal
+
+    rng = np.random.default_rng(5)
+    img16 = rng.integers(0, 65536, (6, 7, 3), dtype=np.uint16)
+    payload = f"P6\n7 6\n65535\n".encode() + img16.astype(">u2").tobytes()
+    out = multimodal.decode_image(payload, {})
+    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+
+    gray16 = rng.integers(0, 65536, (4, 5, 1), dtype=np.uint16)
+    payload = f"P5\n5 4\n65535\n".encode() + gray16.astype(">u2").tobytes()
+    out = multimodal.decode_image(payload, {})
+    assert np.array_equal(out, (gray16 >> 8).astype(np.uint8))
+
+    # truncated 16-bit raster fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated PNM"):
+        multimodal.decode_image(b"P5\n4 4\n65535\n" + b"\x00" * 7, {})
+    with pytest.raises(ValueError, match="illegal PNM maxval"):
+        multimodal.decode_image(b"P5\n2 2\n65536\n" + b"\x00" * 16, {})

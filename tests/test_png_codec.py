@@ -114,17 +114,87 @@ def test_png_palette_resolves_to_rgb():
     assert np.array_equal(got, pal[idx[:, :, 0]])
 
 
+def _png16(img16: np.ndarray, filters: list[int], color: int) -> bytes:
+    """16-bit encoder: big-endian sample bytes, filtered with bpp=2c
+    (viewing the raster as 2c byte-channels makes _forward_filter's
+    channel offset exactly the spec's bpp)."""
+    h, w, c = img16.shape
+    as_bytes = (
+        img16.astype(">u2").view(np.uint8).reshape(h, w, 2 * c)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr)
+    body += _chunk(b"IDAT", zlib.compress(_forward_filter(as_bytes, filters)))
+    body += _chunk(b"IEND", b"")
+    return multimodal.PNG_MAGIC + body
+
+
+def _png_interlaced(img: np.ndarray, filters: list[int], color: int) -> bytes:
+    """Adam7 encoder: each pass extracted with the spec's pass grid and
+    FORWARD-filtered independently (prev-row state resets per pass)."""
+    h, w, _c = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    raw = b""
+    for x0, y0, dx, dy in multimodal._ADAM7:
+        sub = img[y0::dy, x0::dx, :]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _forward_filter(np.ascontiguousarray(sub), filters)
+    body = _chunk(b"IHDR", ihdr)
+    body += _chunk(b"IDAT", zlib.compress(raw))
+    body += _chunk(b"IEND", b"")
+    return multimodal.PNG_MAGIC + body
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 gray + RGB, odd sizes, ALL filter types across pass rows —
+    if the decoder carried filter state across passes (instead of
+    resetting prev per pass), Up/Average/Paeth rows would corrupt."""
+    for c, color in ((1, 0), (3, 2)):
+        img = _raster(13, 11, c, mul=41)
+        out = multimodal._decode_png(_png_interlaced(img, [0, 1, 2, 3, 4], color))
+        assert np.array_equal(out, img)
+
+
+def test_png_adam7_tiny_images_skip_empty_passes():
+    """Sizes below the pass grid (e.g. 1x1, 3x2) leave several Adam7
+    passes empty — the decoder must consume exactly the present ones."""
+    for hw in ((1, 1), (3, 2), (2, 5), (8, 8)):
+        img = _raster(hw[0], hw[1], 3, mul=29)
+        out = multimodal._decode_png(_png_interlaced(img, [4], color=2))
+        assert np.array_equal(out, img)
+
+
+def test_png_16bit_high_byte():
+    """16-bit samples decode to their high byte (the standard 16→8
+    reduction); low bytes are deliberately noisy to catch accidental
+    low-byte reads."""
+    rng = np.random.default_rng(11)
+    img16 = rng.integers(0, 65536, (7, 9, 3), dtype=np.uint16)
+    out = multimodal._decode_png(_png16(img16, [0, 2, 4], color=2))
+    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+    gray16 = rng.integers(0, 65536, (5, 4, 1), dtype=np.uint16)
+    out = multimodal._decode_png(_png16(gray16, [1, 3], color=0))
+    assert np.array_equal(out, (gray16 >> 8).astype(np.uint8))
+
+
 def test_png_contract_boundaries():
     img = _raster(2, 2, 3)
-    sixteen = _png(img, [0], color=2)
+    four_bit = _png(img, [0], color=2)
     # patch IHDR depth byte (offset: 8 magic + 8 framing + 8 w/h)
+    four_bit = four_bit[:24] + b"\x04" + four_bit[25:]
+    with pytest.raises(NotImplementedError, match="4-bit"):
+        multimodal.decode_image(four_bit, {})
+    # depth 16 is now REAL — a stream merely patched to claim 16-bit
+    # has half the required bytes and must fail loudly, not decode
+    sixteen = _png(img, [0], color=2)
     sixteen = sixteen[:24] + b"\x10" + sixteen[25:]
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    with pytest.raises(ValueError, match="IDAT length"):
         multimodal.decode_image(sixteen, {})
-    interlaced = _png(img, [0], color=2)
-    interlaced = interlaced[:28] + b"\x01" + interlaced[29:]
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        multimodal.decode_image(interlaced, {})
+    bad_interlace = _png(img, [0], color=2)
+    bad_interlace = bad_interlace[:28] + b"\x02" + bad_interlace[29:]
+    with pytest.raises(NotImplementedError, match="interlace method"):
+        multimodal.decode_image(bad_interlace, {})
     with pytest.raises(ValueError, match="IHDR"):
         multimodal.decode_image(multimodal.PNG_MAGIC + _chunk(b"IEND", b""), {})
 
