@@ -1379,9 +1379,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivfpq_adc_topk",
-    oracle=f"""
+_IVFPQ_ORACLE = f"""
     WITH {_IVF_ASSIGN_SQL},
     q AS (SELECT vec_id AS query_id, qe AS q_qe FROM qv WHERE vec_id < {N_QUERIES}),
     probes AS (
@@ -1435,7 +1433,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM adc
     ) WHERE rn <= {TOP_K}
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@register(
+    "ann_ivfpq_adc_topk",
+    oracle=_IVFPQ_ORACLE,
     tags=("llm", "similarity", "ann", "ivf", "pq", "beyond-reference"),
 )
 def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,4 +1500,53 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_l2", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "ann_ivfpq_recall_eval",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_ORACLE}),
+    ivfpq AS ({_IVFPQ_ORACLE})
+    SELECT t.query_id,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS recall_milli
+    FROM brute t
+    LEFT JOIN ivfpq a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    ORDER BY t.query_id
+    """,
+    tags=("llm", "similarity", "eval", "ann", "ivf", "pq", "beyond-reference"),
+)
+def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the FULL IVF-PQ index (coarse pruning stacked on PQ
+    compression) against the brute-force exact ground truth — the
+    quality gate for the production billion-vector configuration, where
+    recall loss has TWO sources (a true neighbor's list not probed; ADC
+    distance distortion reordering the candidate set) and this eval
+    prices both at once.  Completes the eval pair with ann_recall_eval
+    (IVF-only).  Both sides read the maintained index artifact; recall
+    in integer milli-units (truncating division, identical in both
+    engines)."""
+    truth = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        ann_ivfpq_adc_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hits",
+            F.expr("n_hits * 1000 div n_true").alias("recall_milli"),
+        )
+        .orderBy("query_id")
     )

@@ -1290,9 +1290,11 @@ def curation_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both sides reduce to (id, small ints) BEFORE the join,
     so the equi-join exchanges two narrow tables — never text or vector
     payloads; written bucketed on the id (sinks.write_bucketed) the join
-    is exchange-free.  Integer milli/pico units on both sides of both
+    is exchange-free.  The vector side reads the maintained ANN index
+    artifact (already-quantized vectors) instead of re-quantizing the
+    embedding scan.  Integer milli/pico units on both sides of both
     engines."""
-    from .similarity import _dot_pico, _qvec
+    from .similarity import _ann_index, _dot_pico
 
     d = load(spark, sf_dir, "documents")
     words = _words(F.col("text"))
@@ -1308,11 +1310,9 @@ def curation_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lex = d.select("doc_id", score.cast("long").alias("score_milli"))
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _ann_index(spark, sf_dir)["vectors"].select(
         F.col("vec_id").alias("doc_id"),
-        _dot_pico(_qvec(F.col("embedding")), _qvec(F.col("embedding"))).alias(
-            "self_dot_pico"
-        ),
+        _dot_pico(F.col("qe"), F.col("qe")).alias("self_dot_pico"),
     )
     j = lex.join(emb, "doc_id")
     return j.select(
