@@ -1558,7 +1558,10 @@ def score_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "score_milli",
         F.col("rn").cast("long").alias("rank_in_source"),
-        F.expr("((rn - 1) * 1000000) div greatest(n - 1, 1)")
+        # rn is row_number()'s 32-bit int: widen BEFORE the ppm multiply
+        # or (rn-1)*1e6 overflows under ANSI once a source group exceeds
+        # ~2148 rows (caught by the sf1 full-registry gate, r08)
+        F.expr("((CAST(rn AS BIGINT) - 1) * 1000000) div greatest(n - 1, 1)")
         .cast("long")
         .alias("pctl_ppm"),
     ).orderBy("doc_id")

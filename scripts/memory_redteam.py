@@ -53,6 +53,10 @@ DEFAULT_QUERIES = [
     "receipt_pagerank",
     "dedup_clusters",
     "customer_spend_quartiles",
+    # round-8 additions: the composed IVF-PQ path (artifact read +
+    # broadcast LUT) and the decade study's output-quadratic outlier
+    "ann_ivfpq_adc_topk",
+    "dedup_minhash_lsh",
 ]
 
 MODES = {
