@@ -431,13 +431,17 @@ def _ac_refine_scan_bits(bw, coef, ss, se, ah, al):
 
 
 def _encode_progressive_jpeg(
-    img: np.ndarray, q_dc: int = 1, bands=((1, 5), (6, 63))
+    img: np.ndarray,
+    q_dc: int = 1,
+    bands=((1, 5), (6, 63)),
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JPEG encoder (grayscale or 4:4:4 RGB): DC first scan
     (interleaved, Al=AL), per-component AC first scans over the spectral
     bands (Al=AL), then DC + AC refinement scans down to Al=0 — every
     progressive decode path (DC first/refine, AC first/refine, EOB,
-    ZRL-in-refinement) gets exercised."""
+    ZRL-in-refinement, and with ``restart_interval`` the RSTn resync +
+    per-scan predictor/EOBRUN reset) gets exercised."""
     h, w, nc = img.shape
     q = np.ones((8, 8), np.int64)
     q[0, 0] = q_dc
@@ -450,6 +454,8 @@ def _encode_progressive_jpeg(
         sof_body += bytes([cid, (ch << 4) | cv, qid])
     head += _seg(0xC2, sof_body)
     head += _dht(0, 0, DC_BITS, DC_SYMS) + _dht(1, 0, AC_BITS, AC_SYMS)
+    if restart_interval:
+        head += _seg(0xDD, struct.pack(">H", restart_interval))
 
     if nc == 1:
         planes = [img[:, :, 0].astype(np.float64)]
@@ -479,11 +485,23 @@ def _encode_progressive_jpeg(
         return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
     out = bytearray(head)
+
+    def maybe_rst(bw: _BitWriter, m: int, state: list[int]) -> bool:
+        # per-scan restart marker (modulo-8 index restarts at each scan)
+        if restart_interval and m and m % restart_interval == 0:
+            bw.marker(0xD0 + (state[0] & 7))
+            state[0] += 1
+            return True
+        return False
+
     # scan 1: DC first, interleaved over all components
     out += sos([c[0] for c in comps], 0, 0, 0, AL)
     bw = _BitWriter()
     pred = [0] * nc
+    rst = [0]
     for m in range(bx_n * by_n):
+        if maybe_rst(bw, m, rst):
+            pred = [0] * nc  # restart resets the DC predictor
         my, mx = divmod(m, bx_n)
         for ci in range(nc):
             v = int(coefs[ci][my, mx, 0]) >> AL  # arithmetic point transform
@@ -496,7 +514,9 @@ def _encode_progressive_jpeg(
         for ss, se in bands:
             out += sos([cid], ss, se, 0, AL)
             bw = _BitWriter()
+            rst = [0]
             for m in range(bx_n * by_n):
+                maybe_rst(bw, m, rst)  # EOBRUN is per-block here anyway
                 my, mx = divmod(m, bx_n)
                 _ac_first_scan_bits(bw, coefs[ci][my, mx], ss, se, AL)
             bw.pad()
@@ -504,7 +524,9 @@ def _encode_progressive_jpeg(
     # DC refinement (interleaved): one bit per block
     out += sos([c[0] for c in comps], 0, 0, AL, 0)
     bw = _BitWriter()
+    rst = [0]
     for m in range(bx_n * by_n):
+        maybe_rst(bw, m, rst)
         my, mx = divmod(m, bx_n)
         for ci in range(nc):
             bw.put(int(coefs[ci][my, mx, 0]) & 1, 1)
@@ -515,7 +537,9 @@ def _encode_progressive_jpeg(
         for ss, se in bands:
             out += sos([cid], ss, se, AL, 0)
             bw = _BitWriter()
+            rst = [0]
             for m in range(bx_n * by_n):
+                maybe_rst(bw, m, rst)
                 my, mx = divmod(m, bx_n)
                 _ac_refine_scan_bits(bw, coefs[ci][my, mx], ss, se, AL, 0)
             bw.pad()
@@ -594,3 +618,23 @@ def test_jpeg_decoded_stats_end_to_end(spark):
     vals = img.reshape(-1).astype(np.int64)
     assert (r["dim0"], r["dim1"], r["n_values"]) == (24, 17, int(vals.size))
     assert abs(r["mean_milli"] - int(vals.sum() * 1000 // vals.size)) <= 4000
+
+
+def test_jpeg_progressive_restart_intervals():
+    """Restart markers inside EVERY progressive scan type (DC first,
+    AC first, DC refine, AC refine): the decoder must byte-align,
+    consume RSTn with the per-scan modulo-8 index, and reset the DC
+    predictor — still bit-identical to the baseline decode."""
+    img = _raster(32, 24, 1, mul=53)
+    base = multimodal._decode_jpeg(_encode_jpeg(img))
+    prog = multimodal._decode_jpeg(
+        _encode_progressive_jpeg(img, restart_interval=3)
+    )
+    assert np.array_equal(prog, base)
+    # and for RGB with a different interval
+    img3 = _raster(16, 16, 3, mul=31)
+    base3 = multimodal._decode_jpeg(_encode_jpeg(img3))
+    prog3 = multimodal._decode_jpeg(
+        _encode_progressive_jpeg(img3, restart_interval=2)
+    )
+    assert np.array_equal(prog3, base3)
