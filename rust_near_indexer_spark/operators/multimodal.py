@@ -7,8 +7,9 @@ sanctioned Python boundary in this engine.
 
 Codec reality: the container has no PIL/opencv/ffmpeg, but the decode
 paths are REAL for the formats corpora actually carry — binary PNM
-(P5/P6, 8- and 16-bit), PNG at 8/16-bit depth with and without Adam7
-interlacing (stdlib zlib inflate + per-pass unfilter), baseline AND
+(P5/P6, 8- and 16-bit), PNG at every legal bit depth (1/2/4/8/16)
+with and without Adam7 interlacing (stdlib zlib inflate + per-pass
+unfilter + sub-byte unpack), baseline AND
 progressive DCT JPEG (canonical-Huffman entropy decode, spectral
 selection + successive approximation, matrix IDCT), PCM16 WAV audio,
 and MJPEG / raw-DIB frames inside RIFF/AVI video containers
@@ -241,10 +242,10 @@ _ADAM7 = (
 
 def _decode_png(data: bytes):
     """PNG → HWC uint8 ndarray, pure stdlib (struct + zlib).  Gray /
-    RGB / gray+alpha / RGBA / palette, 8- and 16-bit depths (16-bit
-    exposes the high byte — the standard 16→8 reduction), interlaced
-    (Adam7, per-pass unfiltering) and non-interlaced.  Sub-byte depths
-    (1/2/4-bit) raise the documented codec contract."""
+    RGB / gray+alpha / RGBA / palette at every legal bit depth —
+    1/2/4-bit (packed samples, gray scaled to 8-bit, palette indexed),
+    8-bit, and 16-bit (high byte — the standard 16→8 reduction) —
+    interlaced (Adam7, per-pass unfiltering) and non-interlaced."""
     import struct
     import zlib
 
@@ -267,39 +268,59 @@ def _decode_png(data: bytes):
     if ihdr is None or not idat:
         raise ValueError("malformed PNG: missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"{depth}-bit PNG not supported (8/16-bit only)"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal PNG bit depth {depth}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color} not supported")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"sub-byte depth is not legal for color type {color}")
     if color == 3 and depth == 16:
         raise ValueError("16-bit palette PNG is not legal")
-    nb = depth // 8
-    bpp = channels * nb
+    nb = max(depth // 8, 1)
+    # filter bpp is in BYTES, floored to 1 for packed sub-byte rows
+    bpp = max(channels * depth // 8, 1)
+
+    def pass_pixels(seg: bytes, hp: int, wp: int):
+        """Unfilter + unpack one (sub-)image → (hp, wp, channels*nb) u8."""
+        if depth >= 8:
+            stride = wp * channels * nb
+            flat = _png_unfilter(seg, hp, stride, bpp)
+            return np.frombuffer(flat, np.uint8).reshape(
+                hp, wp, channels * nb
+            )
+        stride = (wp * depth + 7) // 8
+        flat = _png_unfilter(seg, hp, stride, 1)
+        rows = np.frombuffer(flat, np.uint8).reshape(hp, stride)
+        bits = np.unpackbits(rows, axis=1)[:, : wp * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits.reshape(hp, wp, depth) * weights).sum(
+            axis=2, dtype=np.int64
+        )
+        return vals.astype(np.uint8)[:, :, None]
+
+    def pass_len(hp: int, wp: int) -> int:
+        stride = (
+            wp * channels * nb if depth >= 8 else (wp * depth + 7) // 8
+        )
+        return hp * (stride + 1)
+
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        stride = w * bpp
-        if len(raw) != h * (stride + 1):
+        if len(raw) != pass_len(h, w):
             raise ValueError("PNG IDAT length mismatch")
-        img = np.frombuffer(_png_unfilter(raw, h, stride, bpp), np.uint8)
-        img = img.reshape(h, w, bpp)
+        img = pass_pixels(raw, h, w)
     elif interlace == 1:  # Adam7
-        img = np.zeros((h, w, bpp), np.uint8)
+        img = np.zeros((h, w, channels * nb), np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             wp = (w - x0 + dx - 1) // dx
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue  # pass is empty for this image size
-            stride = wp * bpp
-            seg = raw[off : off + hp * (stride + 1)]
-            off += hp * (stride + 1)
-            sub = np.frombuffer(
-                _png_unfilter(seg, hp, stride, bpp), np.uint8
-            ).reshape(hp, wp, bpp)
-            img[y0::dy, x0::dx, :] = sub
+            n = pass_len(hp, wp)
+            img[y0::dy, x0::dx, :] = pass_pixels(raw[off : off + n], hp, wp)
+            off += n
         if off != len(raw):
             raise ValueError("PNG IDAT length mismatch")
     else:
@@ -312,6 +333,12 @@ def _decode_png(data: bytes):
             raise ValueError("palette PNG without PLTE")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         img = pal[img[:, :, 0]]
+    elif depth < 8:
+        # scale packed gray to full 8-bit range (255 // (2^d - 1) is an
+        # exact integer for d in 1/2/4: 255, 85, 17)
+        img = (img.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     return img
 
 
@@ -799,8 +826,8 @@ def decode_image(payload: bytes, meta: dict):
 
     REAL for three stdlib-parseable families: binary PNM — P6 (RGB)
     and P5 (grayscale), 8- and 16-bit, a pure header+``np.frombuffer``
-    parse — PNG at 8/16-bit depth, interlaced or not (zlib IDAT
-    inflate + per-scanline unfilter, ``_decode_png``), and
+    parse — PNG at every legal bit depth, interlaced or not (zlib
+    IDAT inflate + per-scanline unfilter, ``_decode_png``), and
     baseline + progressive DCT JPEG (canonical-Huffman entropy decode
     + matrix IDCT, ``_decode_jpeg``) — the formats real corpora
     actually carry.  Remaining formats (WebP, lossless/arithmetic

@@ -178,13 +178,93 @@ def test_png_16bit_high_byte():
     assert np.array_equal(out, (gray16 >> 8).astype(np.uint8))
 
 
+def _png_subbyte(
+    vals: np.ndarray, depth: int, color: int, filters: list[int], plte: bytes = b""
+) -> bytes:
+    """Sub-byte encoder: pack `depth`-bit samples MSB-first per row,
+    then FORWARD-filter the packed bytes (spec: filters operate on
+    bytes with bpp=1 at sub-byte depths)."""
+    h, w, _one = vals.shape
+    stride = (w * depth + 7) // 8
+    bits = ((vals[:, :, 0:1] >> np.arange(depth - 1, -1, -1)) & 1).astype(
+        np.uint8
+    )  # (h, w, depth)
+    bits = bits.reshape(h, w * depth)
+    padded = np.zeros((h, stride * 8), np.uint8)
+    padded[:, : w * depth] = bits
+    packed = np.packbits(padded, axis=1)  # (h, stride)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr)
+    if plte:
+        body += _chunk(b"PLTE", plte)
+    body += _chunk(
+        b"IDAT", zlib.compress(_forward_filter(packed[:, :, None], filters))
+    )
+    body += _chunk(b"IEND", b"")
+    return multimodal.PNG_MAGIC + body
+
+
+def test_png_subbyte_gray_depths():
+    """1/2/4-bit packed grayscale: decode scales to the full 8-bit range
+    (255/85/17 exact factors); mixed filter types run over the PACKED
+    bytes with bpp=1."""
+    rng = np.random.default_rng(3)
+    for depth in (1, 2, 4):
+        vmax = (1 << depth) - 1
+        vals = rng.integers(0, vmax + 1, (9, 13, 1), dtype=np.uint8)
+        out = multimodal._decode_png(
+            _png_subbyte(vals, depth, color=0, filters=[0, 1, 2, 3, 4])
+        )
+        assert np.array_equal(out, vals * (255 // vmax))
+
+
+def test_png_subbyte_interlaced():
+    """Adam7 at 2-bit depth: per-pass strides are ceil(wp*2/8), so the
+    bit packing restarts at every pass boundary."""
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 4, (11, 9, 1), dtype=np.uint8)
+    h, w, _ = vals.shape
+    raw = b""
+    for x0, y0, dx, dy in multimodal._ADAM7:
+        sub = vals[y0::dy, x0::dx, :]
+        hp, wp, _one = sub.shape
+        if hp == 0 or wp == 0:
+            continue
+        stride = (wp * 2 + 7) // 8
+        bits = ((sub[:, :, 0:1] >> np.arange(1, -1, -1)) & 1).astype(np.uint8)
+        bits = bits.reshape(hp, wp * 2)
+        padded = np.zeros((hp, stride * 8), np.uint8)
+        padded[:, : wp * 2] = bits
+        packed = np.packbits(padded, axis=1)
+        raw += _forward_filter(np.ascontiguousarray(packed[:, :, None]), [0, 2])
+    ihdr = struct.pack(">IIBBBBB", w, h, 2, 0, 0, 0, 1)
+    body = _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw))
+    body += _chunk(b"IEND", b"")
+    out = multimodal._decode_png(multimodal.PNG_MAGIC + body)
+    assert np.array_equal(out, vals * 85)
+
+
+def test_png_subbyte_palette():
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (7, 11, 1), dtype=np.uint8)
+    out = multimodal._decode_png(
+        _png_subbyte(idx, 4, color=3, filters=[0, 2, 4], plte=pal.tobytes())
+    )
+    assert np.array_equal(out, pal[idx[:, :, 0]])
+
+
 def test_png_contract_boundaries():
     img = _raster(2, 2, 3)
+    # sub-byte depth with a TRUECOLOR type is illegal, not unsupported
     four_bit = _png(img, [0], color=2)
-    # patch IHDR depth byte (offset: 8 magic + 8 framing + 8 w/h)
     four_bit = four_bit[:24] + b"\x04" + four_bit[25:]
-    with pytest.raises(NotImplementedError, match="4-bit"):
+    with pytest.raises(ValueError, match="not legal for color type 2"):
         multimodal.decode_image(four_bit, {})
+    three_bit = _png(img, [0], color=2)
+    three_bit = three_bit[:24] + b"\x03" + three_bit[25:]
+    with pytest.raises(ValueError, match="illegal PNG bit depth"):
+        multimodal.decode_image(three_bit, {})
     # depth 16 is now REAL — a stream merely patched to claim 16-bit
     # has half the required bytes and must fail loudly, not decode
     sixteen = _png(img, [0], color=2)
