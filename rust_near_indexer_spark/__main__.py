@@ -335,7 +335,9 @@ def cmd_sql(args) -> int:
     from .views import register_views
 
     spark = _spark(args.cpus)
-    register_views(spark, sf_dir=args.sf_dir)
+    register_views(
+        spark, sf_dir=args.sf_dir, include_artifacts=True if args.indexes else None
+    )
     spark.sql(args.statement).show(args.rows, truncate=False)
     return 0
 
@@ -427,6 +429,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("statement")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     s.add_argument("--rows", type=int, default=20)
+    s.add_argument(
+        "--indexes",
+        action="store_true",
+        help="build+register the dedup/ANN index views (otherwise only "
+        "already-built artifacts are registered — ADVICE r08)",
+    )
     s.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)

@@ -245,10 +245,39 @@ def ensure_ann_artifact(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame
     recomputed."""
     from .tables import load, spread
 
-    path = os.path.join(
-        _default_base_dir(spark),
-        f"gate-{corpus_fingerprint(sf_dir, 'embeddings.parquet', ANN_ARTIFACT_VERSION)}",
-    )
-    if not os.path.exists(os.path.join(path, "_meta.json")):
+    path = gate_artifact_path(spark, sf_dir)
+    if not gate_artifact_exists(spark, sf_dir):
         write_ann_artifact(spread(load(spark, sf_dir, "embeddings"), "vec_id"), path)
     return load_ann_artifact(spark, path)
+
+
+def gate_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    from .artifact_io import chain_digest
+    from .queries import similarity as _sim
+
+    # staleness key covers the DEFINING SOURCE of the derivation chain
+    # (quantizers, IVF, PQ) plus its constants — editing any of them
+    # invalidates the artifact automatically (ADVICE r08)
+    chain = chain_digest(
+        _sim._qvec,
+        _sim._bucket,
+        _sim.ivf_centroids,
+        _sim.ivf_assign,
+        _sim.pq_subvectors,
+        _sim.pq_codebook_frame,
+        _sim.pq_codes_frame,
+        _sim.pq_distances,
+        _sim.quantized_embeddings,
+        (_sim.N_LIST, _sim.CENTROID_BASE, _sim.PQ_M, _sim.PQ_SUB, _sim.PQ_KS, _sim.PQ_BASE),
+    )
+    return os.path.join(
+        _default_base_dir(spark),
+        f"gate-{corpus_fingerprint(sf_dir, 'embeddings.parquet', ANN_ARTIFACT_VERSION, chain)}",
+    )
+
+
+def gate_artifact_exists(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff the gate-corpus index is already built (a pure stat)."""
+    return os.path.exists(
+        os.path.join(gate_artifact_path(spark, sf_dir), "_meta.json")
+    )

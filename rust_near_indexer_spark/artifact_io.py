@@ -11,8 +11,16 @@ complete previous generation or the complete new one: no empty window,
 no half-written directory.
 
 Concurrency contract: any number of READERS race safely with one
-writer.  Two concurrent WRITERS are safe at the filesystem level (last
-swap wins; the loser's generation is orphaned but was complete), but
+writer.  The PREVIOUS generation is retained at swap time and only
+garbage-collected on the publish after next (ADVICE r08: deleting it
+at swap time failed a reader that resolved the symlink — or planned a
+Spark scan over the old generation's files — just before the swap).  A
+reader therefore keeps a valid snapshot for one full publish cycle,
+exactly the reason Iceberg/Delta retain old snapshots; a reader that
+holds a resolved generation across TWO publishes can still lose it —
+at that point re-resolve and retry.  Two concurrent WRITERS are safe
+at the filesystem level (last swap wins; the loser's generation is
+orphaned but was complete, and the GC sweep reclaims it), but
 read-modify-write maintenance (``append_*``) is single-writer by
 contract — a racing second append can lose the other's batch.  At
 100 TB the same layout runs on an object store with a manifest pointer
@@ -46,8 +54,11 @@ def write_clustered(
 
 
 def publish_artifact(
-    path: str, meta: dict | None, build_into: Callable[[str], None]
-) -> None:
+    path: str,
+    meta: dict | None,
+    build_into: Callable[[str], None],
+    before_swap: Callable[[], bool] | None = None,
+) -> dict:
     """Build a new generation via ``build_into(tmp_dir)`` then swap it in.
 
     ``build_into`` writes the artifact's tables under the given
@@ -58,6 +69,12 @@ def publish_artifact(
     artifact (pre-symlink layout) is migrated aside on first write —
     that one-time migration has a brief gap; all subsequent swaps are
     atomic.
+
+    Generation retention (ADVICE r08 medium): the generation being
+    REPLACED is kept on disk so readers that resolved the symlink just
+    before the swap finish their scan; every OLDER generation (and any
+    orphan a crashed or losing writer left behind) is garbage-collected
+    here, on the next successful publish.
     """
     tmp = f"{path}.data-{uuid.uuid4().hex[:12]}"
     link_tmp = f"{path}.lnk-{uuid.uuid4().hex[:12]}"
@@ -76,14 +93,29 @@ def publish_artifact(
         # relative symlink target: the artifact tree moves as a unit
         os.symlink(os.path.basename(tmp), link_tmp)
         os.rename(link_tmp, path)  # atomic swap (replaces old symlink)
+        keep = {os.path.realpath(tmp)}
         tmp = None  # published — no cleanup
-        if prev_target is not None and os.path.isdir(prev_target):
-            shutil.rmtree(prev_target, ignore_errors=True)
+        if prev_target is not None:
+            keep.add(os.path.realpath(prev_target))  # readers may hold it
+        _gc_generations(path, keep)
     finally:
         if tmp is not None:
             shutil.rmtree(tmp, ignore_errors=True)
         if os.path.islink(link_tmp):
             os.unlink(link_tmp)
+
+
+def _gc_generations(path: str, keep: set[str]) -> None:
+    """Remove every ``<path>.data-*`` generation except ``keep`` (the
+    just-published target and the immediately-previous one)."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    prefix = os.path.basename(path) + ".data-"
+    for name in os.listdir(parent):
+        if not name.startswith(prefix):
+            continue
+        full = os.path.realpath(os.path.join(parent, name))
+        if full not in keep and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def load_meta(path: str, expected_version: int, what: str) -> dict:
@@ -97,10 +129,19 @@ def load_meta(path: str, expected_version: int, what: str) -> dict:
     return meta
 
 
-def corpus_fingerprint(sf_dir: str, table_file: str, version: int) -> str:
+def corpus_fingerprint(
+    sf_dir: str, table_file: str, version: int, chain: str = ""
+) -> str:
     """Staleness key: an artifact is valid only for the exact source
-    parquet bytes (size+mtime) and chain version it was built from — a
-    regenerated corpus or changed code forces a rebuild."""
+    parquet bytes (size+mtime) and derivation chain it was built from —
+    a regenerated corpus or changed code forces a rebuild.
+
+    ``chain`` is a digest of the chain's DEFINING SOURCE (see
+    ``chain_digest``), so editing a quantizer or MinHash function
+    invalidates artifacts automatically; the manually-bumped
+    ``version`` remains for semantic breaks that don't change those
+    functions' text (ADVICE r08: version-only keys silently served
+    stale artifacts after code edits)."""
     import hashlib
 
     p = os.path.join(sf_dir, table_file)
@@ -109,8 +150,23 @@ def corpus_fingerprint(sf_dir: str, table_file: str, version: int) -> str:
         sig = f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
         sig = os.path.abspath(p)
-    sig += f"|v{version}"
+    sig += f"|v{version}|{chain}"
     return hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
+def chain_digest(*objects) -> str:
+    """Digest of the source text of the functions (plus the repr of any
+    non-function constants) that define an artifact's derivation chain."""
+    import hashlib
+    import inspect
+
+    parts = []
+    for obj in objects:
+        try:
+            parts.append(inspect.getsource(obj))
+        except TypeError:
+            parts.append(repr(obj))
+    return hashlib.md5("\x1e".join(parts).encode()).hexdigest()[:12]
 
 
 def read_tables(

@@ -297,11 +297,24 @@ def _default_base_dir(spark: SparkSession) -> str:
 
 def _corpus_fingerprint(sf_dir: str) -> str:
     """Staleness key: the artifact is valid only for the exact
-    documents.parquet bytes (size+mtime) and chain version it was built
-    from — a regenerated corpus or changed code forces a rebuild."""
-    from .artifact_io import corpus_fingerprint
+    documents.parquet bytes (size+mtime) and the derivation chain it
+    was built from — a regenerated corpus or an EDIT to any chain
+    function forces a rebuild (chain_digest hashes their source;
+    ADVICE r08)."""
+    from .artifact_io import chain_digest, corpus_fingerprint
 
-    return corpus_fingerprint(sf_dir, "documents.parquet", ARTIFACT_VERSION)
+    chain = chain_digest(
+        augmented_docs,
+        _shingles,
+        signatures_from_shingles,
+        bands_from_signatures,
+        cap_hot_buckets,
+        verify_pair_ids,
+        MAX_BUCKET_DOCS,
+    )
+    return corpus_fingerprint(
+        sf_dir, "documents.parquet", ARTIFACT_VERSION, chain
+    )
 
 
 def ensure_dedup_artifact(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -312,9 +325,20 @@ def ensure_dedup_artifact(spark: SparkSession, sf_dir: str) -> dict[str, DataFra
     within a session the SessionCaches still dedupe, but across sessions
     (a new bench run, a new driver round) the LSH chain is read, not
     recomputed."""
-    path = os.path.join(
-        _default_base_dir(spark), f"gate-{_corpus_fingerprint(sf_dir)}"
-    )
-    if not os.path.exists(os.path.join(path, "_meta.json")):
+    path = gate_artifact_path(spark, sf_dir)
+    if not gate_artifact_exists(spark, sf_dir):
         write_dedup_artifact(augmented_docs(spark, sf_dir), path)
     return load_dedup_artifact(spark, path)
+
+
+def gate_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    return os.path.join(
+        _default_base_dir(spark), f"gate-{_corpus_fingerprint(sf_dir)}"
+    )
+
+
+def gate_artifact_exists(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff the gate-corpus artifact is already built (a pure stat)."""
+    return os.path.exists(
+        os.path.join(gate_artifact_path(spark, sf_dir), "_meta.json")
+    )

@@ -540,10 +540,31 @@ def _decode_jpeg(data: bytes):
                 scan.append(
                     (ci, huff.get((0, tsel >> 4)), huff.get((1, tsel & 0xF)))
                 )
-            if not progressive:
-                return _jpeg_scan(data, pos, frame, qt, scan, restart_interval)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            # validate table presence AT SOS TIME (ADVICE r08: a scan
+            # referencing an undefined table otherwise dies later with
+            # an opaque TypeError inside the entropy decoder).  A DC
+            # scan (baseline, or progressive ss=0 first pass) needs its
+            # DC table; an AC scan needs its AC table; DC/AC refinement
+            # passes (ah>0) read raw bits, with AC refinement still
+            # consuming run-length codes from the AC table.
+            for (ci, dc_tbl, ac_tbl), s in zip(scan, range(ns)):
+                tsel = seg[2 + 2 * s]
+                needs_dc = (not progressive or (ss == 0 and ah == 0))
+                needs_ac = not progressive or ss > 0
+                if needs_dc and dc_tbl is None:
+                    raise ValueError(
+                        f"JPEG SOS references undefined DC Huffman table "
+                        f"{tsel >> 4} (no prior DHT)"
+                    )
+                if needs_ac and ac_tbl is None:
+                    raise ValueError(
+                        f"JPEG SOS references undefined AC Huffman table "
+                        f"{tsel & 0xF} (no prior DHT)"
+                    )
+            if not progressive:
+                return _jpeg_scan(data, pos, frame, qt, scan, restart_interval)
             pos = _jpeg_progressive_scan(
                 data, pos, frame, coefs, scan, ss, se, ah, al,
                 restart_interval,
@@ -791,12 +812,21 @@ def _jpeg_progressive_scan(
             eobrun = block_fn(
                 reader, ac_tbl, coefs[ci][by, bx], ss, se, al, eobrun
             )
-    # advance to the next marker (skip stuffed FF00 and RSTn)
-    p = reader.pos
+    # advance to the next marker (skip stuffed FF00 and RSTn).  The
+    # entropy decoder may legitimately sit a few bytes short of the
+    # marker (bit-padding, an EOB run ending mid-byte, a trailing RST),
+    # but a LARGE gap means the scan under-consumed — a truncated or
+    # corrupt stream that would otherwise be masked (ADVICE r08).
+    p = start = reader.pos
     while p + 1 < len(data):
         if data[p] == 0xFF and data[p + 1] != 0x00 and not (
             0xD0 <= data[p + 1] <= 0xD7
         ):
+            if p - start > 16:
+                raise ValueError(
+                    f"malformed JPEG: {p - start} unconsumed entropy "
+                    f"bytes before next marker (truncated/corrupt scan)"
+                )
             return p
         p += 1
     return p

@@ -506,15 +506,27 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     full (Chaudhuri et al.'s SSJoin asymmetry).  A size filter
     (|B| ≥ τ·|A|) prunes, exact shared-shingle counting verifies.
 
-    Scale shape: identical to dedup_prefix_filter_join — one exploded
-    token table, candidates from an equi-join keyed by globally-rare
-    shingles, verification re-joins candidates against the token table;
-    no array column ever crosses a shuffle, never all-pairs.  Set sizes
+    Scale shape (r09, recovering the AQE-only-broadcast small-scale tax
+    without static hints — VERDICT r08 #2): the whole candidate path
+    hangs off ONE full-token exchange, never all-pairs.  Document
+    frequency is a window count keyed by shingle (the oracle's own t1
+    shape), and the INDEX side of the candidate join is a projection of
+    that same window output — already hash-partitioned by s, so
+    Catalyst inserts no new exchange for it (the old separate
+    groupBy+join df table cost a second full-token shuffle write under
+    AQE).  Verification joins the candidate pairs back to the
+    CHECKPOINTED shingle arrays (array_intersect of two per-doc sets)
+    instead of re-joining two full token tables: same bytes, ~sz× fewer
+    rows, so the per-row shuffle-write CPU that dominated at sf0.1
+    (measured ~11 s executor time per full-token exchange) drops with
+    it, and the intersect runs map-side once AQE converts the tiny
+    candidate side to a broadcast.  Per-doc arrays are bounded
+    (document length), so one task always holds both sides of a pair;
+    if candidates ever outgrow broadcastability AQE falls back to a
+    shuffled pair join — the correct plan at that volume.  Set sizes
     ride the array BEFORE the explode (shingles are array_distinct, so
-    |set| = size(sh) — zero shuffles), document frequency is a
-    map-combined hash aggregate joined back onto the PROBE branch only,
-    and the index side carries no window at all — the only sort in the
-    plan is the per-doc rarity ranking the SSJoin prefix needs."""
+    |set| = size(sh) — zero shuffles); the only sort in the plan is the
+    per-doc rarity ranking the SSJoin prefix needs."""
     from .dedup import _shingles5
 
     # spread the compact scan BEFORE the shingle projection: a small
@@ -544,31 +556,39 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly; explode drops empty arrays, matching `WHERE size(sh)>0`.
     docs = _materialize(sh.select("doc_id", F.size("sh").alias("sz"), "sh"))
     tok = docs.select("doc_id", "sz", F.explode("sh").alias("s"))
-    df_tbl = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tok.join(df_tbl, "s").withColumn(
+    t1 = tok.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+    ranked = t1.withColumn(
         "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
     )
     prefix = ranked.where(
         F.col("rn")
         <= F.col("sz") - F.expr(f"({CONT_TAU_MILLI} * sz + 999) div 1000") + 1
     ).select(F.col("doc_id").alias("contained_id"), "s", F.col("sz").alias("sz_a"))
-    idx = tok.select(
-        F.col("doc_id").alias("container_id"), "s", F.col("sz").alias("sz_b")
-    )
+    # index side = the SAME window output, still partitioned by s: the
+    # join below reuses t1's exchange instead of shuffling tok again
+    idx = t1.select("doc_id", "sz", "s")
     cand = (
         prefix.join(idx, "s")
-        .where(F.col("contained_id") != F.col("container_id"))
-        .where(F.col("sz_b") * 1000 >= CONT_TAU_MILLI * F.col("sz_a"))
-        .select("contained_id", "container_id", "sz_a")
+        .where(F.col("contained_id") != F.col("doc_id"))
+        .where(F.col("sz") * 1000 >= CONT_TAU_MILLI * F.col("sz_a"))
+        .select(
+            "contained_id", F.col("doc_id").alias("container_id"), "sz_a"
+        )
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("contained_id"), "s")
-    tb = tok.select(F.col("doc_id").alias("container_id"), "s")
+    # exact verification on the checkpointed arrays (sets by
+    # construction: _shingles5 is array_distinct) — inter = |A ∩ B|
+    a = docs.select(F.col("doc_id").alias("contained_id"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("container_id"), F.col("sh").alias("sh_b"))
     ver = (
-        cand.join(ta, "contained_id")
-        .join(tb, ["container_id", "s"])
-        .groupBy("contained_id", "container_id", "sz_a")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        a.join(cand, "contained_id")
+        .join(b, "container_id")
+        .select(
+            "contained_id",
+            "container_id",
+            "sz_a",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        )
     )
     cont = F.expr("(1000 * inter) div sz_a")
     return (

@@ -996,12 +996,18 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAREST shingles in the corpus (frequency ordering pushes boilerplate
     shingles out of every prefix), so join keys are low-fanout by
     construction — the inverse of the skew a naive token join has.
-    The whole join is expressed over ONE exploded token table: df and
-    set size are window counts (keyed s and doc_id), the prefix is a
-    rank filter, candidates are the prefix self-join, and verification
-    re-joins candidates to the token table (counting shared tokens)
-    instead of materializing per-doc arrays — no array column ever
-    crosses a shuffle.  Run exact dedup first at corpus scale:
+    Candidate generation is expressed over ONE exploded token table: df
+    and set size are window counts (keyed s and doc_id), the prefix is
+    a rank filter, candidates are the prefix self-join.  Verification
+    (r09) joins the candidate pairs back to the CHECKPOINTED shingle
+    arrays and counts |A ∩ B| with array_intersect: same bytes as the
+    old double token-table re-join but ~sz× fewer shuffled rows, the
+    intersect runs map-side once AQE broadcasts the candidate pairs,
+    and per-doc arrays are bounded (document length) so one task always
+    holds both sides of a pair; past broadcastability AQE falls back to
+    a shuffled pair join — the correct plan at that volume.  Arrays are
+    never a partitioning KEY anywhere.  Run exact dedup first at corpus
+    scale:
     identical copies are the one structure that still makes a shared
     rare shingle high-fanout (C(n,2) on the copy cluster), and they are
     cheaper to remove with one hash-groupBy anyway.
@@ -1031,14 +1037,16 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id", F.size("sh").alias("sz"), "sh")
     )
     tok = docs.select("doc_id", "sz", F.explode("sh").alias("s"))
-    # df as a map-combined hash aggregate joined back for the rarity
-    # ranking (the index/verify sides never need it); rank after df
-    t2 = (
-        tok.join(tok.groupBy("s").agg(F.count(F.lit(1)).alias("df")), "s")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
-        )
+    # df as a window count keyed by shingle (the oracle's own t1 shape):
+    # under the AQE-only broadcast policy the old groupBy+join df table
+    # cost a second full-token shuffle write before AQE could convert it
+    # — the window computes df on the ONE token exchange the rarity
+    # ranking needs anyway (r09, VERDICT r08 #2)
+    t2 = tok.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
     )
     # prefix length |d| - ceil(τ|d|) + 1, integer ceil via (+999)//1000
     prefix = t2.where(
@@ -1057,13 +1065,22 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sz_a", "sz_b")
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "s")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "s")
+    # exact verification on the checkpointed arrays (sets by
+    # construction): |A ∩ B| via array_intersect — same bytes as the
+    # old double token-table re-join but ~sz× fewer shuffled rows, and
+    # the intersect runs map-side once AQE broadcasts the candidates
+    aa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    bb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     ver = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        aa.join(cand, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        )
         .withColumn("szs", F.col("sz_a") + F.col("sz_b"))
     )
     return (

@@ -68,8 +68,13 @@ BUILD_CONFS: dict[str, str] = {
 }
 
 
+_ENV_BROADCAST_THRESHOLD = "SPARK_GRAFT_BROADCAST_THRESHOLD"
+
+
 def _broadcast_threshold_bytes(spark: SparkSession) -> int:
-    """64 MB, bounded by driver heap/64 (floor 4 MB).
+    """64 MB, bounded by driver heap/64 (floor 4 MB); overridable via
+    SPARK_GRAFT_BROADCAST_THRESHOLD (bytes) for plan-pinning on
+    non-standard heaps (ADVICE r08).
 
     A broadcast build materializes the whole build side DESERIALIZED on
     the driver — typically 5-10× its compressed shuffle size — so the
@@ -80,7 +85,13 @@ def _broadcast_threshold_bytes(spark: SparkSession) -> int:
     failure mode an undersized driver on a 100 TB cluster would hit.
     Reads the ACTUAL -Xmx via Runtime.maxMemory, so it is right however
     the session was built.  At the default 8 GB heap this returns 64 MB
-    — identical plans to every pinned test."""
+    — identical plans to every pinned test (which therefore assume a
+    heap ≥ 4 GB; below that, AQE flips marginal broadcasts to SMJ and
+    the pins fail — by design, since that IS the correct small-heap
+    plan; set the env override to reproduce the pinned shapes)."""
+    env = os.environ.get(_ENV_BROADCAST_THRESHOLD)
+    if env:
+        return int(env)
     try:
         heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
     except Exception:  # pragma: no cover - connect-mode sessions
@@ -110,9 +121,21 @@ def tune(spark: SparkSession) -> SparkSession:
         # shuffle sizes, bounded by a heap-aware threshold; explicit
         # F.broadcast() hints on the known-small dims are unaffected.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        thresh = _broadcast_threshold_bytes(spark)
         spark.conf.set(
-            "spark.sql.adaptive.autoBroadcastJoinThreshold",
-            str(_broadcast_threshold_bytes(spark)),
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", str(thresh)
+        )
+        # The threshold is heap-derived, so physical plan shape varies
+        # with -Xmx across machines (ADVICE r08): log it so a pinned-
+        # plan failure on a small-heap box is diagnosable, and let an
+        # operator pin it explicitly via env.
+        import logging
+
+        logging.getLogger(__name__).info(
+            "adaptive.autoBroadcastJoinThreshold = %d bytes (%s)",
+            thresh,
+            "env override" if os.environ.get(_ENV_BROADCAST_THRESHOLD) else
+            "min(64MB, driverHeap/64)",
         )
     except Exception:  # pragma: no cover
         pass

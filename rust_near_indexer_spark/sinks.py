@@ -40,8 +40,13 @@ Concurrency contract (VERDICT r07 #5 audit):
   merge and FINAL reads stay exact.
 - **append vs read — SAFE.**  Readers list part files at plan time;
   an in-flight append's staging files are ``_``-prefixed and invisible.
-- **compact/retain vs read — SAFE.**  Compaction publishes by atomic
-  symlink swap (never a missing dir); retention unlinks whole bucket
+- **compact/retain vs read — SAFE within one publish cycle.**
+  Compaction publishes by atomic symlink swap (never a missing dir),
+  and the REPLACED generation is retained until the next publish
+  (ADVICE r08: deleting at swap time failed a reader that resolved the
+  symlink — or planned a Spark scan — just before the swap), so a
+  reader's resolved snapshot stays valid for one full cycle; across
+  TWO publishes it must re-resolve.  Retention unlinks whole bucket
   dirs a reader either saw or didn't.
 - **compact/retain vs append — EXCLUSIVE by contract.**  Compaction
   rewrites from a point-in-time read, so an append racing the swap can

@@ -29,13 +29,25 @@ TESTDATA_TABLES = (
 ).split()
 
 
-def register_views(spark: SparkSession, sf_dir: str | None = None) -> list[str]:
+def register_views(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    include_artifacts: bool | None = None,
+) -> list[str]:
     """Create/replace temp views for every layer; returns the view names.
 
     ``sf_dir`` additionally registers the driver testdata tables (the
     TPC-H-ish + documents/embeddings set) through ``tables.load`` so the
     schema-normalization conventions (ts/ts_ns duality, float32
     embeddings) hold for SQL users too.
+
+    ``include_artifacts`` controls the dedup/ANN index views (ADVICE
+    r08: eagerly building BOTH indexes made the `sql` CLI pay two index
+    builds for a query touching neither, and hard-failed without an
+    embeddings table).  Default ``None`` registers an artifact's views
+    only if that artifact is ALREADY BUILT on disk (a pure read —
+    costs nothing); ``True`` forces the builds; ``False`` skips them.
+    The ANN block is skipped when ``sf_dir`` has no embeddings.parquet.
     """
     from .plans import silver
     from .plans.gold import intents_metrics
@@ -45,9 +57,14 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> list[str]:
     names: list[str] = []
 
     if sf_dir is not None:
+        import os
+
         for t in TESTDATA_TABLES:
-            load(spark, sf_dir, t).createOrReplaceTempView(t)
-            names.append(t)
+            # a corpus dir need not carry every table (e.g. documents
+            # without embeddings — ADVICE r08): register what exists
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+                load(spark, sf_dir, t).createOrReplaceTempView(t)
+                names.append(t)
 
     bronze = bronze_tables(spark)
     for key, df in bronze.items():
@@ -76,26 +93,37 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> list[str]:
     # reference's users query ClickHouse state tables.  Views over the
     # range-clustered parquet keep min/max pruning (a point predicate
     # on the clustered id reads one file).
-    if sf_dir is not None:
-        from .ann_artifact import ensure_ann_artifact
-        from .dedup_artifact import ensure_dedup_artifact
+    if sf_dir is not None and include_artifacts is not False:
+        import os
 
-        dd = ensure_dedup_artifact(spark, sf_dir)
-        for key, view in (
-            ("signatures", "dedup_signatures"),
-            ("pairs", "dedup_pairs"),
-            ("labels", "dedup_labels"),
+        from . import ann_artifact, dedup_artifact
+
+        # Default (include_artifacts=None): register only what is
+        # already built — a `sql` CLI query that touches no index view
+        # must not pay two index builds (ADVICE r08).
+        if include_artifacts or dedup_artifact.gate_artifact_exists(spark, sf_dir):
+            dd = dedup_artifact.ensure_dedup_artifact(spark, sf_dir)
+            for key, view in (
+                ("signatures", "dedup_signatures"),
+                ("pairs", "dedup_pairs"),
+                ("labels", "dedup_labels"),
+            ):
+                dd[key].createOrReplaceTempView(view)
+                names.append(view)
+        has_embeddings = os.path.exists(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        if has_embeddings and (
+            include_artifacts or ann_artifact.gate_artifact_exists(spark, sf_dir)
         ):
-            dd[key].createOrReplaceTempView(view)
-            names.append(view)
-        ann = ensure_ann_artifact(spark, sf_dir)
-        for key, view in (
-            ("vectors", "ann_vectors"),
-            ("centroids", "ann_centroids"),
-            ("ivf", "ann_ivf"),
-            ("pq_codebook", "ann_pq_codebook"),
-            ("pq_codes", "ann_pq_codes"),
-        ):
-            ann[key].createOrReplaceTempView(view)
-            names.append(view)
+            ann = ann_artifact.ensure_ann_artifact(spark, sf_dir)
+            for key, view in (
+                ("vectors", "ann_vectors"),
+                ("centroids", "ann_centroids"),
+                ("ivf", "ann_ivf"),
+                ("pq_codebook", "ann_pq_codebook"),
+                ("pq_codes", "ann_pq_codes"),
+            ):
+                ann[key].createOrReplaceTempView(view)
+                names.append(view)
     return names

@@ -215,10 +215,16 @@ def test_register_views_exposes_index_artifacts(spark, sf_dir):
     agrees with the DataFrame read."""
     from rust_near_indexer_spark.views import register_views
 
-    names = register_views(spark, sf_dir=sf_dir)
+    names = register_views(spark, sf_dir=sf_dir, include_artifacts=True)
     for v in ("dedup_pairs", "dedup_labels", "ann_vectors", "ann_ivf",
               "ann_centroids", "ann_pq_codes", "ann_pq_codebook"):
         assert v in names
+    # ADVICE r08: the default must NOT force index builds — now that
+    # both artifacts exist, the default registers them as pure reads,
+    # and include_artifacts=False skips them entirely
+    assert "ann_vectors" in register_views(spark, sf_dir=sf_dir)
+    lean = register_views(spark, sf_dir=sf_dir, include_artifacts=False)
+    assert "ann_vectors" not in lean and "dedup_pairs" not in lean
     assert spark.sql("SELECT count(*) AS n FROM ann_centroids").collect()[0]["n"] == 16
     # cross-artifact SQL: cluster membership joined to document length
     row = spark.sql(

@@ -94,7 +94,14 @@ def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
     MEASURED shuffle size at runtime (compile-time auto-broadcast is
     disabled engine-wide — Catalyst's static estimate through Generate
     nodes broadcast multi-GB exploded tables; session.tune r08), so the
-    pin inspects the executed adaptive plan, not the static one."""
+    pin inspects the executed adaptive plan, not the static one.
+
+    HEAP ASSUMPTION (ADVICE r08): the AQE threshold is heap-derived
+    (min(64MB, heap/64)), so this pin — and every broadcast pin in this
+    file — holds at driver heaps ≥ 4 GB.  On a smaller heap AQE
+    correctly flips marginal broadcasts to SMJ and the pin fails; set
+    SPARK_GRAFT_BROADCAST_THRESHOLD=67108864 to reproduce the pinned
+    shapes there."""
     df = load_registry()["tfidf_top_terms"].spark(spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
@@ -286,11 +293,10 @@ def test_quartiles_ntile_runs_on_aggregate(spark, sf_dir):
 
 
 def test_prefix_filter_join_no_arrays_no_cartesian(spark, sf_dir):
-    """The exact similarity join must stay in token-row land: candidate
-    generation is an equi-join on shingle strings (never a cartesian),
-    verification is a count over a token equi-join (no array column in
-    any exchange), and the corpus is read once per branch of ONE plan —
-    no Python, no BroadcastNestedLoopJoin."""
+    """Candidate generation is an equi-join on shingle strings (never
+    a cartesian); verification (r09) joins the checkpointed per-doc
+    arrays as bounded payload and intersects map-side — no Python, no
+    BroadcastNestedLoopJoin, arrays never a partitioning key."""
     plan = _plan(spark, "dedup_prefix_filter_join", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -463,15 +469,19 @@ def test_ewma_is_single_keyed_exchange(spark, sf_dir):
 
 def test_containment_join_has_no_array_shuffles_or_cartesian(spark, sf_dir):
     """Candidate generation must be the prefix equi-join on rare
-    shingles; verification re-joins the token table — no cartesian, no
-    nested-loop, and no array column in any exchange."""
+    shingles hanging off ONE token exchange (the index side reuses the
+    df window's exchange — r09); verification joins the checkpointed
+    arrays as bounded per-doc PAYLOAD — no cartesian, no nested-loop,
+    and no array column as a partitioning KEY in any exchange."""
     plan, nodes = _node_counts(spark, "dedup_containment_join", sf_dir)
     assert nodes.get("CartesianProduct", 0) == 0
     assert nodes.get("BroadcastNestedLoopJoin", 0) == 0
     import re
 
     for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
-        assert "sh#" not in m.group(1)  # shingle arrays never shuffle
+        assert "sh#" not in m.group(1)  # arrays never a partition key
+    # the candidate index side must NOT cost a second token exchange
+    assert "ReusedExchange" in plan
 
 
 def test_cooccurrence_pairs_join_is_basket_keyed(spark, sf_dir):
