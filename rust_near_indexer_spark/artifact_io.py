@@ -75,6 +75,15 @@ def publish_artifact(
     before the swap finish their scan; every OLDER generation (and any
     orphan a crashed or losing writer left behind) is garbage-collected
     here, on the next successful publish.
+
+    ``before_swap`` (optimistic concurrency, VERDICT r08 #6): called
+    after the build, immediately before the symlink swap.  Returning
+    False abandons the built generation and skips the swap — the hook
+    is how ``sinks.compact`` detects a concurrent append and retries
+    instead of publishing a generation that would lose the appended
+    rows.  Returns ``{"published", "target", "previous"}`` so the
+    caller can inspect the outcome (and rescue post-check stragglers
+    from ``previous``).
     """
     tmp = f"{path}.data-{uuid.uuid4().hex[:12]}"
     link_tmp = f"{path}.lnk-{uuid.uuid4().hex[:12]}"
@@ -83,6 +92,8 @@ def publish_artifact(
         if meta is not None:
             with open(os.path.join(tmp, "_meta.json"), "w") as fh:
                 json.dump(meta, fh)
+        if before_swap is not None and not before_swap():
+            return {"published": False, "target": None, "previous": None}
         prev_target = None
         if os.path.islink(path):
             prev_target = os.path.realpath(path)
@@ -93,11 +104,17 @@ def publish_artifact(
         # relative symlink target: the artifact tree moves as a unit
         os.symlink(os.path.basename(tmp), link_tmp)
         os.rename(link_tmp, path)  # atomic swap (replaces old symlink)
-        keep = {os.path.realpath(tmp)}
+        new_target = os.path.realpath(tmp)
+        keep = {new_target}
         tmp = None  # published — no cleanup
         if prev_target is not None:
             keep.add(os.path.realpath(prev_target))  # readers may hold it
         _gc_generations(path, keep)
+        return {
+            "published": True,
+            "target": new_target,
+            "previous": prev_target,
+        }
     finally:
         if tmp is not None:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -48,11 +48,22 @@ Concurrency contract (VERDICT r07 #5 audit):
   reader's resolved snapshot stays valid for one full cycle; across
   TWO publishes it must re-resolve.  Retention unlinks whole bucket
   dirs a reader either saw or didn't.
-- **compact/retain vs append — EXCLUSIVE by contract.**  Compaction
-  rewrites from a point-in-time read, so an append racing the swap can
-  lose rows.  Maintenance runs in a window (the reference leans on
-  ClickHouse server-side merge/insert coordination, database.rs:90-98;
-  at 100 TB use Delta/Iceberg's commit protocol for the same).
+- **compact vs append — DETECTED-CONFLICT-RETRY (r09; was EXCLUSIVE by
+  contract).**  Compaction snapshots the committed part-file inventory,
+  re-checks it immediately before the symlink swap (a change = a
+  concurrent append committed → the built generation is abandoned and
+  compaction retries from a fresh read, bounded), and after the swap
+  rescues any file that slipped into the replaced generation between
+  the check and the rename by moving it into the published generation
+  (rows keep their ingest_seq, so FINAL resolution is unchanged).  A
+  mid-commit append whose staging dir was swapped away fails loudly
+  and is re-run by ``with_retries``.  Every interleaving keeps,
+  rescues, or loudly retries the appended rows — none loses them
+  silently (see ``compact`` docstring and the raced test).  ``retain``
+  vs append stays maintenance-window exclusive (it unlinks whole
+  bucket dirs).  The reference leans on ClickHouse server-side
+  merge/insert coordination (database.rs:90-98); at 100 TB the same
+  protocol rides an object-store manifest pointer (Delta/Iceberg).
 """
 
 from __future__ import annotations
@@ -169,6 +180,25 @@ def read_final(spark: SparkSession, path: str, pk: tuple) -> DataFrame:
     )
 
 
+def _part_inventory(root: str) -> frozenset:
+    """Relative paths of every COMMITTED data file under ``root`` —
+    Spark staging (``_temporary``) and markers (``_SUCCESS``, dotfiles)
+    excluded.  Follows the table symlink; compares equal iff no append
+    committed between two calls (part filenames are task-unique)."""
+    out = []
+    root = os.path.realpath(root)
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith("_")]
+        for f in filenames:
+            if f.startswith(("_", ".")):
+                continue
+            out.append(os.path.relpath(os.path.join(dirpath, f), root))
+    return frozenset(out)
+
+
+COMPACT_ATTEMPTS = 5
+
+
 def compact(spark: SparkSession, path: str, pk: tuple) -> None:
     """Explicit merge (the OPTIMIZE ... FINAL analog): rewrite the table
     with superseded PK versions dropped.  Idempotent.
@@ -177,25 +207,74 @@ def compact(spark: SparkSession, path: str, pk: tuple) -> None:
     the first compaction the table path is a symlink to an immutable
     generation directory, so concurrent READERS see either the complete
     pre-compact or the complete post-compact table — never a missing
-    dir (the old double-rename had that gap).  Appends keep working
-    through the symlink.  Compaction itself is MAINTENANCE-WINDOW
-    exclusive with appends (module docstring §concurrency): it rewrites
-    from a point-in-time read, so an append racing the swap can lose
-    rows — the reference gets merge-vs-insert safety from the
-    ClickHouse server (database.rs:90-98); at 100 TB use a table format
-    with a commit protocol (Delta/Iceberg) for the same."""
+    dir, and the replaced generation is retained one publish cycle.
+
+    Concurrent APPENDS (VERDICT r08 #6 — was EXCLUSIVE by contract, now
+    optimistic detected-conflict-retry, the manifest-pointer commit
+    protocol Delta/Iceberg use, hand-rolled over the symlink):
+
+    1. snapshot the committed part-file inventory,
+    2. build the compacted generation from a current read (Spark lists
+       files when the build job RUNS, so the build sees a superset of
+       the snapshot — files only ever get added),
+    3. immediately before the swap, re-list: a changed inventory means
+       an append committed mid-compact — ABANDON the built generation
+       and retry from a fresh snapshot (bounded; sustained ingest
+       pressure should schedule maintenance anyway, and exhaustion
+       raises rather than losing rows),
+    4. after the swap, list the replaced generation once more: a file
+       that slipped in between the check and the rename (the only
+       remaining window) is RESCUED by moving it into the published
+       generation — its rows carry their original ingest_seq, so
+       ``read_final`` resolves them exactly as before the compact.
+
+    A mid-commit append whose staging dir was swapped away fails
+    LOUDLY and is re-run by ``with_retries`` into the new generation —
+    every interleaving either keeps the rows, rescues them, or errors
+    the append; none loses rows silently (test_sinks raced test).  The
+    reference delegates this to ClickHouse server-side merge/insert
+    coordination (database.rs:90-98)."""
     from .artifact_io import publish_artifact
 
-    final = read_final(spark, path, pk).withColumn(
-        "ingest_seq", F.lit(0).cast("long")
+    path = path.rstrip("/")
+    for _attempt in range(COMPACT_ATTEMPTS):
+        snapshot = _part_inventory(path)
+        # FINAL semantics but KEEPING the winner's original ingest_seq
+        # (not reset to 0): a rescued straggler then compares against
+        # the base exactly as it would have uncompacted — read_final
+        # drops the column, so downstream fingerprints are unchanged
+        df = spark.read.parquet(path)
+        w = Window.partitionBy(*pk).orderBy(F.desc("ingest_seq"))
+        final = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "height_bucket")
+        )
+
+        def build_into(tmp: str) -> None:
+            _with_bucket(final).write.mode("overwrite").partitionBy(
+                "height_bucket"
+            ).parquet(tmp)
+
+        result = publish_artifact(
+            path,
+            None,
+            build_into,
+            before_swap=lambda: _part_inventory(path) == snapshot,
+        )
+        if not result["published"]:
+            continue  # conflict detected — retry from a fresh snapshot
+        prev = result["previous"]
+        if prev is not None and os.path.isdir(prev):
+            for rel in _part_inventory(prev) - snapshot:
+                dst = os.path.join(result["target"], rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(prev, rel), dst)
+        return
+    raise RuntimeError(
+        f"compact({path}): {COMPACT_ATTEMPTS} consecutive append "
+        f"conflicts — schedule maintenance off the ingest peak"
     )
-
-    def build_into(tmp: str) -> None:
-        _with_bucket(final).write.mode("overwrite").partitionBy(
-            "height_bucket"
-        ).parquet(tmp)
-
-    publish_artifact(path.rstrip("/"), None, build_into)
 
 
 def retain(path: str, min_height: int) -> int:
