@@ -872,6 +872,10 @@ def decode_image(payload: bytes, meta: dict):
         return _decode_png(bytes(payload))
     if bytes(payload[:3]) == b"\xff\xd8\xff":
         return _decode_jpeg(bytes(payload))
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(bytes(payload))
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         # binary PNM: magic, whitespace/comments, width, height, maxval,

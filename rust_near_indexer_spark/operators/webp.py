@@ -1,0 +1,472 @@
+"""WebP lossless (VP8L) decoder — bytes → HWC uint8 ndarray.
+
+The most common real-corpus format that still raised after round 8
+(VERDICT r08 Next #5).  VP8L is integer-exact (no DCT), so it fits the
+repo's golden-test pattern: tests/test_webp_codec.py carries an
+independently written in-test VP8L encoder and asserts bit-exact
+round-trips across the entropy layer and transforms.
+
+Implemented (the full lossless bitstream spec, RIFF container):
+- RIFF/WEBP chunk walk (VP8X-wrapped VP8L included);
+- LSB-first bit reader; canonical prefix codes via both the "simple"
+  (1-2 symbol) and the full code-length-coded form (incl. repeat
+  symbols 16/17/18 and the max_symbol cap);
+- the five-code groups (green+length+cache / red / blue / alpha /
+  distance), optional meta-prefix entropy image selecting per-block
+  groups, LZ77 backward references with the 120-entry 2-D distance
+  neighborhood map, and the hashed color cache;
+- all four transforms, applied in reverse read order: PREDICTOR (all
+  14 modes), COLOR (ColorTransformElement deltas), SUBTRACT_GREEN, and
+  COLOR_INDEXING (delta-coded palette + sub-byte pixel bundling).
+
+Documented contract limits (ValueError/NotImplementedError, same
+policy as operators/multimodal.py): lossy VP8 raises
+NotImplementedError; combining PREDICTOR/COLOR with COLOR_INDEXING in
+one stream raises ValueError (libwebp's encoder never emits the
+combination, and the packed-width interaction is a corner this
+decoder refuses rather than guesses).
+
+The reference has no codec layer (it ships bytes to ClickHouse);
+this is SURVEY §2B north-star multimodal surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# The 2-D distance map: LZ77 distance codes 1..120 address a pixel
+# neighborhood rather than a linear offset.  The table is the 120
+# nearest (dx, dy) offsets with dy >= 0 (and dx > 0 when dy == 0),
+# ordered by (dx^2 + dy^2, dy descending, dx descending) — the first
+# entries are (0,1),(1,0),(1,1),(-1,1),(0,2),(2,0),... as listed in
+# the lossless bitstream spec; test_webp_codec pins that prefix.
+_DIST_MAP: list[tuple[int, int]] = sorted(
+    (
+        (dx, dy)
+        for dy in range(0, 9)
+        for dx in range(-8, 9)
+        if dy > 0 or dx > 0
+    ),
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]),
+)[:120]
+
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+class _Bits:
+    """LSB-first bit reader over bytes (VP8L bit order)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("truncated VP8L bitstream")
+            v |= ((self.data[self.byte] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+
+class _Prefix:
+    """Canonical prefix code (DEFLATE-style length→code assignment),
+    decoded by walking the stream one bit at a time."""
+
+    def __init__(self, lengths: dict[int, int]) -> None:
+        used = {s: l for s, l in lengths.items() if l > 0}
+        if not used:
+            raise ValueError("VP8L prefix code with no symbols")
+        if len(used) == 1:
+            self.single = next(iter(used))
+            self.table = {}
+            return
+        self.single = None
+        # canonical assignment: shorter lengths first, ties by symbol
+        code = 0
+        prev_len = 0
+        table: dict[tuple[int, int], int] = {}
+        for sym in sorted(used, key=lambda s: (used[s], s)):
+            code <<= used[sym] - prev_len
+            prev_len = used[sym]
+            table[(used[sym], code)] = sym
+            code += 1
+        # over-subscribed / incomplete codes are malformed
+        if code != 1 << prev_len:
+            raise ValueError("VP8L prefix code is not full")
+        self.table = table
+
+    def decode(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single  # zero-bit code
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code bits")
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
+    if br.read(1):  # simple code: 1 or 2 symbols
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        sym0 = br.read(8 if first_8bit else 1)
+        if num_symbols == 1:
+            return _Prefix({sym0: 1})  # one symbol → zero-bit code
+        return _Prefix({sym0: 1, br.read(8): 1})
+    # normal: code lengths themselves prefix-coded
+    num_cl = br.read(4) + 4
+    cl_lengths = {s: 0 for s in range(19)}
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _Prefix(cl_lengths)
+    if br.read(1):  # use a cap on the number of coded symbols
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths: dict[int, int] = {}
+    prev_len = 8
+    sym = 0
+    while sym < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.decode(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            for _ in range(3 + br.read(2)):
+                lengths[sym] = prev_len
+                sym += 1
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 7 + br.read(7) + 4  # 11..138
+    if sym > alphabet_size:
+        raise ValueError("VP8L code lengths overflow the alphabet")
+    return _Prefix(lengths)
+
+
+def _lz77_value(br: _Bits, sym: int) -> int:
+    """Length/distance prefix symbol → value (spec's LZ77 coding)."""
+    if sym < 4:
+        return sym + 1
+    extra_bits = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra_bits
+    return offset + br.read(extra_bits) + 1
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _decode_image_stream(br: _Bits, w: int, h: int, level0: bool):
+    """Decode one spatially-coded ARGB image (the spec's
+    DecodeImageStream): transforms only at level 0, meta-prefix only at
+    level 0.  Returns (pixels, transforms) — pixels is a list of
+    (a, r, g, b) tuples, row-major, length w*h (possibly of the
+    REDUCED width when color-indexing bundles pixels)."""
+    transforms = []
+    seen_types = set()
+    xsize = w
+    if level0:
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen_types:
+                raise ValueError("VP8L transform repeated")
+            seen_types.add(ttype)
+            if ttype == 0 or ttype == 1:  # PREDICTOR / COLOR
+                size_bits = br.read(3) + 2
+                bw = -(-xsize // (1 << size_bits))
+                bh = -(-h // (1 << size_bits))
+                sub, _ = _decode_image_stream(br, bw, bh, False)
+                transforms.append((ttype, size_bits, sub))
+            elif ttype == 2:  # SUBTRACT_GREEN
+                transforms.append((2, None, None))
+            else:  # COLOR_INDEXING
+                n_colors = br.read(8) + 1
+                pal_raw, _ = _decode_image_stream(br, n_colors, 1, False)
+                # palette entries are componentwise delta-coded
+                pal = []
+                prev = (0, 0, 0, 0)
+                for p in pal_raw:
+                    cur = tuple((prev[i] + p[i]) & 0xFF for i in range(4))
+                    pal.append(cur)
+                    prev = cur
+                if n_colors <= 2:
+                    width_bits = 3
+                elif n_colors <= 4:
+                    width_bits = 2
+                elif n_colors <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((3, (width_bits, xsize), pal))
+                xsize = -(-xsize // (1 << width_bits))
+        if {0, 1} & seen_types and 3 in seen_types:
+            raise ValueError(
+                "VP8L: PREDICTOR/COLOR combined with COLOR_INDEXING is "
+                "outside this decoder's contract (libwebp never emits it)"
+            )
+
+    # color cache
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L color-cache bits {cache_bits} out of range")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    # meta prefix codes (level 0 only)
+    entropy = None
+    num_groups = 1
+    if level0 and br.read(1):
+        size_bits = br.read(3) + 2
+        ew = -(-xsize // (1 << size_bits))
+        eh = -(-h // (1 << size_bits))
+        sub, _ = _decode_image_stream(br, ew, eh, False)
+        groups = [(p[1] << 8) | p[2] for p in sub]  # (red<<8)|green
+        entropy = (size_bits, ew, groups)
+        num_groups = max(groups) + 1
+
+    green_size = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    codes = []
+    for _ in range(num_groups):
+        g = _read_prefix_code(br, green_size)
+        r = _read_prefix_code(br, 256)
+        b = _read_prefix_code(br, 256)
+        a = _read_prefix_code(br, 256)
+        d = _read_prefix_code(br, 40)
+        codes.append((g, r, b, a, d))
+
+    n = xsize * h
+    pixels: list[tuple[int, int, int, int]] = []
+
+    def emit(px: tuple[int, int, int, int]) -> None:
+        pixels.append(px)
+        if cache is not None:
+            argb = (px[0] << 24) | (px[1] << 16) | (px[2] << 8) | px[3]
+            cache[_cache_key(argb, cache_bits)] = argb
+
+    while len(pixels) < n:
+        pos = len(pixels)
+        if entropy is not None:
+            size_bits, ew, groups = entropy
+            bx = (pos % xsize) >> size_bits
+            by = (pos // xsize) >> size_bits
+            group = groups[by * ew + bx]
+        else:
+            group = 0
+        cg, cr, cb, ca, cd = codes[group]
+        sym = cg.decode(br)
+        if sym < 256:
+            red = cr.decode(br)
+            blue = cb.decode(br)
+            alpha = ca.decode(br)
+            emit((alpha, red, sym, blue))
+        elif sym < 280:
+            length = _lz77_value(br, sym - 256)
+            dist_code = _lz77_value(br, cd.decode(br))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dy * xsize + dx
+                if dist < 1:
+                    dist = 1
+            if dist > len(pixels):
+                raise ValueError("VP8L backward reference before image start")
+            for _ in range(length):
+                emit(pixels[len(pixels) - dist])
+                if len(pixels) > n:
+                    raise ValueError("VP8L backward reference overruns image")
+        else:
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a color cache")
+            idx = sym - 280
+            argb = cache[idx]
+            pixels.append(
+                ((argb >> 24) & 0xFF, (argb >> 16) & 0xFF,
+                 (argb >> 8) & 0xFF, argb & 0xFF)
+            )
+            # cache hits re-insert (no-op key-wise, but spec-faithful)
+            cache[_cache_key(argb, cache_bits)] = argb
+    return pixels, transforms
+
+
+def _avg2(a: int, b: int) -> int:
+    return (a + b) >> 1
+
+
+def _predict(mode: int, L, T, TL, TR) -> tuple[int, int, int, int]:
+    if mode == 0:
+        return (0xFF, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return tuple(_avg2(_avg2(L[i], TR[i]), T[i]) for i in range(4))
+    if mode == 6:
+        return tuple(_avg2(L[i], TL[i]) for i in range(4))
+    if mode == 7:
+        return tuple(_avg2(L[i], T[i]) for i in range(4))
+    if mode == 8:
+        return tuple(_avg2(TL[i], T[i]) for i in range(4))
+    if mode == 9:
+        return tuple(_avg2(T[i], TR[i]) for i in range(4))
+    if mode == 10:
+        return tuple(
+            _avg2(_avg2(L[i], TL[i]), _avg2(T[i], TR[i])) for i in range(4)
+        )
+    if mode == 11:  # Select
+        p_l = sum(abs(T[i] - TL[i]) for i in range(4))
+        p_t = sum(abs(L[i] - TL[i]) for i in range(4))
+        return T if p_t <= p_l else L
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(
+            min(255, max(0, L[i] + T[i] - TL[i])) for i in range(4)
+        )
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = tuple(_avg2(L[i], T[i]) for i in range(4))
+        # (a - b) / 2 with C truncation toward zero, not Python floor
+        return tuple(
+            min(255, max(0, ave[i] + int((ave[i] - TL[i]) / 2)))
+            for i in range(4)
+        )
+    raise ValueError(f"VP8L predictor mode {mode} out of range")
+
+
+def _apply_transforms(pixels, transforms, w: int, h: int):
+    """Inverse transforms in reverse read order; returns (pixels, w)."""
+    for ttype, arg, data in reversed(transforms):
+        if ttype == 3:  # COLOR_INDEXING
+            width_bits, full_w = arg
+            pal = data
+            packed_w = -(-full_w // (1 << width_bits))
+            out = []
+            per = 1 << width_bits
+            bits = 8 >> width_bits
+            mask = (1 << bits) - 1
+            for y in range(h):
+                row = []
+                for xp in range(packed_w):
+                    g = pixels[y * packed_w + xp][2]
+                    for k in range(per):
+                        idx = (g >> (k * bits)) & mask
+                        if len(row) < full_w:
+                            if idx >= len(pal):
+                                raise ValueError(
+                                    f"VP8L palette index {idx} out of range"
+                                )
+                            row.append(pal[idx])
+                out.extend(row)
+            pixels = out
+            w = full_w
+        elif ttype == 2:  # SUBTRACT_GREEN inverse
+            pixels = [
+                (a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+                for (a, r, g, b) in pixels
+            ]
+        elif ttype == 1:  # COLOR transform inverse
+            size_bits, sub = arg, data
+            bw = -(-w // (1 << size_bits))
+            out = list(pixels)
+            for y in range(h):
+                for x in range(w):
+                    cte = sub[(y >> size_bits) * bw + (x >> size_bits)]
+                    g2r, g2b, r2b = cte[3], cte[2], cte[1]
+                    a, r, g, b = out[y * w + x]
+
+                    def delta(t: int, c: int) -> int:
+                        ts = t - 256 if t >= 128 else t
+                        cs = c - 256 if c >= 128 else c
+                        return (ts * cs) >> 5
+
+                    r = (r + delta(g2r, g)) & 0xFF
+                    b = (b + delta(g2b, g) + delta(r2b, r)) & 0xFF
+                    out[y * w + x] = (a, r, g, b)
+            pixels = out
+        elif ttype == 0:  # PREDICTOR inverse
+            size_bits, sub = arg, data
+            bw = -(-w // (1 << size_bits))
+            out = [None] * (w * h)
+            for y in range(h):
+                for x in range(w):
+                    if x == 0 and y == 0:
+                        pred = (0xFF, 0, 0, 0)
+                    elif y == 0:
+                        pred = out[x - 1]  # forced L on the top row
+                    elif x == 0:
+                        pred = out[(y - 1) * w]  # forced T on column 0
+                    else:
+                        mode = sub[(y >> size_bits) * bw + (x >> size_bits)][2]
+                        L = out[y * w + x - 1]
+                        T = out[(y - 1) * w + x]
+                        TL = out[(y - 1) * w + x - 1]
+                        # TR at the last column reads the contiguous
+                        # next element = leftmost pixel of THIS row
+                        # (libwebp's row-buffer semantics)
+                        TR = out[(y - 1) * w + x + 1] if x + 1 < w else out[y * w]
+                        pred = _predict(mode, L, T, TL, TR)
+                    res = pixels[y * w + x]
+                    out[y * w + x] = tuple(
+                        (res[i] + pred[i]) & 0xFF for i in range(4)
+                    )
+            pixels = out
+    return pixels, w
+
+
+def decode_webp(data: bytes):
+    """RIFF/WEBP → HWC uint8 (RGBA when the stream declares alpha,
+    RGB otherwise).  Lossless (VP8L) only — lossy VP8 is a documented
+    NotImplementedError contract, same policy as SOF3/SOF9 JPEG."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            vp8l = payload
+            break
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 decode unavailable in this environment "
+                "(VP8L lossless is the in-sandbox real path)"
+            )
+        pos += 8 + size + (size & 1)
+    if vp8l is None:
+        raise ValueError("RIFF/WEBP without a VP8L chunk")
+    if not vp8l or vp8l[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    br = _Bits(vp8l, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    has_alpha = br.read(1)
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    pixels, transforms = _decode_image_stream(br, w, h, True)
+    pixels, w = _apply_transforms(pixels, transforms, w, h)
+    arr = np.array(pixels, dtype=np.uint8).reshape(h, w, 4)  # A,R,G,B
+    rgba = arr[:, :, [1, 2, 3, 0]]
+    return rgba if has_alpha else rgba[:, :, :3].copy()

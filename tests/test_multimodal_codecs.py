@@ -72,9 +72,14 @@ def test_decode_audio_wav_roundtrip():
 
 
 def test_unsupported_formats_still_raise():
-    webpish = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
-    with pytest.raises(NotImplementedError, match="PNG"):
-        multimodal.decode_image(webpish, {})
+    # WebP lossless (VP8L) is a real path now; a lossy-VP8-only container
+    # is the remaining unsupported subset, and a chunk-less RIFF is
+    # MALFORMED rather than unsupported
+    lossy = b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00" + b"\x00" * 4
+    with pytest.raises(NotImplementedError, match="VP8L"):
+        multimodal.decode_image(lossy, {})
+    with pytest.raises(ValueError, match="VP8L chunk"):
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8, {})
     mp3ish = b"ID3\x04" + b"\x00" * 16
     with pytest.raises(NotImplementedError, match="WAV"):
         multimodal.decode_audio(mp3ish, {})

@@ -1,0 +1,719 @@
+"""WebP-lossless (VP8L) golden tests (VERDICT r08 Next #5).
+
+Pattern as for PNG/JPEG/FLAC: an INDEPENDENTLY WRITTEN in-test VP8L
+encoder (bit writer, canonical Huffman construction, transform forward
+passes — all implemented here from the public lossless bitstream spec,
+not imported from the decoder) produces streams whose decode must be
+bit-exact equal to the source pixels / the reference token expansion.
+
+Coverage: literals via normal (code-length-coded) prefix codes incl.
+the 17/18 zero-run symbols and both max_symbol modes, simple 1- and
+2-symbol codes (zero-bit path included), LZ77 copies through linear
+(>120) and 2-D mapped distance codes (map entries taken from the
+spec's quoted table prefix, independent of the decoder's generated
+table), the hashed color cache, SUBTRACT_GREEN, PREDICTOR (single- and
+multi-block, modes 0/1/2/7/11/12/13), COLOR transform, COLOR_INDEXING
+with and without sub-byte bundling, meta-prefix entropy images, and
+the documented error contracts.
+"""
+
+from __future__ import annotations
+
+import heapq
+import struct
+
+import numpy as np
+import pytest
+
+from rust_near_indexer_spark.operators.webp import _DIST_MAP, decode_webp
+
+# The spec lists the distance map explicitly; pin the decoder's
+# generated table against the quoted prefix (independent evidence the
+# generation rule reproduces the spec's table).
+_SPEC_DIST_PREFIX = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+]
+
+
+def test_dist_map_matches_spec_prefix():
+    assert _DIST_MAP[:16] == _SPEC_DIST_PREFIX
+    assert len(_DIST_MAP) == 120
+    assert len(set(_DIST_MAP)) == 120
+    assert all(dy >= 0 and (dy > 0 or dx > 0) for dx, dy in _DIST_MAP)
+
+
+# ---------------------------------------------------------------------------
+# In-test encoder.
+# ---------------------------------------------------------------------------
+
+
+class _BitsW:
+    """LSB-first bit writer (VP8L bit order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.bit = 0
+
+    def put(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) % 8
+
+
+def _huff_lengths(freqs: dict[int, int]) -> dict[int, int]:
+    """Canonical Huffman code lengths (max observed ≪ 15 for our tiny
+    alphabets)."""
+    items = [(f, s) for s, f in freqs.items() if f > 0]
+    if len(items) == 1:
+        return {items[0][1]: 1}
+    heap = [(f, i, [s]) for i, (f, s) in enumerate(sorted(items))]
+    heapq.heapify(heap)
+    depth = {s: 0 for _, _, [s] in [(f, i, g) for f, i, g in heap]}
+    nxt = len(heap)
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, nxt, g1 + g2))
+        nxt += 1
+    assert max(depth.values()) <= 15
+    return depth
+
+
+def _huff_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, nbits), canonical (shorter first, ties by sym)."""
+    code, prev = 0, 0
+    out = {}
+    for s in sorted((s for s, l in lengths.items() if l), key=lambda s: (lengths[s], s)):
+        code <<= lengths[s] - prev
+        prev = lengths[s]
+        out[s] = (code, lengths[s])
+        code += 1
+    return out
+
+
+def _put_code(bw: _BitsW, codes, lengths, sym: int) -> None:
+    if len(lengths) == 1:  # zero-bit single-symbol code
+        return
+    code, n = codes[sym]
+    # canonical codes are read MSB-first bit by bit
+    for i in range(n - 1, -1, -1):
+        bw.put((code >> i) & 1, 1)
+
+
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _write_prefix_code(
+    bw: _BitsW, lengths: dict[int, int], alphabet_size: int, use_cap: bool = True
+) -> None:
+    """Emit one prefix code: simple form when <= 2 symbols (values must
+    fit 8 bits), else the code-length-coded normal form with 18/17
+    zero-runs; ``use_cap`` picks the max_symbol mode."""
+    used = sorted(s for s, l in lengths.items() if l)
+    if len(used) <= 2 and max(used) <= 255:
+        bw.put(1, 1)  # simple
+        bw.put(len(used) - 1, 1)
+        if len(used) == 1:
+            s0 = used[0]
+            if s0 <= 1:
+                bw.put(0, 1)  # 1-bit first symbol
+                bw.put(s0, 1)
+            else:
+                bw.put(1, 1)
+                bw.put(s0, 8)
+            return
+        bw.put(1, 1)
+        bw.put(used[0], 8)
+        bw.put(used[1], 8)
+        return
+    bw.put(0, 1)  # normal
+    # build the code-length symbol sequence
+    seq: list[tuple[int, int, int]] = []  # (cl_sym, extra, extra_bits)
+    last_used = max(used)
+    i = 0
+    limit = last_used + 1  # no-cap mode pads the tail separately below
+    while i < limit:
+        l = lengths.get(i, 0)
+        if l == 0:
+            run = 0
+            while i + run < limit and lengths.get(i + run, 0) == 0:
+                run += 1
+            while run >= 11:
+                take = min(run, 138)
+                seq.append((18, take - 11, 7))
+                run -= take
+                i += take
+            while run >= 3:
+                take = min(run, 10)
+                seq.append((17, take - 3, 3))
+                run -= take
+                i += take
+            for _ in range(run):
+                seq.append((0, 0, 0))
+                i += 1
+        else:
+            seq.append((l, 0, 0))
+            i += 1
+    # max_symbol counts code-length READS (repeat symbols advance many
+    # positions per read — libwebp's loop decrements once per read), so
+    # the cap is the emitted sequence length, floored at 2; without the
+    # cap the sequence must cover the WHOLE alphabet with zero runs
+    cap_mode = use_cap and len(seq) >= 2
+    if not cap_mode:
+        i = last_used + 1
+        while i < alphabet_size:
+            run = min(alphabet_size - i, 138)
+            if run >= 11:
+                seq.append((18, run - 11, 7))
+            elif run >= 3:
+                seq.append((17, run - 3, 3))
+            else:
+                seq.extend([(0, 0, 0)] * run)
+            i += run
+    cl_freq: dict[int, int] = {}
+    for s, _, _ in seq:
+        cl_freq[s] = cl_freq.get(s, 0) + 1
+    cl_lengths = _huff_lengths(cl_freq)
+    if len(cl_lengths) == 1:  # decoder needs a full code: pad with a dummy
+        only = next(iter(cl_lengths))
+        dummy = 0 if only != 0 else 1
+        cl_lengths = {only: 1, dummy: 1}
+    cl_codes = _huff_codes(cl_lengths)
+    bw.put(15, 4)  # num_code_lengths = 19
+    for s in _CL_ORDER:
+        bw.put(cl_lengths.get(s, 0), 3)
+    if cap_mode:
+        bw.put(1, 1)
+        cap = len(seq)
+        nbits_sel = 0
+        while (1 << (2 + 2 * nbits_sel)) < cap - 2 + 1:
+            nbits_sel += 1
+        bw.put(nbits_sel, 3)
+        bw.put(cap - 2, 2 + 2 * nbits_sel)
+    else:
+        bw.put(0, 1)
+    for s, extra, ebits in seq:
+        _put_code(bw, cl_codes, cl_lengths, s)
+        if ebits:
+            bw.put(extra, ebits)
+
+
+def _lz77_sym(value: int) -> tuple[int, int, int]:
+    """value (>=1) → (prefix symbol, extra value, extra bits)."""
+    assert value >= 1
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    nbits = v.bit_length() - 1
+    extra_bits = nbits - 1
+    rem = v - (1 << nbits)
+    if rem < (1 << extra_bits):
+        return 2 * nbits, rem, extra_bits
+    return 2 * nbits + 1, rem - (1 << extra_bits), extra_bits
+
+
+def test_lz77_sym_inverts_spec_mapping():
+    # cross-check the encoder's symbol mapping against the spec formula
+    # value = ((2 + (sym & 1)) << ((sym - 2) >> 1)) + extra + 1
+    for v in list(range(1, 70)) + [120, 1000, 4094]:
+        sym, extra, ebits = _lz77_sym(v)
+        if sym < 4:
+            assert (v, extra, ebits) == (sym + 1, 0, 0)
+        else:
+            off = (2 + (sym & 1)) << ((sym - 2) >> 1)
+            assert off + extra + 1 == v
+            assert 0 <= extra < (1 << ebits)
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _encode_stream(
+    bw: _BitsW,
+    tokens: list,
+    w: int,
+    h: int,
+    cache_bits: int = 0,
+    level0: bool = True,
+    transforms: list | None = None,
+    use_cap: bool = True,
+    groups: tuple | None = None,
+):
+    """Encode one image stream from a token list.  Tokens:
+    ("lit", (a,r,g,b)) | ("copy", length, dist_code) | ("cache", idx).
+    ``groups`` optionally = (size_bits, group_of_block, token_groups)
+    for a meta-prefix stream (tokens then carry a group id each:
+    (group, token))."""
+    if level0:
+        for t in transforms or []:
+            bw.put(1, 1)
+            t(bw)
+        bw.put(0, 1)  # end of transforms
+    if cache_bits:
+        bw.put(1, 1)
+        bw.put(cache_bits, 4)
+    else:
+        bw.put(0, 1)
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+
+    if groups is None:
+        if level0:
+            bw.put(0, 1)  # no meta prefix
+        token_sets = [tokens]
+    else:
+        size_bits, block_groups, ew, eh = groups
+        bw.put(1, 1)
+        bw.put(size_bits - 2, 3)
+        sub_tokens = [("lit", (255, g >> 8, g & 255, 0)) for g in block_groups]
+        _encode_stream(bw, sub_tokens, ew, eh, level0=False)
+        n_groups = max(block_groups) + 1
+        token_sets = [[] for _ in range(n_groups)]
+        for g, tok in tokens:
+            token_sets[g].append(tok)
+
+    # frequencies per group
+    all_codes = []
+    for toks in token_sets:
+        freqs = [dict() for _ in range(5)]  # g, r, b, a, d
+
+        def bump(i, s):
+            freqs[i][s] = freqs[i].get(s, 0) + 1
+
+        for tok in toks:
+            if tok[0] == "lit":
+                a, r, g, b = tok[1]
+                bump(0, g), bump(1, r), bump(2, b), bump(3, a)
+            elif tok[0] == "copy":
+                lsym, _, _ = _lz77_sym(tok[1])
+                bump(0, 256 + lsym)
+                dsym, _, _ = _lz77_sym(tok[2])
+                bump(4, dsym)
+            else:
+                bump(0, 280 + tok[1])
+        for i, alpha_size in enumerate((green_size, 256, 256, 256, 40)):
+            if not freqs[i]:
+                freqs[i] = {0: 1}  # unused code: single dummy symbol
+            lens = _huff_lengths(freqs[i])
+            _write_prefix_code(bw, lens, alpha_size, use_cap=use_cap)
+            all_codes.append((lens, _huff_codes(lens)))
+
+    # pixels
+    flat = tokens if groups is None else tokens
+    for item in flat:
+        g_id, tok = (0, item) if groups is None else item
+        gl, gc = all_codes[g_id * 5 + 0]
+        rl, rc = all_codes[g_id * 5 + 1]
+        bl, bc = all_codes[g_id * 5 + 2]
+        al, ac = all_codes[g_id * 5 + 3]
+        dl, dc = all_codes[g_id * 5 + 4]
+        if tok[0] == "lit":
+            a, r, g, b = tok[1]
+            _put_code(bw, gc, gl, g)
+            _put_code(bw, rc, rl, r)
+            _put_code(bw, bc, bl, b)
+            _put_code(bw, ac, al, a)
+        elif tok[0] == "copy":
+            lsym, lex, lbits = _lz77_sym(tok[1])
+            _put_code(bw, gc, gl, 256 + lsym)
+            bw.put(lex, lbits)
+            dsym, dex, dbits = _lz77_sym(tok[2])
+            _put_code(bw, dc, dl, dsym)
+            bw.put(dex, dbits)
+        else:
+            _put_code(bw, gc, gl, 280 + tok[1])
+
+
+def _wrap_riff(vp8l_payload: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l_payload)) + vp8l_payload
+    if len(vp8l_payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _encode_webp(
+    w: int,
+    h: int,
+    tokens: list,
+    has_alpha: bool = True,
+    cache_bits: int = 0,
+    transforms: list | None = None,
+    use_cap: bool = True,
+    groups: tuple | None = None,
+) -> bytes:
+    bw = _BitsW()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(1 if has_alpha else 0, 1)
+    bw.put(0, 3)  # version
+    _encode_stream(
+        bw, tokens, w, h, cache_bits=cache_bits, transforms=transforms,
+        use_cap=use_cap, groups=groups,
+    )
+    return _wrap_riff(b"\x2f" + bytes(bw.out))
+
+
+def _expand_tokens(tokens: list, w: int, cache_bits: int = 0) -> list:
+    """Reference expansion of a token list to ARGB tuples — the
+    EXPECTED pixels, computed without the decoder."""
+    px: list[tuple[int, int, int, int]] = []
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    def note(p):
+        px.append(p)
+        if cache is not None:
+            argb = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+            cache[_cache_key(argb, cache_bits)] = argb
+
+    for tok in tokens:
+        if tok[0] == "lit":
+            note(tok[1])
+        elif tok[0] == "copy":
+            length, dist_code = tok[1], tok[2]
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _SPEC_DIST_PREFIX[dist_code - 1]
+                dist = max(dy * w + dx, 1)
+            for _ in range(length):
+                note(px[len(px) - dist])
+        else:
+            argb = cache[tok[1]]
+            px.append(
+                ((argb >> 24) & 255, (argb >> 16) & 255,
+                 (argb >> 8) & 255, argb & 255)
+            )
+    return px
+
+
+def _to_rgba(argb_list, h, w):
+    a = np.array(argb_list, dtype=np.uint8).reshape(h, w, 4)
+    return a[:, :, [1, 2, 3, 0]]
+
+
+# ---------------------------------------------------------------------------
+# Round-trips.
+# ---------------------------------------------------------------------------
+
+
+def test_webp_literals_roundtrip_normal_codes():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(7, 13, 4)).astype(np.uint8)
+    tokens = [
+        ("lit", (int(img[y, x, 3]), int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2])))
+        for y in range(7)
+        for x in range(13)
+    ]
+    got = decode_webp(_encode_webp(13, 7, tokens))
+    assert got.shape == (7, 13, 4)
+    assert np.array_equal(got, img)
+
+
+def test_webp_literals_no_cap_path():
+    """use_cap=False exercises the max_symbol=alphabet_size branch with
+    trailing 18-coded zero runs across the whole green alphabet."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(5, 6, 4)).astype(np.uint8)
+    tokens = [
+        ("lit", (int(img[y, x, 3]), int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2])))
+        for y in range(5)
+        for x in range(6)
+    ]
+    got = decode_webp(_encode_webp(6, 5, tokens, use_cap=False))
+    assert np.array_equal(got, img)
+
+
+def test_webp_simple_codes_and_rgb_output():
+    """Two-symbol simple codes on every channel; alpha constant 255 and
+    has_alpha=0 → 3-channel RGB output."""
+    pal = [(255, 10, 200, 30), (255, 90, 7, 250)]
+    tokens = [("lit", pal[(x + y) % 2]) for y in range(4) for x in range(5)]
+    got = decode_webp(_encode_webp(5, 4, tokens, has_alpha=False))
+    assert got.shape == (4, 5, 3)
+    exp = _to_rgba(_expand_tokens(tokens, 5), 4, 5)[:, :, :3]
+    assert np.array_equal(got, exp)
+
+
+def test_webp_lz77_linear_and_mapped_distances():
+    w, h = 8, 5
+    rng = np.random.RandomState(11)
+    row = [
+        ("lit", tuple(int(v) for v in rng.randint(0, 256, 4)))
+        for _ in range(w)
+    ]
+    tokens = list(row)
+    tokens.append(("copy", w, 1))          # mapped (0,1): copy row above
+    tokens.append(("copy", w, 2))          # mapped (1,0): run of left px
+    tokens.append(("copy", 2 * w, 120 + 2 * w))  # linear, overlapping
+    exp = _expand_tokens(tokens, w)
+    assert len(exp) == w * h
+    got = decode_webp(_encode_webp(w, h, tokens))
+    assert np.array_equal(got, _to_rgba(exp, h, w))
+
+
+def test_webp_color_cache():
+    w, h = 6, 3
+    lits = [
+        (255, 1, 2, 3), (255, 50, 60, 70), (255, 200, 100, 0),
+        (255, 9, 9, 9), (255, 1, 2, 3), (128, 4, 5, 6),
+    ]
+    bits = 6
+    tokens = [("lit", p) for p in lits]
+    # reference the cached entries for the second row
+    for p in lits:
+        argb = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+        tokens.append(("cache", _cache_key(argb, bits)))
+    tokens += [("lit", p) for p in reversed(lits)]
+    exp = _expand_tokens(tokens, w, cache_bits=bits)
+    got = decode_webp(_encode_webp(w, h, tokens, cache_bits=bits))
+    assert np.array_equal(got, _to_rgba(exp, h, w))
+
+
+def test_webp_subtract_green():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(4, 6, 4)).astype(np.uint8)
+    tokens = []
+    for y in range(4):
+        for x in range(6):
+            r, g, b, a = (int(v) for v in img[y, x])
+            tokens.append(("lit", (a, (r - g) & 255, g, (b - g) & 255)))
+
+    def t_subgreen(bw):
+        bw.put(2, 2)
+
+    got = decode_webp(_encode_webp(6, 4, tokens, transforms=[t_subgreen]))
+    assert np.array_equal(got, img)
+
+
+def _predict_forward(mode, L, T, TL, TR):
+    """Encoder-side predictor — written from the spec text, independent
+    of the decoder's _predict."""
+    def avg(a, b):
+        return tuple((a[i] + b[i]) >> 1 for i in range(4))
+
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 7:
+        return avg(L, T)
+    if mode == 11:
+        p_t = sum(abs(L[i] - TL[i]) for i in range(4))
+        p_l = sum(abs(T[i] - TL[i]) for i in range(4))
+        return T if p_t <= p_l else L
+    if mode == 12:
+        return tuple(min(255, max(0, L[i] + T[i] - TL[i])) for i in range(4))
+    if mode == 13:
+        av = avg(L, T)
+        return tuple(
+            min(255, max(0, av[i] + int((av[i] - TL[i]) / 2))) for i in range(4)
+        )
+    raise AssertionError(mode)
+
+
+def _predictor_tokens(img: np.ndarray, size_bits: int, modes: list[int]):
+    """Residual tokens for a predictor-transformed encode; ``modes`` is
+    the block-mode grid (row-major over ceil(w/bs) × ceil(h/bs))."""
+    h, w, _ = img.shape
+    bw_blocks = -(-w // (1 << size_bits))
+    px = [
+        (int(img[y, x, 3]), int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2]))
+        for y in range(h)
+        for x in range(w)
+    ]
+    tokens = []
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = px[x - 1]
+            elif x == 0:
+                pred = px[(y - 1) * w]
+            else:
+                mode = modes[(y >> size_bits) * bw_blocks + (x >> size_bits)]
+                L, T, TL = px[y * w + x - 1], px[(y - 1) * w + x], px[(y - 1) * w + x - 1]
+                TR = px[(y - 1) * w + x + 1] if x + 1 < w else px[y * w]
+                pred = _predict_forward(mode, L, T, TL, TR)
+            cur = px[y * w + x]
+            tokens.append(("lit", tuple((cur[i] - pred[i]) & 255 for i in range(4))))
+    return tokens
+
+
+def _t_predictor(size_bits: int, modes: list[int], ew: int, eh: int):
+    def t(bw):
+        bw.put(0, 2)  # PREDICTOR
+        bw.put(size_bits - 2, 3)
+        sub = [("lit", (255, 0, m, 0)) for m in modes]
+        _encode_stream(bw, sub, ew, eh, level0=False)
+
+    return t
+
+
+def test_webp_predictor_single_block():
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(6, 9, 4)).astype(np.uint8)
+    tokens = _predictor_tokens(img, 4, [1])  # one 16-px block, mode L
+    got = decode_webp(
+        _encode_webp(9, 6, tokens, transforms=[_t_predictor(4, [1], 1, 1)])
+    )
+    assert np.array_equal(got, img)
+
+
+@pytest.mark.parametrize("modes", [[2, 7, 12, 13], [11, 0, 1, 7]])
+def test_webp_predictor_multi_block(modes):
+    rng = np.random.RandomState(sum(modes))
+    img = rng.randint(0, 256, size=(8, 8, 4)).astype(np.uint8)
+    tokens = _predictor_tokens(img, 2, modes)  # 2×2 grid of 4-px blocks
+    got = decode_webp(
+        _encode_webp(8, 8, tokens, transforms=[_t_predictor(2, modes, 2, 2)])
+    )
+    assert np.array_equal(got, img)
+
+
+def test_webp_color_transform():
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, size=(4, 4, 4)).astype(np.uint8)
+    g2r, g2b, r2b = 3, 252, 17  # int8 values 3, -4, 17
+
+    def delta(t, c):
+        ts = t - 256 if t >= 128 else t
+        cs = c - 256 if c >= 128 else c
+        return (ts * cs) >> 5
+
+    tokens = []
+    for y in range(4):
+        for x in range(4):
+            r, g, b, a = (int(v) for v in img[y, x])
+            nr = (r - delta(g2r, g)) & 255
+            nb = (b - delta(g2b, g) - delta(r2b, r)) & 255
+            tokens.append(("lit", (a, nr, g, nb)))
+
+    def t_color(bw):
+        bw.put(1, 2)  # COLOR
+        bw.put(2, 3)  # size_bits 4 → one block for 4×4
+        # CTE pixel: (a, r=red_to_blue, g=green_to_blue, b=green_to_red)
+        _encode_stream(bw, [("lit", (255, r2b, g2b, g2r))], 1, 1, level0=False)
+
+    got = decode_webp(_encode_webp(4, 4, tokens, transforms=[t_color]))
+    assert np.array_equal(got, img)
+
+
+def _t_palette(palette: list, bw_writer_tokens=None):
+    def t(bw):
+        bw.put(3, 2)  # COLOR_INDEXING
+        bw.put(len(palette) - 1, 8)
+        # delta-coded palette image (1 × n)
+        prev = (0, 0, 0, 0)
+        toks = []
+        for p in palette:
+            toks.append(("lit", tuple((p[i] - prev[i]) & 255 for i in range(4))))
+            prev = p
+        _encode_stream(bw, toks, len(palette), 1, level0=False)
+
+    return t
+
+
+def test_webp_palette_no_bundling():
+    rng = np.random.RandomState(23)
+    palette = [
+        tuple(int(v) for v in rng.randint(0, 256, 4)) for _ in range(20)
+    ]
+    w, h = 7, 5
+    idx = rng.randint(0, 20, size=(h, w))
+    tokens = [("lit", (255, 0, int(idx[y, x]), 0)) for y in range(h) for x in range(w)]
+    got = decode_webp(
+        _encode_webp(w, h, tokens, transforms=[_t_palette(palette)])
+    )
+    exp = _to_rgba([palette[idx[y, x]] for y in range(h) for x in range(w)], h, w)
+    assert np.array_equal(got, exp)
+
+
+def test_webp_palette_bundled_4px_per_byte():
+    """3-color palette → width_bits 2: four 2-bit indices bundle into
+    each green byte (lowest bits = leftmost pixel); the entropy-coded
+    image is ceil(w/4) wide while the header carries the TRUE width."""
+    palette = [(255, 250, 0, 0), (255, 0, 250, 0), (255, 0, 0, 250)]
+    w, h = 10, 3
+    rng = np.random.RandomState(29)
+    idx = rng.randint(0, 3, size=(h, w))
+    packed_w = -(-w // 4)
+    tokens = []
+    for y in range(h):
+        for xp in range(packed_w):
+            g = 0
+            for k in range(4):
+                x = xp * 4 + k
+                if x < w:
+                    g |= int(idx[y, x]) << (2 * k)
+            tokens.append(("lit", (255, 0, g, 0)))
+    got = decode_webp(
+        _encode_webp(w, h, tokens, transforms=[_t_palette(palette)])
+    )
+    exp = _to_rgba(
+        [palette[idx[y, x]] for y in range(h) for x in range(w)], h, w
+    )
+    assert np.array_equal(got, exp)
+
+
+def test_webp_meta_prefix_groups():
+    """Two entropy groups: left blocks literal-red-heavy, right blocks
+    literal-blue-heavy; the entropy image routes each 4-px block."""
+    w, h = 8, 4
+    tokens = []
+    for y in range(h):
+        for x in range(w):
+            g_id = 0 if x < 4 else 1
+            p = (255, 200 + (y & 1), 3, x) if g_id == 0 else (255, x, 7, 100 + y)
+            tokens.append((g_id, ("lit", p)))
+    groups = (2, [0, 1], 2, 1)  # size_bits=2 → blocks of 4: 2×1 grid
+    exp = _expand_tokens([t for _, t in tokens], w)
+    got = decode_webp(_encode_webp(w, h, tokens, groups=groups))
+    assert np.array_equal(got, _to_rgba(exp, h, w))
+
+
+# ---------------------------------------------------------------------------
+# Contracts.
+# ---------------------------------------------------------------------------
+
+
+def test_webp_lossy_raises_notimplemented():
+    payload = b"\x00" * 10
+    data = b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP" + b"VP8 " + struct.pack("<I", len(payload)) + payload
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        decode_webp(data)
+
+
+def test_webp_bad_signature_and_truncation():
+    with pytest.raises(ValueError, match="VP8L chunk"):
+        decode_webp(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
+    bad = _wrap_riff(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="signature"):
+        decode_webp(bad)
+    tokens = [("lit", (255, 1, 2, 3))] * 12
+    good = _encode_webp(4, 3, tokens)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(good[:-3] if len(good) % 2 == 0 else good[:-4])
+
+
+def test_webp_backward_reference_before_start_raises():
+    tokens = [("lit", (255, 1, 2, 3)), ("copy", 3, 120 + 5)]
+    with pytest.raises(ValueError, match="before image start"):
+        decode_webp(_encode_webp(2, 2, tokens))
+
+
+def test_webp_dispatch_via_decode_image():
+    from rust_near_indexer_spark.operators.multimodal import decode_image
+
+    tokens = [("lit", (255, 5, 6, 7))] * 6
+    got = decode_image(_encode_webp(3, 2, tokens), {})
+    assert got.shape == (2, 3, 4)
+    assert tuple(got[0, 0]) == (5, 6, 7, 255)
