@@ -34,7 +34,10 @@ import pyarrow.parquet as pq
 SRC = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, "fixture_data", "sf1"))
-COPIES = 10
+# 10 copies = sf1; 30 copies (SPARK_GRAFT_SFN_COPIES=30 + DST override)
+# = the sf3 point used to separate overhead-floor exit from genuine
+# super-linearity in scripts/bench_sf1.py
+COPIES = int(os.environ.get("SPARK_GRAFT_SFN_COPIES", "10"))
 
 # per-table: column -> per-copy offset (PKs and FKs shift together)
 SHIFTS: dict[str, dict[str, int]] = {
