@@ -470,3 +470,89 @@ def decode_webp(data: bytes):
     arr = np.array(pixels, dtype=np.uint8).reshape(h, w, 4)  # A,R,G,B
     rgba = arr[:, :, [1, 2, 3, 0]]
     return rgba if has_alpha else rgba[:, :, :3].copy()
+
+
+# ---------------------------------------------------------------------------
+# Minimal VP8L synthesizer for the gated query path.
+# ---------------------------------------------------------------------------
+
+
+class _BitsW:
+    """LSB-first bit writer (the synthesizer's mirror of ``_Bits``)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.bit = 0
+
+    def put(self, v: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (v >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def put_msb(self, code: int, n: int) -> None:
+        """Prefix-code bits go most-significant-first (the decoder walks
+        ``code = (code << 1) | read(1)``)."""
+        for i in range(n - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+
+WEBP_R_CONST = 7
+WEBP_B_CONST = 201
+
+
+def synth_webp_gray(seed: int, w: int, h: int) -> bytes:
+    """Deterministic single-plane VP8L payload for the gated image-codec
+    query (the image analog of ``multimodal.synth_avi_dib``): green
+    pixel (y, x) = ``(seed*31 + y*7 + x*3) % 251``, red/blue the
+    WEBP_R_CONST/WEBP_B_CONST constants, opaque alpha, ``has_alpha=0``
+    so ``decode_webp`` returns HxWx3 RGB.
+
+    The stream is the no-transform, no-cache, single-group literal form:
+    green carries a FULL uniform 8-bit canonical code over symbols
+    0..255 (so each pixel's green byte is its own codeword), and the
+    red/blue/alpha/distance codes are the zero-bit simple form.  Kept
+    deliberately independent of the in-test encoder
+    (tests/test_webp_codec.py) so encode and decode goldens don't share
+    a bug."""
+    bw = _BitsW()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)  # alpha hint: none
+    bw.put(0, 3)  # version
+    bw.put(0, 1)  # no transforms
+    bw.put(0, 1)  # no color cache
+    bw.put(0, 1)  # no meta-prefix image
+    # green: normal form, every symbol 0..255 at length 8 (a full code:
+    # 256 * 2^-8 == 1), lengths coded by the {0:1, 8:1} cl code
+    bw.put(0, 1)  # not simple
+    bw.put(15, 4)  # 19 code-length lengths follow
+    for s in _CL_ORDER:
+        bw.put(1 if s in (0, 8) else 0, 3)
+    bw.put(1, 1)  # max_symbol cap present
+    bw.put(3, 3)  # length_nbits selector -> 8 bits
+    bw.put(254, 8)  # cap = 2 + 254 = 256 reads
+    for _ in range(256):
+        bw.put_msb(1, 1)  # cl code: sym 8 -> canonical code 1
+    # red / blue / alpha: one-symbol simple codes (zero bits per pixel)
+    for const in (WEBP_R_CONST, WEBP_B_CONST, 255):
+        bw.put(1, 1)  # simple
+        bw.put(0, 1)  # one symbol
+        bw.put(1, 1)  # 8-bit first symbol
+        bw.put(const, 8)
+    # distance: one-symbol simple code (never read — literals only)
+    bw.put(1, 1)
+    bw.put(0, 1)
+    bw.put(1, 1)
+    bw.put(0, 8)
+    for y in range(h):
+        for x in range(w):
+            g = (seed * 31 + y * 7 + x * 3) % 251
+            bw.put_msb(g, 8)  # uniform canonical code: codeword == symbol
+    vp8l = bytes([0x2F]) + bytes(bw.out)
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

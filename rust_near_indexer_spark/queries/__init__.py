@@ -106,9 +106,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # retrieval + label vote
     "bm25_topk_retrieval",
     "knn_label_vote",
-    # multimodal plumbing
+    # multimodal: Arrow plumbing + the round-9 REAL-codec image gate
+    # (WebP/VP8L end-to-end — the first codec class in the prefix)
     "multimodal_features",
-    "multimodal_frame_sample",
+    "image_webp_decode_stats",
     # text analysis: named ops + the sf1-overflow-fix query + CMS
     "text_stats",
     "text_language_id",
@@ -136,6 +137,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "props_json_extract",
     "union_event_flows",
     "completeness_stats",
+    "multimodal_frame_sample",
     "revenue_rollup",
     "running_customer_revenue",
     "customer_year_setops",

@@ -131,6 +131,74 @@ def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_webp_decode_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ),
+    r1 AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+    r2 AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM r1),
+    v AS (
+        SELECT doc_id, w, h,
+               (doc_id * 31 + y * 7 + x * 3) % 251 AS g
+        FROM r2
+    )
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(h AS BIGINT) AS dim0, CAST(w AS BIGINT) AS dim1,
+           CAST(h * w * 3 AS BIGINT) AS n_values,
+           CAST((1000 * (SUM(g) + h * w * (7 + 201))) // (h * w * 3) AS BIGINT)
+               AS mean_milli
+    FROM v GROUP BY doc_id, w, h ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "image", "webp"),
+)
+def image_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image-codec path, gated end-to-end (the image analog of
+    video_avi_frame_features): per document a genuine RIFF/WEBP lossless
+    payload is synthesized from an integer pixel generator
+    (operators/webp.synth_webp_gray — full uniform-8 canonical green
+    code, zero-bit simple codes for the constant channels), decoded by
+    ``decode_image``'s actual VP8L branch (prefix-code entropy decode),
+    and reduced to integer stats by ``decoded_stats``.  VP8L is
+    integer-exact, so DuckDB reproduces every value from
+    generate_series — gating the RIFF walk, canonical prefix decode,
+    literal pixel path, RGB channel order, and the Arrow mapInPandas
+    plumbing.  (Transforms/LZ77/color-cache corners stay pytest-gated
+    against the independent in-test encoder.)
+
+    Scale shape: payload bytes never cross a shuffle (synth and decode
+    ride the scan partitioning); output is one bounded row per image."""
+    from ..operators.multimodal import MEDIA_SCHEMA, decoded_stats
+    from ..operators.webp import synth_webp_gray
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id",
+        (4 + F.col("doc_id") % 5).cast("int").alias("w"),
+        (3 + F.col("doc_id") % 4).cast("int").alias("h"),
+    )
+
+    def _mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        synth_webp_gray(int(did), int(w), int(h))
+                        for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"])
+                    ],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = d.mapInPandas(_mk, schema=MEDIA_SCHEMA)
+    return decoded_stats(media).orderBy("media_id")
+
+
+@register(
     "video_avi_frame_features",
     oracle="""
     WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),

@@ -717,3 +717,30 @@ def test_webp_dispatch_via_decode_image():
     got = decode_image(_encode_webp(3, 2, tokens), {})
     assert got.shape == (2, 3, 4)
     assert tuple(got[0, 0]) == (5, 6, 7, 255)
+
+
+def test_synth_webp_gray_roundtrip_and_independence():
+    """The product-side synthesizer (gated-query payload source) decodes
+    to its documented pixel formula through BOTH decoders' layers: the
+    repo decoder and this file's independent expectations."""
+    from rust_near_indexer_spark.operators.webp import (
+        WEBP_B_CONST,
+        WEBP_R_CONST,
+        synth_webp_gray,
+    )
+
+    for seed, w, h in [(0, 4, 3), (17, 8, 6), (424242, 5, 7), (1, 1, 1)]:
+        payload = synth_webp_gray(seed, w, h)
+        # container sanity: RIFF size field and even chunk padding
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+        (riff_sz,) = struct.unpack("<I", payload[4:8])
+        assert riff_sz == len(payload) - 8
+        img = decode_webp(payload)
+        assert img.shape == (h, w, 3)
+        exp_g = np.array(
+            [[(seed * 31 + y * 7 + x * 3) % 251 for x in range(w)] for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(img[:, :, 1], exp_g)
+        assert (img[:, :, 0] == WEBP_R_CONST).all()
+        assert (img[:, :, 2] == WEBP_B_CONST).all()
