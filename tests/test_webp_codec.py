@@ -744,3 +744,18 @@ def test_synth_webp_gray_roundtrip_and_independence():
         assert np.array_equal(img[:, :, 1], exp_g)
         assert (img[:, :, 0] == WEBP_R_CONST).all()
         assert (img[:, :, 2] == WEBP_B_CONST).all()
+
+
+def test_webp_vp8x_wrapped_vp8l():
+    """Extended-format container: a VP8X chunk precedes VP8L; the chunk
+    walk must skip it (with odd-size padding) and decode normally."""
+    tokens = [("lit", (255, 9, 8, 7))] * 6
+    plain = _encode_webp(3, 2, tokens)
+    vp8l_chunk = plain[12:]  # the VP8L chunk (+pad) the encoder wrote
+    vp8x_body = bytes([0x00]) + b"\x00\x00\x00" + b"\x02\x00\x00" + b"\x01\x00\x00"
+    vp8x = b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body
+    if len(vp8x_body) % 2:
+        vp8x += b"\x00"
+    riff = b"RIFF" + struct.pack("<I", 4 + len(vp8x) + len(vp8l_chunk)) + b"WEBP" + vp8x + vp8l_chunk
+    got = decode_webp(riff)
+    assert np.array_equal(got, _to_rgba(_expand_tokens(tokens, 3), 2, 3))
