@@ -462,6 +462,8 @@ def _decode_jpeg(data: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
     progressive = False
+    lossless = False
+    precision = 8
     coefs: list | None = None  # progressive: per-comp (by, bx, 64) int32
     restart_interval = 0
     pos = 2  # past SOI
@@ -489,10 +491,19 @@ def _decode_jpeg(data: bytes):
                 ).astype(np.int32)
                 qt[tid] = tbl.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless sequential
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
+            if marker == 0xC3:
+                lossless = True
+                if not 2 <= prec <= 8:
+                    raise NotImplementedError(
+                        f"{prec}-bit lossless JPEG samples (uint8 output "
+                        "supports precisions 2..8)"
+                    )
+            elif prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG samples")
+            precision = prec
             comps = []
             for c in range(nc):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
@@ -508,11 +519,11 @@ def _decode_jpeg(data: bytes):
                     np.zeros((mcuy * cv, mcux * ch, 64), np.int32)
                     for _cid, ch, cv, _q in comps
                 ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline and progressive DCT JPEG are supported "
-                f"(SOF marker 0x{marker:02X})"
+                "only baseline, progressive, and lossless-sequential "
+                f"JPEG are supported (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -551,8 +562,8 @@ def _decode_jpeg(data: bytes):
             # consuming run-length codes from the AC table.
             for (ci, dc_tbl, ac_tbl), s in zip(scan, range(ns)):
                 tsel = seg[2 + 2 * s]
-                needs_dc = (not progressive or (ss == 0 and ah == 0))
-                needs_ac = not progressive or ss > 0
+                needs_dc = lossless or (not progressive or (ss == 0 and ah == 0))
+                needs_ac = not lossless and (not progressive or ss > 0)
                 if needs_dc and dc_tbl is None:
                     raise ValueError(
                         f"JPEG SOS references undefined DC Huffman table "
@@ -563,6 +574,14 @@ def _decode_jpeg(data: bytes):
                         f"JPEG SOS references undefined AC Huffman table "
                         f"{tsel & 0xF} (no prior DHT)"
                     )
+            if lossless:
+                if not 1 <= ss <= 7:
+                    raise ValueError(f"lossless JPEG predictor {ss} out of range")
+                if se != 0 or ah != 0:
+                    raise ValueError("malformed lossless JPEG SOS (Se/Ah != 0)")
+                return _jpeg_lossless_scan(
+                    data, pos, frame, precision, scan, ss, al, restart_interval
+                )
             if not progressive:
                 return _jpeg_scan(data, pos, frame, qt, scan, restart_interval)
             pos = _jpeg_progressive_scan(
@@ -572,6 +591,85 @@ def _decode_jpeg(data: bytes):
     if progressive and frame is not None:
         return _jpeg_from_coefs(frame, qt, coefs)
     raise ValueError("malformed JPEG: no SOS marker")
+
+
+def _jpeg_lossless_scan(data, pos, frame, prec, scan, predictor, pt,
+                        restart_interval):
+    """Lossless sequential JPEG (SOF3, ITU T.81 process 14 / annex H):
+    Huffman-coded prediction differences, no DCT.  Per sample the DC
+    table codes a magnitude category SSSS (16 = the special +32768
+    difference, no extra bits), extend() turns the raw bits into the
+    signed difference, and the reconstruction is (prediction + diff)
+    modulo 2^16, finally shifted left by the point transform Pt.
+
+    Prediction (H.1.2.1): the scan's first sample — and the first
+    sample after every restart — uses the default 1 << (prec-1-Pt);
+    the remainder of that LINE uses Ra (left); the first sample of
+    every later line uses Rb (above); everything else uses the
+    SOS-selected predictor 1..7 over Ra/Rb/Rc.  Components interleave
+    one sample per MCU (sampling factors must be 1x1 — the only form
+    lossless encoders emit; T.81's subsampled-lossless corner raises).
+
+    No color transform: T.81 defines none for lossless, and real SOF3
+    producers (DNG, PDF/medical rasters) store component planes
+    verbatim — so 1 component → HxWx1, 3 components → HxWx3 as-is."""
+    import numpy as np
+
+    h, w, comps = frame
+    if any(c[1] != 1 or c[2] != 1 for c in comps):
+        raise NotImplementedError("subsampled lossless JPEG")
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan lossless JPEG")
+    reader = _JpegBitReader(data, pos)
+    planes = [np.zeros((h, w), np.int32) for _ in scan]
+    default = 1 << (prec - 1 - pt)
+    rst_y, rst_x = 0, 0  # raster position of the current interval start
+    mcu = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) & 7
+                rst_y, rst_x = y, x
+            for (ci, dc_tbl, _ac), plane in zip(scan, planes):
+                ssss = _jpeg_huff_decode(reader, dc_tbl)
+                if ssss == 16:  # T.81 H.2: 32768, no appended bits
+                    diff = 32768
+                elif ssss > 16:
+                    raise ValueError("invalid lossless JPEG SSSS category")
+                else:
+                    diff = _jpeg_extend(reader.bits(ssss), ssss)
+                if y == rst_y and x == rst_x:
+                    p = default
+                elif y == rst_y:  # rest of the interval's first line: Ra
+                    p = int(plane[y, x - 1])
+                elif x == 0:  # later lines start from Rb
+                    p = int(plane[y - 1, x])
+                else:
+                    a = int(plane[y, x - 1])
+                    b = int(plane[y - 1, x])
+                    c = int(plane[y - 1, x - 1])
+                    if predictor == 1:
+                        p = a
+                    elif predictor == 2:
+                        p = b
+                    elif predictor == 3:
+                        p = c
+                    elif predictor == 4:
+                        p = a + b - c
+                    elif predictor == 5:
+                        p = a + ((b - c) >> 1)
+                    elif predictor == 6:
+                        p = b + ((a - c) >> 1)
+                    else:  # 7
+                        p = (a + b) >> 1
+                plane[y, x] = (p + diff) & 0xFFFF
+            mcu += 1
+    out = np.stack(planes, axis=2)
+    if pt:
+        out = out << pt
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):

@@ -311,15 +311,15 @@ def test_jpeg_dc_quantization_applies():
     assert np.array_equal(got, np.full((8, 8, 1), expect, np.uint8))
 
 
-def test_jpeg_lossless_sof_contract():
-    """Progressive (SOF2) is now decoded for real; the remaining SOF
-    families (lossless/hierarchical/arithmetic) still raise the
-    documented contract."""
+def test_jpeg_remaining_sof_contract():
+    """Lossless (SOF3) is now decoded for real (see the golden tests at
+    the bottom); hierarchical/arithmetic still raise the documented
+    contract."""
     img = _raster(8, 8, 1)
-    with pytest.raises(NotImplementedError, match="baseline and progressive"):
-        multimodal.decode_image(_encode_jpeg(img, sof=0xC3), {})
-    with pytest.raises(NotImplementedError, match="baseline and progressive"):
+    with pytest.raises(NotImplementedError, match="lossless-sequential"):
         multimodal.decode_image(_encode_jpeg(img, sof=0xC9), {})
+    with pytest.raises(NotImplementedError, match="lossless-sequential"):
+        multimodal.decode_image(_encode_jpeg(img, sof=0xC5), {})
 
 
 # --- progressive JPEG: spectral selection + successive approximation ------
@@ -638,3 +638,126 @@ def test_jpeg_progressive_restart_intervals():
         _encode_progressive_jpeg(img3, restart_interval=2)
     )
     assert np.array_equal(prog3, base3)
+
+
+# --- lossless JPEG (SOF3, T.81 process 14 / annex H) -----------------------
+#
+# Independent in-test encoder: prediction rules re-derived from the spec
+# text (H.1.2.1), its own canonical DC table (17 categories at length
+# 5), restart markers, byte stuffing via the shared _BitWriter.
+
+_LL_DC_BITS = [0, 0, 0, 0, 17] + [0] * 11  # categories 0..16, all len 5
+_LL_DC_VALS = bytes(range(17))
+
+
+def _ll_predict(plane, y, x, predictor, default, rst_y, rst_x):
+    if (y, x) == (rst_y, rst_x):
+        return default
+    if y == rst_y:  # rest of the interval's first line: Ra
+        return int(plane[y, x - 1])
+    if x == 0:  # later lines start from Rb
+        return int(plane[y - 1, x])
+    a, b, c = int(plane[y, x - 1]), int(plane[y - 1, x]), int(plane[y - 1, x - 1])
+    return {
+        1: a,
+        2: b,
+        3: c,
+        4: a + b - c,
+        5: a + ((b - c) >> 1),
+        6: b + ((a - c) >> 1),
+        7: (a + b) >> 1,
+    }[predictor]
+
+
+def _encode_lossless_jpeg(
+    img: np.ndarray, predictor: int = 1, pt: int = 0, restart: int = 0,
+    sampling: int = 0x11,
+) -> bytes:
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    planes = [(img[:, :, c].astype(np.int64) >> pt) for c in range(nc)]
+    head = bytearray(b"\xff\xd8")
+    head += _dht(0, 0, _LL_DC_BITS, _LL_DC_VALS)
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, sampling, 0])
+    head += _seg(0xC3, bytes(sof))
+    if restart:
+        head += _seg(0xDD, struct.pack(">H", restart))
+    sos = bytearray([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    head += _seg(0xDA, bytes(sos))
+    bw = _BitWriter()
+    default = 1 << (8 - 1 - pt)
+    rst_y, rst_x, mcu, rst = 0, 0, 0, 0
+    for y in range(h):
+        for x in range(w):
+            if restart and mcu and mcu % restart == 0:
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                rst_y, rst_x = y, x
+            for plane in planes:
+                p = _ll_predict(plane, y, x, predictor, default, rst_y, rst_x)
+                d = int(plane[y, x]) - p
+                n = _category(d)
+                bw.put(n, 5)  # canonical len-5 code for category n is n
+                if n:
+                    bw.put(_magnitude(d, n), n)
+            mcu += 1
+    bw.pad()
+    return bytes(head) + bytes(bw.out) + b"\xff\xd9"
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_jpeg_lossless_gray_exact_all_predictors(predictor):
+    rng = np.random.RandomState(predictor)
+    img = rng.randint(0, 256, size=(9, 7)).astype(np.uint8)
+    got = multimodal.decode_image(_encode_lossless_jpeg(img, predictor), {})
+    assert got.shape == (9, 7, 1)
+    assert np.array_equal(got[:, :, 0], img)
+
+
+def test_jpeg_lossless_rgb_interleaved_exact():
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(6, 11, 3)).astype(np.uint8)
+    got = multimodal.decode_image(_encode_lossless_jpeg(img, predictor=4), {})
+    # no color transform: T.81 defines none for lossless — planes verbatim
+    assert np.array_equal(got, img)
+
+
+@pytest.mark.parametrize("restart", [3, 5, 8])
+def test_jpeg_lossless_restart_intervals(restart):
+    """Restart both at row boundaries and mid-row: the sample after each
+    RSTn uses the default prediction and the rest of that line uses Ra."""
+    rng = np.random.RandomState(restart)
+    img = rng.randint(0, 256, size=(8, 6)).astype(np.uint8)
+    got = multimodal.decode_image(
+        _encode_lossless_jpeg(img, predictor=2, restart=restart), {}
+    )
+    assert np.array_equal(got[:, :, 0], img)
+
+
+def test_jpeg_lossless_point_transform():
+    """Pt=1: samples are stored >>1 and reconstructed <<1 — exact when
+    the source is even-valued."""
+    rng = np.random.RandomState(7)
+    img = (rng.randint(0, 128, size=(5, 5)) * 2).astype(np.uint8)
+    got = multimodal.decode_image(_encode_lossless_jpeg(img, 1, pt=1), {})
+    assert np.array_equal(got[:, :, 0], img)
+
+
+def test_jpeg_lossless_contract_corners():
+    img = _raster(8, 8, 1)
+    with pytest.raises(NotImplementedError, match="subsampled lossless"):
+        multimodal.decode_image(
+            _encode_lossless_jpeg(img[:, :, 0], sampling=0x21), {}
+        )
+    bad = _encode_lossless_jpeg(img[:, :, 0], predictor=1)
+    # corrupt the SOS predictor selector to 0 (out of the 1..7 domain):
+    # Ss is the 3rd byte from the end of the SOS header
+    idx = bad.index(b"\xff\xda") + 2 + 2 + 1 + 2
+    with pytest.raises(ValueError, match="predictor"):
+        multimodal.decode_image(bad[:idx] + b"\x00" + bad[idx + 1 :], {})
