@@ -507,14 +507,16 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|B| ≥ τ·|A|) prunes, exact shared-shingle counting verifies.
 
     Scale shape (r09, recovering the AQE-only-broadcast small-scale tax
-    without static hints — VERDICT r08 #2): the whole candidate path
-    hangs off ONE full-token exchange, never all-pairs.  Document
-    frequency is a window count keyed by shingle (the oracle's own t1
-    shape), and the INDEX side of the candidate join is a projection of
-    that same window output — already hash-partitioned by s, so
-    Catalyst inserts no new exchange for it (the old separate
-    groupBy+join df table cost a second full-token shuffle write under
-    AQE).  Verification joins the candidate pairs back to the
+    without static hints — VERDICT r08 #2): candidate generation is the
+    prefix-filtered equi-join on rare shingles, never all-pairs.
+    Document frequency is a window count keyed by shingle (the oracle's
+    own t1 shape) — replacing the old groupBy df table + join, which
+    shuffled the token table an extra time to CO-LOCATE df with every
+    token.  The index side of the candidate join prunes to a plain
+    re-explode of the checkpointed arrays (see the inline note: AQE
+    broadcasts whichever side is small after the prefix filter; at
+    volumes where neither fits, the shuffled equi-join on s is the
+    correct plan).  Verification joins the candidate pairs back to the
     CHECKPOINTED shingle arrays (array_intersect of two per-doc sets)
     instead of re-joining two full token tables: same bytes, ~sz× fewer
     rows, so the per-row shuffle-write CPU that dominated at sf0.1
@@ -564,8 +566,15 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn")
         <= F.col("sz") - F.expr(f"({CONT_TAU_MILLI} * sz + 999) div 1000") + 1
     ).select(F.col("doc_id").alias("contained_id"), "s", F.col("sz").alias("sz_a"))
-    # index side = the SAME window output, still partitioned by s: the
-    # join below reuses t1's exchange instead of shuffling tok again
+    # index side: column pruning deletes the window from this branch, so
+    # it is a plain re-explode of the CHECKPOINTED arrays — cheap map
+    # work, no window sort.  (An exchange-reuse formulation was tried
+    # and measured in r09: the self-join's attribute de-duplication
+    # re-aliases the subtree, AQE does not match the stages, and forcing
+    # the window to survive pruning just made the index side compute its
+    # own window — strictly worse.  AQE instead broadcasts whichever
+    # join side is small after the prefix filter; at volumes where
+    # neither fits, the shuffled join on s is the correct plan.)
     idx = t1.select("doc_id", "sz", "s")
     cand = (
         prefix.join(idx, "s")

@@ -217,8 +217,16 @@ def test_publish_is_symlink_swap_with_no_gap(spark, tmp_path):
         da.write_dedup_artifact(docs, path)
     assert seen["pre_swap_meta"] is True  # no missing-artifact window
     assert os.path.islink(path)
-    assert os.path.realpath(path) != first_target
-    assert not os.path.isdir(first_target)  # previous generation GC'd
+    second_target = os.path.realpath(path)
+    assert second_target != first_target
+    # ADVICE r09 (deferred deletion): the PREVIOUS generation survives
+    # the swap — a reader that resolved the symlink just before the
+    # swap can finish its scan; orphans are GC'd on the NEXT publish
+    assert os.path.isdir(first_target)
+    assert os.path.exists(os.path.join(first_target, "_meta.json"))
+    da.write_dedup_artifact(docs, path)  # third publish
+    assert not os.path.isdir(first_target)  # now GC'd (two swaps old)
+    assert os.path.isdir(second_target)  # the new previous is retained
     # relative symlink: artifact tree is relocatable as a unit
     assert not os.path.isabs(os.readlink(path))
     art = da.load_dedup_artifact(spark, path)

@@ -123,14 +123,11 @@ def test_gate_corpus_artifact_matches_cold_chain(spark, sf_dir, tmp_path, monkey
     for name in aa.TABLES:
         assert _tset(art[name]) == _tset(cold[name]), name
 
-    # second ensure() must hit the written artifact, not rebuild
-    from rust_near_indexer_spark.artifact_io import corpus_fingerprint
-
-    marker = os.path.join(
-        str(tmp_path / "base"),
-        f"gate-{corpus_fingerprint(sf_dir, 'embeddings.parquet', aa.ANN_ARTIFACT_VERSION)}",
-        "_meta.json",
-    )
+    # second ensure() must hit the written artifact, not rebuild — the
+    # marker path comes from the SAME helper production uses (the r09
+    # staleness key folds a chain digest in; recomputing the fingerprint
+    # here without it would point at a nonexistent dir)
+    marker = os.path.join(aa.gate_artifact_path(spark, sf_dir), "_meta.json")
     mtime = os.path.getmtime(marker)
     aa.ensure_ann_artifact(spark, sf_dir)
     assert os.path.getmtime(marker) == mtime
