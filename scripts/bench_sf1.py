@@ -66,7 +66,7 @@ QUERIES = [
 ]
 
 # VERDICT r08 #7: the decade-suspect trio + the two PPJoins + the
-# known output-quadratic LSH for contrast.  Only these run at sf3.
+# known output-quadratic LSH for contrast.  Only these run at sf3/sf10.
 SF3_QUERIES = {
     "bpe_pair_induction",
     "quality_classifier_score",
@@ -79,6 +79,10 @@ SF3_QUERIES = {
 }
 
 SF3_DIR = os.path.join(_REPO, "fixture_data", "sf3")
+# A genuine SECOND decade (sf10 = 100 copies, ~1.5 GB on disk): the
+# strongest linearity evidence the sandbox can hold — x10c compares
+# directly against the 10x data growth, no half-decade extrapolation.
+SF10_DIR = os.path.join(_REPO, "fixture_data", "sf10")
 
 MARK_A = "<!-- sf1-decade:begin -->"
 MARK_B = "<!-- sf1-decade:end -->"
@@ -107,6 +111,14 @@ def main() -> int:
         sfs.append(("3", SF3_DIR, [q for q in QUERIES if q in SF3_QUERIES], sf3_reps))
     else:
         print("[sf1-bench] fixture_data/sf3 absent — skipping the sf3 column",
+              file=sys.stderr)
+    have_sf10 = os.path.isdir(SF10_DIR)
+    if have_sf10:
+        sfs.append(
+            ("10", SF10_DIR, [q for q in QUERIES if q in SF3_QUERIES], sf3_reps)
+        )
+    else:
+        print("[sf1-bench] fixture_data/sf10 absent — skipping the sf10 column",
               file=sys.stderr)
 
     spark = get_spark("bench-sf1", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -188,11 +200,21 @@ def main() -> int:
             "operating model, not a cold build charged to whichever",
             "consumer runs first.",
         ]
+    if have_sf10:
+        lines += [
+            "`sf10`/`x10c` = t(sf10)/t(sf1) (same subset; sf10 = 100",
+            "copies, a genuine SECOND decade — 60M-row lineitem, 500k",
+            "docs): the direct linear target is 10.0, no half-decade",
+            "extrapolation.",
+        ]
     lines += [
         "",
         "| query | sf0.01 | sf0.1 | sf1 | x10a | x10b | outx |"
-        + (" sf3 | x3 |" if have_sf3 else ""),
-        "|---|---|---|---|---|---|---|" + ("---|---|" if have_sf3 else ""),
+        + (" sf3 | x3 |" if have_sf3 else "")
+        + (" sf10 | x10c | outc |" if have_sf10 else ""),
+        "|---|---|---|---|---|---|---|"
+        + ("---|---|" if have_sf3 else "")
+        + ("---|---|---|" if have_sf10 else ""),
     ]
     flagged: list[tuple[str, float, float]] = []
     adjudicated: list[tuple[str, float, float]] = []
@@ -210,6 +232,13 @@ def main() -> int:
                 row += f" {d:.2f} | {d / max(c, 1e-9):.1f} |"
             else:
                 row += " - | - |"
+        if have_sf10:
+            if "10" in results[q]:
+                e = results[q]["10"]["t"]
+                oc = results[q]["10"]["rows"] / max(results[q]["1"]["rows"], 1)
+                row += f" {e:.2f} | {e / max(c, 1e-9):.1f} | {oc:.1f} |"
+            else:
+                row += " - | - | - |"
         lines.append(row)
     lines.append("")
     if flagged:
@@ -252,6 +281,29 @@ def main() -> int:
                 "sf3 half-decade: every suspect query's ratio is at/below the "
                 "3x data growth or explained by its output growth — the "
                 "elevated x10b values were overhead-floor exit."
+            )
+    if have_sf10:
+        lines.append("")
+        worst10 = [
+            (q, results[q]["10"]["t"] / max(results[q]["1"]["t"], 1e-9),
+             results[q]["10"]["rows"] / max(results[q]["1"]["rows"], 1))
+            for q in QUERIES if "10" in results[q]
+        ]
+        bad10 = [
+            (q, x, o) for q, x, o in worst10 if x > 10.0 * 1.25 and x > o
+        ]
+        if bad10:
+            for q, x, o in bad10:
+                lines.append(
+                    f"**sf10 INVESTIGATE** {q}: {x:.1f}x time on 10x data "
+                    f"(output grew {o:.1f}x)."
+                )
+        else:
+            lines.append(
+                "sf10 SECOND decade: every suspect query's sf1->sf10 ratio "
+                "is at/below the 10x data growth or explained by its output "
+                "growth — linearity holds a full decade past where the "
+                "queries were tuned."
             )
     lines += ["", MARK_B]
     block = "\n".join(lines)
