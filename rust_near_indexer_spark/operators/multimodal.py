@@ -952,17 +952,18 @@ def _jpeg_from_coefs(frame, qt, coefs):
 def decode_image(payload: bytes, meta: dict):
     """Image decode: bytes → HWC uint8 ndarray.
 
-    REAL for three stdlib-parseable families: binary PNM — P6 (RGB)
-    and P5 (grayscale), 8- and 16-bit, a pure header+``np.frombuffer``
-    parse — PNG at every legal bit depth, interlaced or not (zlib
-    IDAT inflate + per-scanline unfilter, ``_decode_png``), and
-    baseline + progressive DCT JPEG (canonical-Huffman entropy decode
-    + matrix IDCT, ``_decode_jpeg``) — the formats real corpora
-    actually carry.  Remaining formats (WebP, lossless/arithmetic
-    JPEG) raise ``NotImplementedError`` with the same contract; a
-    deployment with PIL/opencv extends the magic-byte dispatch below,
-    and the mapInPandas plumbing around it is unchanged.  Runs inside
-    the Arrow batch iterator, one batch at a time, never on the driver.
+    REAL for the formats real corpora actually carry: binary PNM (P5/
+    P6, 8- and 16-bit), PNG at every legal bit depth, interlaced or
+    not (``_decode_png``), baseline + progressive + lossless JPEG
+    (``_decode_jpeg``), WebP lossless (operators/webp.py), GIF 87a/89a
+    incl. animation compositing (operators/gif.py), BMP incl. RLE and
+    bitfields (operators/bmp.py), and baseline TIFF incl. LZW/PackBits
+    (operators/tiff.py).  Remaining formats (lossy-VP8 WebP,
+    arithmetic/hierarchical JPEG) raise ``NotImplementedError`` with
+    the same contract; a deployment with PIL/opencv extends the
+    magic-byte dispatch below, and the mapInPandas plumbing around it
+    is unchanged.  Runs inside the Arrow batch iterator, one batch at
+    a time, never on the driver.
     """
     import numpy as np
 
@@ -974,6 +975,18 @@ def decode_image(payload: bytes, meta: dict):
         from .webp import decode_webp
 
         return decode_webp(bytes(payload))
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(bytes(payload))
+    if bytes(payload[:2]) == b"BM":
+        from .bmp import decode_bmp
+
+        return decode_bmp(bytes(payload))
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(bytes(payload))
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         # binary PNM: magic, whitespace/comments, width, height, maxval,
@@ -1014,8 +1027,8 @@ def decode_image(payload: bytes, meta: dict):
         return raster.reshape(h, w, c)
     raise NotImplementedError(
         f"image codec for magic {magic!r} unavailable in this environment "
-        "(PNM P5/P6, non-interlaced 8-bit PNG, and baseline JPEG are the "
-        "in-sandbox real paths)"
+        "(PNM, PNG, JPEG, WebP-lossless, GIF, BMP, and baseline TIFF are "
+        "the in-sandbox real paths)"
     )
 
 
@@ -1023,15 +1036,15 @@ def decode_audio(payload: bytes, meta: dict):
     """Audio decode: bytes → (samples float32 ndarray in [-1, 1],
     sample_rate).
 
-    REAL for RIFF/WAVE PCM16 (stdlib ``wave``) and for native FLAC
-    streams (operators/flac.py: CONSTANT/VERBATIM/FIXED/LPC subframes,
+    REAL for RIFF/WAVE — integer PCM 8/16/24/32, IEEE float32/64,
+    G.711 μ-law/A-law, IMA ADPCM, and the WAVE_FORMAT_EXTENSIBLE
+    wrapper (operators/wavext.py) — and for native FLAC streams
+    (operators/flac.py: CONSTANT/VERBATIM/FIXED/LPC subframes,
     Rice/Rice2 residuals, all stereo decorrelation modes, CRC-verified).
-    Remaining compressed formats (MP3/OGG — codec libs absent) raise
+    Remaining compressed formats (MP3/OGG full decode — codec libs
+    absent; operators/mp3.py parses their metadata) raise
     ``NotImplementedError`` under the same contract.
     """
-    import io
-    import wave
-
     import numpy as np
 
     if bytes(payload[:4]) == b"fLaC":
@@ -1040,17 +1053,13 @@ def decode_audio(payload: bytes, meta: dict):
         samples, rate, bps = decode_flac(payload)
         return samples.astype(np.float32) / float(1 << (bps - 1)), rate
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
-        with wave.open(io.BytesIO(bytes(payload))) as wf:
-            if wf.getsampwidth() != 2:
-                raise NotImplementedError("only PCM16 WAV supported")
-            frames = wf.readframes(wf.getnframes())
-            pcm = np.frombuffer(frames, dtype="<i2")
-            if wf.getnchannels() > 1:
-                pcm = pcm.reshape(-1, wf.getnchannels())
-            return pcm.astype(np.float32) / 32768.0, wf.getframerate()
+        from .wavext import parse_wav
+
+        return parse_wav(bytes(payload))
     raise NotImplementedError(
         f"audio codec for magic {bytes(payload[:4])!r} unavailable in this "
-        "environment (PCM16 WAV and FLAC are the in-sandbox real paths)"
+        "environment (WAV incl. G.711/ADPCM, and FLAC, are the in-sandbox "
+        "real paths)"
     )
 
 

@@ -260,3 +260,218 @@ def video_avi_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "frame_idx", "height", "width", "mean_milli")
         .orderBy("media_id", "frame_idx")
     )
+
+
+@register(
+    "image_codec_router_matrix",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ),
+    fmts AS (
+        SELECT * FROM (VALUES ('bmp', 3), ('gif', 3), ('pnm', 1), ('tiff', 1))
+            AS t(fmt, channels)
+    ),
+    r1 AS (SELECT doc_id, w, h, fmt, channels, unnest(range(0, h)) AS y
+           FROM d CROSS JOIN fmts),
+    r2 AS (SELECT doc_id, w, h, fmt, channels, y, unnest(range(0, w)) AS x
+           FROM r1),
+    v AS (
+        SELECT doc_id, w, h, fmt, channels,
+               (doc_id * 29 + y * 11 + x * 5) % 241 AS g
+        FROM r2
+    )
+    SELECT doc_id AS media_id, fmt,
+           CAST(h AS BIGINT) AS dim0, CAST(w AS BIGINT) AS dim1,
+           CAST(h * w * channels AS BIGINT) AS n_values,
+           CAST((SUM(g) * channels * 1000) // (h * w * channels) AS BIGINT)
+               AS mean_milli
+    FROM v GROUP BY doc_id, w, h, fmt, channels ORDER BY media_id, fmt
+    """,
+    tags=("llm", "multimodal", "image", "gif", "bmp", "tiff"),
+)
+def image_codec_router_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FORMAT decode equality through the real codec router: per
+    document the SAME integer pixel formula g(x,y) = (doc_id*29 + y*11
+    + x*5) % 241 is synthesized as a genuine GIF89a (real LZW stream,
+    operators/gif.synth_gif_gray), a bottom-up palette BMP
+    (operators/bmp.synth_bmp_gray), a single-strip TIFF
+    (operators/tiff.synth_tiff_gray), and a binary PNM P5 — then each
+    payload goes through ``decode_image``'s magic-byte dispatch (NOT a
+    per-format shortcut) and reduces to integer stats.  The palette
+    formats decode to 3 equal channels, the gray formats to 1; the
+    floor-mean is channel-count invariant, so DuckDB reproduces every
+    row from generate_series x a format VALUES list — one query gating
+    four container parsers, the router, and the Arrow mapInPandas
+    plumbing at once.  (Compression corners — GIF dictionary growth,
+    BMP RLE, TIFF LZW/PackBits, interlace — stay pytest-gated against
+    the independent in-test encoders.)
+
+    Scale shape: payload bytes never cross a shuffle (synth + decode in
+    one mapInPandas stage on the scan partitioning); output is a
+    bounded 4 rows per image.
+    """
+    from ..operators.bmp import synth_bmp_gray
+    from ..operators.gif import synth_gif_gray
+    from ..operators.multimodal import decode_image
+    from ..operators.tiff import synth_tiff_gray
+    from ..tables import spread
+
+    def _synth_pnm(seed: int, w: int, h: int) -> bytes:
+        raster = bytes(
+            (seed * 29 + y * 11 + x * 5) % 241
+            for y in range(h)
+            for x in range(w)
+        )
+        return b"P5 %d %d 255\n" % (w, h) + raster
+
+    synths = {
+        "bmp": synth_bmp_gray,
+        "gif": synth_gif_gray,
+        "pnm": _synth_pnm,
+        "tiff": synth_tiff_gray,
+    }
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id",
+        (4 + F.col("doc_id") % 5).cast("int").alias("w"),
+        (3 + F.col("doc_id") % 4).cast("int").alias("h"),
+    )
+
+    def _mk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id",
+                    "fmt",
+                    "dim0",
+                    "dim1",
+                    "n_values",
+                    "mean_milli",
+                )
+            }
+            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                for fmt, synth in synths.items():
+                    img = decode_image(synth(int(did), int(w), int(h)), {})
+                    vals = img.reshape(-1).astype(np.int64)
+                    out["media_id"].append(int(did))
+                    out["fmt"].append(fmt)
+                    out["dim0"].append(img.shape[0])
+                    out["dim1"].append(img.shape[1])
+                    out["n_values"].append(int(vals.size))
+                    out["mean_milli"].append(
+                        int(vals.sum() * 1000 // vals.size)
+                    )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _mk,
+        schema=(
+            "media_id long, fmt string, dim0 long, dim1 long, "
+            "n_values long, mean_milli long"
+        ),
+    ).orderBy("media_id", "fmt")
+
+
+@register(
+    "audio_g711_expand_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, 48 + doc_id % 48 AS n FROM documents),
+    laws AS (SELECT * FROM (VALUES ('alaw'), ('ulaw')) AS t(law)),
+    s AS (SELECT doc_id, n, law, unnest(range(0, n)) AS i
+          FROM d CROSS JOIN laws),
+    b AS (SELECT doc_id, n, law, (doc_id * 7 + i * 13) % 256 AS byte FROM s),
+    v AS (
+        SELECT doc_id, n, law,
+            CASE WHEN law = 'ulaw' THEN
+                CASE WHEN ((255 - byte) & 128) > 0
+                     THEN 132 - ((((255 - byte) & 15) * 8 + 132)
+                                 * (1 << (((255 - byte) & 112) // 16)))
+                     ELSE (((255 - byte) & 15) * 8 + 132)
+                          * (1 << (((255 - byte) & 112) // 16)) - 132
+                END
+            ELSE
+                CASE WHEN (xor(byte, 85) & 128) > 0 THEN 1 ELSE -1 END *
+                CASE WHEN ((xor(byte, 85) & 112) // 16) = 0
+                         THEN (xor(byte, 85) & 15) * 16 + 8
+                     WHEN ((xor(byte, 85) & 112) // 16) = 1
+                         THEN (xor(byte, 85) & 15) * 16 + 264
+                     ELSE ((xor(byte, 85) & 15) * 16 + 264)
+                          * (1 << (((xor(byte, 85) & 112) // 16) - 1))
+                END
+            END AS pcm
+        FROM b
+    )
+    SELECT doc_id AS media_id, law,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(pcm) AS BIGINT) AS sum_val,
+           CAST(SUM(pcm * pcm) AS BIGINT) AS energy,
+           CAST(MAX(ABS(pcm)) AS BIGINT) AS peak
+    FROM v GROUP BY doc_id, law ORDER BY media_id, law
+    """,
+    tags=("llm", "multimodal", "audio", "g711"),
+)
+def audio_g711_expand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL G.711 decode path, gated end-to-end: per document a
+    genuine μ-law AND A-law RIFF/WAVE payload is synthesized whose
+    companded byte stream is the pure formula b_i = (doc_id*7 + i*13)
+    % 256 (operators/wavext.synth_wav_g711), decoded through
+    ``decode_audio``'s real WAV router (format codes 6/7 → the CCITT
+    expansion LUTs), and reduced to integer-exact features.  The G.711
+    magnitudes (≤ 32256) fit float32's mantissa exactly after /32768,
+    so DuckDB reproduces every value by evaluating the SAME piecewise
+    CCITT expansion relationally (segment shifts written with bit ops
+    over generate_series) — gating the WAV chunk walk, both companding
+    tables, and the Arrow mapInPandas plumbing.  (IMA ADPCM is a
+    sequential fold — pytest-gated against an independent in-test
+    encoder in test_wavext_codec.py.)
+
+    Scale shape: payload bytes never cross a shuffle; one bounded row
+    per (clip, law)."""
+    import numpy as np
+
+    from ..operators.multimodal import decode_audio
+    from ..operators.wavext import synth_wav_g711
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", (48 + F.col("doc_id") % 48).cast("int").alias("n")
+    )
+
+    def _mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "law", "n_samples", "sum_val", "energy", "peak"
+                )
+            }
+            for did, n in zip(pdf["doc_id"], pdf["n"]):
+                for law in ("alaw", "ulaw"):
+                    samples, _rate = decode_audio(
+                        synth_wav_g711(int(did), int(n), law), {}
+                    )
+                    pcm = np.rint(
+                        samples.astype(np.float64) * 32768.0
+                    ).astype(np.int64)
+                    out["media_id"].append(int(did))
+                    out["law"].append(law)
+                    out["n_samples"].append(int(pcm.size))
+                    out["sum_val"].append(int(pcm.sum()))
+                    out["energy"].append(int((pcm * pcm).sum()))
+                    out["peak"].append(int(np.abs(pcm).max()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _mk,
+        schema=(
+            "media_id long, law string, n_samples long, sum_val long, "
+            "energy long, peak long"
+        ),
+    ).orderBy("media_id", "law")
