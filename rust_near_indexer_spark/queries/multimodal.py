@@ -475,3 +475,87 @@ def audio_g711_expand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy long, peak long"
         ),
     ).orderBy("media_id", "law")
+
+
+@register(
+    "audio_mp3_metadata_scan",
+    oracle="""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS nf FROM documents),
+    f AS (SELECT doc_id, nf, unnest(range(0, nf)) AS i FROM d),
+    v AS (
+        SELECT doc_id, nf,
+               ([96, 112, 128, 160, 192])[(doc_id * 3 + i) % 5 + 1] AS kbps,
+               (doc_id + i) % 2 AS pad
+        FROM f
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(44100 AS BIGINT) AS sample_rate,
+           CAST(MAX(nf) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+           CAST(SUM(144000 * kbps // 44100 + pad) AS BIGINT) AS frame_bytes,
+           CAST(SUM(kbps) AS BIGINT) AS kbps_sum,
+           CAST(MIN(kbps) AS BIGINT) AS kbps_min,
+           CAST(MAX(kbps) AS BIGINT) AS kbps_max,
+           CAST(CASE WHEN COUNT(DISTINCT kbps) > 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_vbr
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "audio", "mp3"),
+)
+def audio_mp3_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata pass a curation pipeline runs over MP3s INSTEAD of
+    decoding them: per document a genuine MPEG1 Layer III stream is
+    synthesized (operators/mp3.synth_mp3 — real frame headers whose
+    bitrate indices and padding bits follow pure integer formulas,
+    fronted by a real ID3v2.4 tag), then ``parse_mp3`` walks the tag
+    and every frame header to produce duration / bitrate / VBR stats.
+    Frame sizes are the spec's integer arithmetic (144000·kbps/rate +
+    pad), so DuckDB replays the whole scan relationally — gating the
+    ID3v2 syncsafe offset, the header bit unpacking, both size
+    formulas, and the frame-walk loop.  (Version/layer corners, Xing
+    headers, resync, and tag encodings stay pytest-gated in
+    test_mp3_metadata.py.)
+
+    Scale shape: payload bytes never cross a shuffle; one bounded row
+    per file — the pattern that meters a 100 TB audio corpus without
+    paying a decode."""
+    from ..operators.mp3 import parse_mp3, synth_mp3
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", (3 + F.col("doc_id") % 6).cast("int").alias("nf")
+    )
+
+    def _mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "n_frames", "sample_rate", "duration_ms",
+                    "frame_bytes", "kbps_sum", "kbps_min", "kbps_max",
+                    "is_vbr",
+                )
+            }
+            for did, nf in zip(pdf["doc_id"], pdf["nf"]):
+                m = parse_mp3(synth_mp3(int(did), int(nf)))
+                out["media_id"].append(int(did))
+                out["n_frames"].append(m["n_frames"])
+                out["sample_rate"].append(m["sample_rate"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["frame_bytes"].append(m["frame_bytes"])
+                out["kbps_sum"].append(m["bitrate_kbps_sum"])
+                out["kbps_min"].append(m["bitrate_kbps_min"])
+                out["kbps_max"].append(m["bitrate_kbps_max"])
+                out["is_vbr"].append(1 if m["is_vbr"] else 0)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _mk,
+        schema=(
+            "media_id long, n_frames long, sample_rate long, "
+            "duration_ms long, frame_bytes long, kbps_sum long, "
+            "kbps_min long, kbps_max long, is_vbr long"
+        ),
+    ).orderBy("media_id")
