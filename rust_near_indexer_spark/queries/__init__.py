@@ -83,8 +83,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "gold_intents_metrics",
     # SQL breadth + temporal depth
     "pricing_summary",
-    "top_customers",
-    "customers_without_orders",
     "daily_event_metrics",
     "latest_event_per_user",
     "user_state_scd2",
@@ -106,10 +104,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     # retrieval + label vote
     "bm25_topk_retrieval",
     "knn_label_vote",
-    # multimodal: Arrow plumbing + the round-9 REAL-codec image gate
-    # (WebP/VP8L end-to-end — the first codec class in the prefix)
-    "multimodal_features",
+    # multimodal: the round-9 REAL-codec gates — WebP/VP8L end-to-end,
+    # the four-format router matrix (GIF+BMP+TIFF+PNM through one
+    # decode_image dispatch), and the two audio classes (G.711
+    # expansion, MP3 metadata walk) added late in round 9
     "image_webp_decode_stats",
+    "image_codec_router_matrix",
+    "audio_g711_expand_stats",
+    "audio_mp3_metadata_scan",
     # text analysis: named ops + the sf1-overflow-fix query + CMS
     "text_stats",
     "text_language_id",
@@ -128,6 +130,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "error_incident_windows",
     # ---- rotated-out round-2..6 prefix entries (still fully gated by
     # scripts/run_gate.py at both SFs; order here is presentation) ----
+    "top_customers",
+    "customers_without_orders",
+    "multimodal_features",
     "bronze_events_block_end",
     "bronze_events_only_mode",
     "silver_dip4_public_keys",

@@ -48,7 +48,8 @@ def test_gate_priority_prefix():
             "dedup_clusters", "semantic_dedup"} <= prefix
     # similarity, multimodal, text, temporal-join classes
     assert {"ann_bruteforce_topk", "ann_lsh_bucketed_topk",
-            "multimodal_features", "image_webp_decode_stats",
+            "image_webp_decode_stats", "image_codec_router_matrix",
+            "audio_g711_expand_stats", "audio_mp3_metadata_scan",
             "text_stats", "text_language_id", "text_quality_score",
             "text_fingerprint", "purchase_attribution",
             "error_incident_windows"} <= prefix
