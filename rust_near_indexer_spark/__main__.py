@@ -20,6 +20,7 @@ runs any registry entry and prints it.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -293,13 +294,26 @@ def cmd_ann(args) -> int:
         stats = aa.append_ann_artifact(spark, args.artifact, _vecs(args.vectors))
         print(f"appended into {args.artifact}: {stats['n_new_vectors']} vectors")
         return 0
-    # search: IVF probe for a stored vector
+    # search: IVF probe for a stored vector.  Both reads go through the
+    # file-level min/max manifest (artifact_io.read_pruned): the
+    # vec_id point lookup opens one of the range-clustered files, and
+    # the probe read opens only the files whose list_id range overlaps
+    # the probe set — at 100 TB that is the difference between a point
+    # query and a full table listing.
+    from .artifact_io import read_pruned
+
     art = aa.load_ann_artifact(spark, args.artifact)
-    hit = art["vectors"].where(F.col("vec_id") == args.vec_id).collect()
+    vec_pruned, v_read, v_total = read_pruned(
+        spark,
+        os.path.join(args.artifact, "vectors"),
+        "vec_id",
+        values=[args.vec_id],
+    )
+    hit = vec_pruned.where(F.col("vec_id") == args.vec_id).collect()
     if not hit:
         print(f"vec {args.vec_id}: not in the index")
         return 1
-    q = art["vectors"].where(F.col("vec_id") == args.vec_id).select(
+    q = vec_pruned.where(F.col("vec_id") == args.vec_id).select(
         F.col("qe").alias("q_qe")
     )
     probes = (
@@ -309,9 +323,18 @@ def cmd_ann(args) -> int:
         .limit(N_PROBE)
         .select("q_qe", "list_id")
     )
+    # the probe set is N_PROBE-bounded by construction: collecting it
+    # is a scalar-sized driver hop that unlocks file-level pruning
+    probe_ids = [r["list_id"] for r in probes.collect()]
+    ivf_pruned, i_read, i_total = read_pruned(
+        spark,
+        os.path.join(args.artifact, "ivf"),
+        "list_id",
+        values=probe_ids,
+    )
     top = (
         F.broadcast(probes)
-        .join(art["ivf"], "list_id")
+        .join(ivf_pruned, "list_id")
         .where(F.col("vec_id") != args.vec_id)
         .select(
             "vec_id",
@@ -322,7 +345,11 @@ def cmd_ann(args) -> int:
         .limit(args.top_k)
         .collect()
     )
-    print(f"vec {args.vec_id}: top-{args.top_k} over {N_PROBE} probed lists")
+    print(
+        f"vec {args.vec_id}: top-{args.top_k} over {N_PROBE} probed lists "
+        f"(manifest pruning: vectors {v_read}/{v_total} files, "
+        f"ivf {i_read}/{i_total} files)"
+    )
     for r in top:
         print(
             f"  vec {r['vec_id']} (label {r['label']}, "

@@ -44,13 +44,112 @@ def write_clustered(
     df: DataFrame, path: str, cols: Sequence[str], n_files: int
 ) -> None:
     """Write one table range-clustered + sorted on ``cols`` so parquet
-    min/max file stats serve point lookups with pruned scans."""
+    min/max file stats serve point lookups with pruned scans, then
+    record a FILE-LEVEL min/max manifest (``_manifest.json``) over the
+    cluster columns.
+
+    The manifest is the Iceberg/Delta scan-planning move: parquet
+    footers already carry row-group stats, but the engine must still
+    LIST and OPEN every file to use them — at 100 TB an inverted-list
+    probe that touches nprobe/nlist of the data should skip the other
+    files without a single footer read.  ``read_pruned`` consumes it;
+    a missing/stale manifest degrades to the full scan (correctness
+    never depends on it)."""
     (
         df.repartitionByRange(n_files, *cols)
         .sortWithinPartitions(*cols)
         .write.mode("overwrite")
         .parquet(path)
     )
+    _write_manifest(path, cols)
+
+
+def _write_manifest(path: str, cols: Sequence[str]) -> None:
+    """File → per-cluster-column [min, max] from the parquet footers,
+    written once at publish time so readers never open footers again."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    entries = []
+    for name in files:
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for col in cols:
+            idx = names.get(col)
+            if idx is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                stats[col] = [lo, hi]
+        entries.append({"file": name, "stats": stats})
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump({"cols": list(cols), "files": entries}, fh)
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    *,
+    values: Sequence | None = None,
+    lo=None,
+    hi=None,
+):
+    """Manifest-pruned parquet read: returns ``(df, n_read, n_total)``
+    where ``df`` scans ONLY the files whose ``col`` [min, max] range
+    can contain one of ``values`` (point/IN lookup) or intersect
+    [lo, hi] (range lookup).
+
+    The returned frame still needs the row-level filter applied on top
+    (pruning is file-granular); files without recorded stats are
+    conservatively kept, and a missing manifest returns the plain full
+    scan — the manifest is an optimization layer, never a correctness
+    dependency."""
+    mf = os.path.join(path, "_manifest.json")
+    full = spark.read.parquet(path)
+    try:
+        with open(mf) as fh:
+            manifest = json.load(fh)
+    except (OSError, ValueError):
+        return full, -1, -1
+    keep = []
+    total = len(manifest.get("files", []))
+    for entry in manifest.get("files", []):
+        st = entry.get("stats", {}).get(col)
+        if st is None:
+            keep.append(entry["file"])  # no stats: cannot prune
+            continue
+        mn, mx = st
+        if values is not None:
+            if any(mn <= v <= mx for v in values):
+                keep.append(entry["file"])
+        else:
+            if (hi is None or mn <= hi) and (lo is None or mx >= lo):
+                keep.append(entry["file"])
+    if len(keep) == total:
+        return full, total, total
+    if not keep:
+        # empty selection: an always-false filter keeps the schema
+        # without touching any file at run time
+        from pyspark.sql import functions as F
+
+        return full.where(F.lit(False)), 0, total
+    df = spark.read.schema(full.schema).parquet(
+        *(os.path.join(path, f) for f in keep)
+    )
+    return df, len(keep), total
 
 
 def publish_artifact(
