@@ -559,3 +559,76 @@ def audio_mp3_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kbps_min long, kbps_max long, is_vbr long"
         ),
     ).orderBy("media_id")
+
+
+@register(
+    "audio_ogg_metadata_scan",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS np FROM documents),
+    p AS (SELECT doc_id, np, unnest(range(0, np)) AS i FROM d),
+    g AS (SELECT doc_id, np, SUM(1024 * (1 + (doc_id + i) % 3)) AS pcm
+          FROM p GROUP BY doc_id, np)
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(44100 AS BIGINT) AS sample_rate,
+           CAST(112000 + (doc_id % 7) * 16000 AS BIGINT) AS bitrate_nominal,
+           CAST(2 + np AS BIGINT) AS n_pages,
+           CAST(pcm AS BIGINT) AS pcm_samples,
+           CAST(pcm * 1000 // 44100 AS BIGINT) AS duration_ms
+    FROM g ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "audio", "ogg"),
+)
+def audio_ogg_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OGG twin of ``audio_mp3_metadata_scan``: per document a
+    genuine OGG/Vorbis container is synthesized (operators/ogg.
+    synth_ogg_vorbis — real page lacing, BOS/EOS flags, sequence
+    numbers, granule positions, identification + comment headers),
+    then ``parse_ogg_vorbis`` walks pages and reassembles packets to
+    produce channels / rate / bitrate / sample-exact duration without
+    any decode.  Granule positions are pure integer formulas, so
+    DuckDB replays the whole scan relationally — gating the page
+    layer, the lacing reassembly, and the Vorbis header unpacking.
+    (Continuation-lacing, multiplexed streams, gap detection, and
+    comment corners stay pytest-gated in test_ogg_metadata.py.)
+
+    Scale shape: payload bytes never cross a shuffle; one bounded row
+    per file."""
+    from ..operators.ogg import parse_ogg_vorbis, synth_ogg_vorbis
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", (2 + F.col("doc_id") % 5).cast("int").alias("np")
+    )
+
+    def _mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "channels", "sample_rate",
+                    "bitrate_nominal", "n_pages", "pcm_samples",
+                    "duration_ms",
+                )
+            }
+            for did, np_ in zip(pdf["doc_id"], pdf["np"]):
+                m = parse_ogg_vorbis(synth_ogg_vorbis(int(did), int(np_)))
+                out["media_id"].append(int(did))
+                out["channels"].append(m["channels"])
+                out["sample_rate"].append(m["sample_rate"])
+                out["bitrate_nominal"].append(m["bitrate_nominal"])
+                out["n_pages"].append(m["n_pages"])
+                out["pcm_samples"].append(m["pcm_samples"])
+                out["duration_ms"].append(m["duration_ms"])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _mk,
+        schema=(
+            "media_id long, channels long, sample_rate long, "
+            "bitrate_nominal long, n_pages long, pcm_samples long, "
+            "duration_ms long"
+        ),
+    ).orderBy("media_id")
