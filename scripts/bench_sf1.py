@@ -82,6 +82,17 @@ SF3_DIR = os.path.join(_REPO, "fixture_data", "sf3")
 # A genuine SECOND decade (sf10 = 100 copies, ~1.5 GB on disk): the
 # strongest linearity evidence the sandbox can hold — x10c compares
 # directly against the 10x data growth, no half-decade extrapolation.
+# The sf10 subset EXCLUDES the pair-output-quadratic queries (both
+# PPJoins and MinHash-LSH): their sf3 adjudication already shows
+# per-pair cost FALLING while output grows ~quadratically in the
+# planted family size, so a second decade would re-measure output
+# growth (~100x pairs, runaway wall time) and add no linearity signal.
+# The exclusion is printed at run time — no silent cap.
+SF10_EXCLUDE = {
+    "dedup_containment_join",
+    "dedup_prefix_filter_join",
+    "dedup_minhash_lsh",
+}
 SF10_DIR = os.path.join(_REPO, "fixture_data", "sf10")
 
 MARK_A = "<!-- sf1-decade:begin -->"
@@ -114,9 +125,15 @@ def main() -> int:
               file=sys.stderr)
     have_sf10 = os.path.isdir(SF10_DIR)
     if have_sf10:
-        sfs.append(
-            ("10", SF10_DIR, [q for q in QUERIES if q in SF3_QUERIES], sf3_reps)
+        sf10_qs = [
+            q for q in QUERIES if q in SF3_QUERIES and q not in SF10_EXCLUDE
+        ]
+        print(
+            "[sf1-bench] sf10 subset excludes output-quadratic pair "
+            f"producers (adjudicated at sf3): {sorted(SF10_EXCLUDE)}",
+            file=sys.stderr,
         )
+        sfs.append(("10", SF10_DIR, sf10_qs, sf3_reps))
     else:
         print("[sf1-bench] fixture_data/sf10 absent — skipping the sf10 column",
               file=sys.stderr)
@@ -202,10 +219,14 @@ def main() -> int:
         ]
     if have_sf10:
         lines += [
-            "`sf10`/`x10c` = t(sf10)/t(sf1) (same subset; sf10 = 100",
-            "copies, a genuine SECOND decade — 60M-row lineitem, 500k",
-            "docs): the direct linear target is 10.0, no half-decade",
-            "extrapolation.",
+            "`sf10`/`x10c` = t(sf10)/t(sf1) (sf10 = 100 copies, a genuine",
+            "SECOND decade — 60M-row lineitem, 500k docs): the direct",
+            "linear target is 10.0, no half-decade extrapolation.  The",
+            "sf10 subset excludes the output-quadratic pair producers",
+            "(both PPJoins, MinHash-LSH — '-' cells): their sf3",
+            "adjudication already shows per-pair cost falling while pairs",
+            "grow ~quadratically, so a second decade would re-measure",
+            "output growth (~100x pairs), not engine linearity.",
         ]
     lines += [
         "",

@@ -57,6 +57,14 @@ DEFAULT_QUERIES = [
     # broadcast LUT) and the decade study's output-quadratic outlier
     "ann_ivfpq_adc_topk",
     "dedup_minhash_lsh",
+    # round-9 additions: the new codec mapInPandas paths (four image
+    # formats through one router; G.711 expansion; the two no-decode
+    # metadata scanners) — per-row python work whose peak memory is
+    # batch-size x payload-size, exactly what a fat partition stresses
+    "image_codec_router_matrix",
+    "audio_g711_expand_stats",
+    "audio_mp3_metadata_scan",
+    "audio_ogg_metadata_scan",
 ]
 
 MODES = {
