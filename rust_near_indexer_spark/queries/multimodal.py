@@ -632,3 +632,80 @@ def audio_ogg_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_ms long"
         ),
     ).orderBy("media_id")
+
+
+@register(
+    "warc_ingest_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nr FROM documents),
+    r AS (SELECT doc_id, nr, unnest(range(0, nr)) AS i FROM d),
+    k AS (SELECT doc_id, i, 5 + (doc_id + i) % 7 AS toks FROM r)
+    SELECT doc_id AS media_id,
+           CAST(i AS BIGINT) AS rec_idx,
+           'http://ex.com/' || doc_id || '/' || i AS uri,
+           CAST(doc_id % 2 AS BIGINT) AS gzipped,
+           CAST(45 + 4 * toks AS BIGINT) AS content_length,
+           CAST(4 * toks AS BIGINT) AS n_bytes,
+           CAST(toks AS BIGINT) AS n_tokens
+    FROM k ORDER BY media_id, rec_idx
+    """,
+    tags=("llm", "multimodal", "warc", "source"),
+)
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl ingestion path, gated end-to-end: per document
+    a genuine WARC/1.0 archive is synthesized (operators/warc.
+    synth_warc — warcinfo + HTTP 200 text responses with formula
+    bodies; ODD doc_ids ship as per-record gzip members, the .warc.gz
+    layout), parsed by ``parse_warc`` + ``warc_documents`` (the
+    archive → documents-table projection), and reduced to framing
+    stats.  WARC framing is integer-exact (Content-Length = 45 + 4k
+    for the fixed-width HTTP head + "tok "*k body), so DuckDB replays
+    record counts, URIs, lengths, and token counts from
+    generate_series — gating the version/header/framing layer, the
+    gzip member decompression, the HTTP split, and the 200/text
+    filter in one query.  (Folding, truncation, request/binary drops
+    stay pytest-gated in test_warc_source.py.)
+
+    Scale shape: archive bytes never cross a shuffle (synth + parse in
+    one mapInPandas stage on the scan partitioning) — at 100 TB this
+    is one task per .warc.gz member range, the layout Common Crawl
+    ships precisely so archives split at member boundaries."""
+    from ..operators.warc import parse_warc, synth_warc, warc_documents
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", (2 + F.col("doc_id") % 4).cast("int").alias("nr")
+    )
+
+    def _mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "rec_idx", "uri", "gzipped",
+                    "content_length", "n_bytes", "n_tokens",
+                )
+            }
+            for did, nr in zip(pdf["doc_id"], pdf["nr"]):
+                recs = parse_warc(synth_warc(int(did), int(nr)))
+                responses = [r for r in recs if r["type"] == "response"]
+                docs = warc_documents(recs)
+                for i, (rec, doc) in enumerate(zip(responses, docs)):
+                    out["media_id"].append(int(did))
+                    out["rec_idx"].append(i)
+                    out["uri"].append(doc["uri"])
+                    out["gzipped"].append(int(did) % 2)
+                    out["content_length"].append(rec["content_length"])
+                    out["n_bytes"].append(doc["n_bytes"])
+                    out["n_tokens"].append(len(doc["text"].split()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _mk,
+        schema=(
+            "media_id long, rec_idx long, uri string, gzipped long, "
+            "content_length long, n_bytes long, n_tokens long"
+        ),
+    ).orderBy("media_id", "rec_idx")

@@ -1,0 +1,144 @@
+"""Golden tests for the WARC parser (operators/warc.py).
+
+The in-test archive writer serializes records independently (its own
+header ordering, its own framing math, stdlib gzip.compress for
+members instead of the module's compressobj), so framing bugs cannot
+cancel out.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from rust_near_indexer_spark.operators.warc import (
+    parse_http_response,
+    parse_warc,
+    synth_warc,
+    warc_documents,
+)
+
+
+def _rec(rtype, block, extra_headers=(), version="WARC/1.0"):
+    """Independent record writer: different header order, lowercase
+    type name in a differently-cased key."""
+    out = version.encode() + b"\r\n"
+    out += b"content-length: %d\r\n" % len(block)  # lowercase key
+    for k, v in extra_headers:
+        out += k.encode() + b": " + v.encode() + b"\r\n"
+    out += b"WARC-TYPE: " + rtype.encode() + b"\r\n"  # uppercase key
+    out += b"\r\n" + block + b"\r\n\r\n"
+    return out
+
+
+def _http(status, body, ctype="text/plain", reason="OK"):
+    return (
+        f"HTTP/1.1 {status} {reason}\r\nContent-Type: {ctype}\r\n\r\n".encode()
+        + body
+    )
+
+
+def test_plain_archive_roundtrip():
+    a = _rec("warcinfo", b"software: t\r\n")
+    b = _rec(
+        "response",
+        _http(200, b"hello world"),
+        [("WARC-Target-URI", "http://x/1"),
+         ("Content-Type", "application/http; msgtype=response")],
+    )
+    recs = parse_warc(a + b)
+    assert [r["type"] for r in recs] == ["warcinfo", "response"]
+    assert recs[1]["uri"] == "http://x/1"
+    assert recs[1]["content_length"] == len(_http(200, b"hello world"))
+
+
+def test_gzip_members_roundtrip():
+    raw1 = _rec("response", _http(200, b"abc"),
+                [("Content-Type", "application/http; msgtype=response")])
+    raw2 = _rec("response", _http(200, b"defgh"),
+                [("Content-Type", "application/http; msgtype=response")])
+    gz = gzip.compress(raw1) + gzip.compress(raw2)  # two members
+    recs = parse_warc(gz)
+    assert len(recs) == 2
+    assert parse_http_response(recs[1]["block"])["body"] == b"defgh"
+
+
+def test_header_folding_and_case():
+    folded = _rec(
+        "metadata",
+        b"x",
+        [("WARC-Concurrent-To", "<urn:a>\r\n <urn:b>")],
+    )
+    recs = parse_warc(folded)
+    assert recs[0]["headers"]["warc-concurrent-to"] == "<urn:a> <urn:b>"
+
+
+def test_http_response_parse():
+    h = parse_http_response(_http(404, b"missing", reason="Not Found"))
+    assert h["status"] == 404
+    assert h["headers"]["content-type"] == "text/plain"
+    assert h["body"] == b"missing"
+
+
+def test_warc_documents_projection():
+    recs = parse_warc(
+        _rec("warcinfo", b"i: 1\r\n")
+        + _rec("request", b"GET / HTTP/1.1\r\n\r\n",
+               [("Content-Type", "application/http; msgtype=request")])
+        + _rec("response", _http(200, b"keep me"),
+               [("WARC-Target-URI", "http://x/keep"),
+                ("Content-Type", "application/http; msgtype=response")])
+        + _rec("response", _http(404, b"drop 404"),
+               [("Content-Type", "application/http; msgtype=response")])
+        + _rec("response", _http(200, b"\x89PNG", ctype="image/png"),
+               [("Content-Type", "application/http; msgtype=response")])
+    )
+    docs = warc_documents(recs)
+    assert len(docs) == 1
+    assert docs[0]["uri"] == "http://x/keep"
+    assert docs[0]["text"] == "keep me"
+    assert docs[0]["n_bytes"] == 7
+
+
+def test_binary_body_length_framing():
+    # a body containing \r\n\r\n must NOT confuse record framing:
+    # Content-Length governs
+    body = b"a\r\n\r\nb" * 3
+    rec = _rec("resource", body, [("Content-Type", "text/plain")])
+    out = parse_warc(rec + _rec("metadata", b"m", []))
+    assert out[0]["block"] == body
+    assert out[1]["type"] == "metadata"
+
+
+def test_truncation_and_corruption_raise():
+    good = _rec("response", _http(200, b"xyz"),
+                [("Content-Type", "application/http; msgtype=response")])
+    with pytest.raises(ValueError):
+        parse_warc(good[: len(good) - 6])  # missing terminator
+    with pytest.raises(ValueError):
+        parse_warc(b"NOTWARC/1.0\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_warc(gzip.compress(good)[:-4])  # truncated member
+    no_len = b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\nx\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(no_len)
+
+
+def test_warc_11_version_accepted():
+    recs = parse_warc(_rec("metadata", b"v", [], version="WARC/1.1"))
+    assert recs[0]["version"] == "WARC/1.1"
+
+
+def test_synth_matches_formula_both_layouts():
+    for seed in (2, 3):  # plain and gzipped
+        n = 4
+        recs = parse_warc(synth_warc(seed, n))
+        assert recs[0]["type"] == "warcinfo"
+        docs = warc_documents(recs)
+        assert len(docs) == n
+        for i, d in enumerate(docs):
+            k = 5 + (seed + i) % 7
+            assert d["text"] == "tok " * k
+            assert d["n_bytes"] == 4 * k
+            assert d["uri"] == f"http://ex.com/{seed}/{i}"
