@@ -83,8 +83,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "gold_intents_metrics",
     # SQL breadth + temporal depth
     "pricing_summary",
-    "daily_event_metrics",
-    "latest_event_per_user",
     "user_state_scd2",
     # LLM dedup: five named variants + election + SemDeDup + r7/r8 forms
     "dedup_exact",
@@ -101,9 +99,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_lsh_bucketed_topk",
     "ann_ivfpq_adc_topk",
     "ann_ivfpq_recall_eval",
-    # retrieval + label vote
+    # retrieval
     "bm25_topk_retrieval",
-    "knn_label_vote",
+    # web-corpus ingestion + curation (round-9 classes: WARC source,
+    # C4-style HTML extraction, URL/domain curation — all new classes,
+    # the first two zero-UDF JVM-only)
+    "warc_ingest_stats",
+    "html_text_extract_stats",
+    "url_domain_curation",
     # multimodal: the round-9 REAL-codec gates — WebP/VP8L end-to-end,
     # the four-format router matrix (GIF+BMP+TIFF+PNM through one
     # decode_image dispatch), and the two audio classes (G.711
@@ -133,6 +136,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "top_customers",
     "customers_without_orders",
     "multimodal_features",
+    "daily_event_metrics",
+    "latest_event_per_user",
+    "knn_label_vote",
     "bronze_events_block_end",
     "bronze_events_only_mode",
     "silver_dip4_public_keys",
@@ -216,6 +222,7 @@ def load_registry() -> dict[str, Query]:
     from . import retrieval  # noqa: F401
     from . import profiling  # noqa: F401
     from . import advanced  # noqa: F401
+    from . import web  # noqa: F401
 
     missing = [n for n in GATE_PRIORITY if n not in REGISTRY]
     if missing:
