@@ -142,3 +142,25 @@ def test_synth_matches_formula_both_layouts():
             assert d["text"] == "tok " * k
             assert d["n_bytes"] == 4 * k
             assert d["uri"] == f"http://ex.com/{seed}/{i}"
+
+
+def test_warc_documents_df_ingestion(spark, tmp_path):
+    """End-to-end Spark ingestion: a directory of mixed plain/.gz
+    archives → a documents DataFrame with one row per HTTP 200 text
+    response and a stable xxhash64 doc_id."""
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(synth_warc(2, 3))     # plain, 3 docs
+    (d / "b.warc.gz").write_bytes(synth_warc(3, 2))  # gzipped, 2 docs
+    (d / "ignore.txt").write_bytes(b"not an archive")
+
+    from rust_near_indexer_spark.operators.warc import warc_documents_df
+
+    df = warc_documents_df(spark, str(d))
+    rows = {r["uri"]: r for r in df.collect()}
+    assert len(rows) == 5
+    assert rows["http://ex.com/3/1"]["text"] == "tok " * (5 + (3 + 1) % 7)
+    assert rows["http://ex.com/2/0"]["n_bytes"] == 4 * (5 + 2 % 7)
+    assert rows["http://ex.com/2/0"]["warc_path"].endswith("a.warc")
+    ids = {r["doc_id"] for r in rows.values()}
+    assert len(ids) == 5  # distinct, derived from uri
