@@ -117,6 +117,13 @@ def read_pruned(
     conservatively kept, and a missing manifest returns the plain full
     scan — the manifest is an optimization layer, never a correctness
     dependency."""
+    # Resolve the publish symlink ONCE and read everything (full scan,
+    # manifest, per-file pruned scan) from that generation dir: three
+    # separate resolutions could straddle a concurrent publish and mix
+    # generations (ADVICE r09 — it failed loudly, file-not-found, but
+    # the single-snapshot read publish_artifact promises needs one
+    # resolution).
+    path = os.path.realpath(path)
     mf = os.path.join(path, "_manifest.json")
     full = spark.read.parquet(path)
     try:

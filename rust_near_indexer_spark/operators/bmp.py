@@ -75,6 +75,8 @@ def _rle_decode(data: bytes, w: int, h: int, four_bit: bool):
         cnt, val = data[i], data[i + 1]
         i += 2
         if cnt > 0:  # encoded run
+            if y >= h:  # end-of-line/delta may park y at h; writes must not
+                raise ValueError("BMP RLE pixel data past last row")
             if four_bit:
                 pair = ((val >> 4) & 0xF, val & 0xF)
                 for k in range(cnt):
@@ -103,6 +105,8 @@ def _rle_decode(data: bytes, w: int, h: int, four_bit: bool):
                 raise ValueError("BMP RLE delta out of range")
         else:  # absolute mode: val literal pixels, word-aligned
             cnt = val
+            if y >= h:
+                raise ValueError("BMP RLE pixel data past last row")
             if four_bit:
                 nbytes = (cnt + 1) // 2
                 pad = (2 - nbytes % 2) % 2
@@ -172,11 +176,10 @@ def decode_bmp(data: bytes):
     if compression == 3:
         if bpp not in (16, 32):
             raise ValueError("BI_BITFIELDS requires 16/32 bpp")
-        # masks live in the info header (V4+) or right after a 40-byte one
-        moff = 54 if hdr_size == 40 else 54
-        if hdr_size >= 52:
-            moff = 14 + 40
-        masks = struct.unpack_from("<III", data, moff)
+        # Masks sit at byte 54 either way: appended after a 40-byte
+        # BITMAPINFOHEADER, or as the in-header RGB-mask fields of
+        # V2+/V4/V5 headers (which start at info offset 40 = file 54).
+        masks = struct.unpack_from("<III", data, 54)
     elif bpp == 16:
         masks = (0x7C00, 0x03E0, 0x001F)
     elif bpp == 32:
