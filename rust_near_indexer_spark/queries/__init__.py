@@ -58,81 +58,113 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = (), doc: str
 # to any observed gate length; unlisted queries follow in registration
 # order.
 GATE_PRIORITY: tuple[str, ...] = (
-    # ---- round-9 prefix rotation (VERDICT r08 #3): the external gate
-    # has hash-checked the same 50-entry prefix for seven rounds, so
-    # the newest operator classes (round-7/8 additions: the ANN-artifact
-    # consumers, fixed-probe BM25, the sf1-bugfix queries, curation,
-    # BPE, CMS, PageRank, SCD-2, packing) rotate INTO the prefix and
-    # long-verified SQL-breadth entries rotate to the tail.  Still one
-    # representative per operator class; still 50 entries. ----
-    # NEAR bronze pipeline (R5-R22)
-    "bronze_transactions",
+    # ---- round-10 prefix rotation (VERDICT r09 #5): 34 of the 50
+    # entries below have never had a driver-green row in any prior
+    # CORRECTNESS_r*.json — the whole never-driver-checked backlog of
+    # the clustering / sampling / temporal / profiling / audio-video
+    # families rotates IN; rows green in r08+r09 rotate to the tail.
+    # A 16-entry class backbone (bronze → silver → gold, dedup, ANN,
+    # WARC, codec router, CMS) stays so ANY prefix truncation still
+    # touches every operator family.  Presentation only: the FULL
+    # registry is gated by scripts/run_gate.py at both SFs each round.
+    # NEAR pipeline backbone (R5-R25 classes)
     "bronze_receipts",
-    "bronze_execution_outcomes",
     "bronze_events",
-    "bronze_per_block_stats",
     "bronze_validation_summary",
     "bronze_outcomes_fingerprint",
-    # silver MVs + unions + R25 + gold (S3-S17)
     "silver_nep245_events",
-    "silver_dip4_token_diff",
-    "silver_dip4_intents_executed",
-    "silver_dip4_transfer",
     "silver_transfers",
     "r25_dip4_transfers",
     "gold_intents_metrics",
-    # SQL breadth + temporal depth
+    # dedup / ANN / web-ingest / codec / sketch representatives
+    "dedup_minhash_lsh",
+    "semantic_dedup",
+    "dedup_containment_join",
+    "ann_bruteforce_topk",
+    "ann_ivfpq_adc_topk",
+    "warc_ingest_stats",
+    "image_codec_router_matrix",
+    "token_cms_heavy_hitters",
+    # audio/video codec paths never driver-checked
+    "audio_ogg_metadata_scan",
+    "audio_pcm_features",
+    "video_avi_frame_features",
+    # embedding clustering / profiling
+    "embedding_kmeans",
+    "embedding_pca_top_component",
+    "embedding_norm_stats",
+    # text & retrieval depth
+    "tfidf_top_terms",
+    "term_posting_lists",
+    "quality_classifier_score",
+    "lm_bigram_score",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    # ANN diversification + retrieval eval
+    "ann_diversified_topk",
+    "retrieval_label_mrr",
+    # sampling / split suite
+    "importance_weighted_sample",
+    "stratified_sample_per_source",
+    "train_val_test_split",
+    "corpus_hash_sample",
+    # temporal depth
+    "gapfill_locf_timeseries",
+    "rolling_zscore_anomaly",
+    "interval_merge_islands",
+    "ohlc_candles",
+    # graph depth
+    "label_propagation_communities",
+    "receipt_dag_depths",
+    # skew / cardinality diagnostics
+    "join_key_skew_profile",
+    "token_frequencies_salted",
+    "approx_distinct_hll",
+    # tokenizer induction + curation + phrase mining
+    "bpe_pair_induction",
+    "corpus_curation_funnel",
+    "token_pmi_phrases",
+    # sequence/shard shaping + distribution profiling
+    "event_transition_matrix",
+    "doc_length_percentiles",
+    "token_budget_shards",
+    "doc_chunk_windows",
+    # ---- rotated-out driver-green rows + continued family depth
+    # (order is presentation; all gated locally at both SFs) ----
+    "bronze_transactions",
+    "bronze_execution_outcomes",
+    "bronze_per_block_stats",
+    "silver_dip4_token_diff",
+    "silver_dip4_intents_executed",
+    "silver_dip4_transfer",
     "pricing_summary",
     "user_state_scd2",
-    # LLM dedup: five named variants + election + SemDeDup + r7/r8 forms
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    "semantic_dedup",
     "dedup_canonical_representatives",
-    "dedup_containment_join",
-    # similarity search: baseline + LSH + the round-8 IVF-PQ artifact path
-    "ann_bruteforce_topk",
     "ann_lsh_bucketed_topk",
-    "ann_ivfpq_adc_topk",
     "ann_ivfpq_recall_eval",
-    # retrieval
     "bm25_topk_retrieval",
-    # web-corpus ingestion + curation (round-9 classes: WARC source,
-    # C4-style HTML extraction, URL/domain curation — all new classes,
-    # the first two zero-UDF JVM-only)
-    "warc_ingest_stats",
     "html_text_extract_stats",
     "url_domain_curation",
-    # multimodal: the round-9 REAL-codec gates — WebP/VP8L end-to-end,
-    # the four-format router matrix (GIF+BMP+TIFF+PNM through one
-    # decode_image dispatch), and the two audio classes (G.711
-    # expansion, MP3 metadata walk) added late in round 9
     "image_webp_decode_stats",
-    "image_codec_router_matrix",
     "audio_g711_expand_stats",
     "audio_mp3_metadata_scan",
-    # text analysis: named ops + the sf1-overflow-fix query + CMS
     "text_stats",
     "text_language_id",
     "text_quality_score",
     "text_fingerprint",
     "score_rank_normalize",
-    "token_cms_heavy_hitters",
-    # tokenizer / packing / graph / curation (round-7/8 classes)
     "bpe_fixed_merge_token_counts",
     "sequence_packing",
     "receipt_pagerank",
     "curation_decisions",
     "curation_embedding_gate",
-    # custom temporal joins (as-of, range)
     "purchase_attribution",
     "error_incident_windows",
-    # ---- rotated-out round-2..6 prefix entries (still fully gated by
-    # scripts/run_gate.py at both SFs; order here is presentation) ----
     "top_customers",
     "customers_without_orders",
     "multimodal_features",
@@ -154,33 +186,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "customer_year_setops",
     "hourly_event_windows",
     "user_sessions",
-    # ---- continued depth per family (positions beyond any prefix a
-    # harness has sampled so far; ordering still deliberate) ----
     "ann_quantized_topk",
     "ann_ivf_topk",
-    "embedding_kmeans",
-    "embedding_pca_top_component",
     "embedding_label_centroids",
-    "embedding_norm_stats",
     "dedup_incremental_bloom",
     "benchmark_decontamination",
     "text_normalized_dedup",
     "dedup_chunk_boilerplate",
-    "tfidf_top_terms",
-    "term_posting_lists",
     "corpus_drift_stats",
-    "text_repetition_filter",
-    "text_pii_scrub",
     "dedup_substring_spans",
-    "quality_classifier_score",
-    "lm_bigram_score",
-    "ann_diversified_topk",
-    "importance_weighted_sample",
-    "retrieval_label_mrr",
     "embedding_cohesion_stats",
     "contrastive_pair_mining",
     "corpus_shuffle_order",
-    "gapfill_locf_timeseries",
     "cluster_balanced_sample",
     "small_quantity_revenue",
     "nation_pair_volume",
@@ -190,15 +207,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "daily_metrics_unpivot",
     "rolling_3day_user_spend",
     "customer_spend_quartiles",
-    # ---- round-6 classes: asymmetric containment dedup, association
-    # mining, skyline, keyed sequential fold, bounded graph propagation,
-    # feature binning, skew diagnostics ----
     "item_cooccurrence_pairs",
     "pareto_frontier_orders",
     "ewma_user_value",
-    "label_propagation_communities",
     "feature_bin_liftstats",
-    "join_key_skew_profile",
     "equi_depth_histogram",
     "ann_pq_adc_topk",
     "phrase_retrieval",
