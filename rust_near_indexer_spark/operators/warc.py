@@ -232,6 +232,162 @@ def synth_warc(seed: int, n_responses: int) -> bytes:
     return b"".join(raws)
 
 
+def warc_member_ranges(data: bytes) -> list[tuple[int, int]]:
+    """``(offset, length)`` spans of the archive's independently
+    parseable units: gzip members for ``.warc.gz`` bytes, record spans
+    (version line → trailing CRLF CRLF) for plain WARC.  Every span,
+    sliced back out of the raw file, is a self-contained input to
+    ``parse_warc`` — the property the member-granular reader relies on.
+    """
+    data = bytes(data)
+    if data[:2] == b"\x1f\x8b":
+        ranges = []
+        pos = 0
+        view = data
+        while view:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                d.decompress(view)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt gzip member in WARC: {exc}") from exc
+            d.flush()
+            if not d.eof:
+                raise ValueError("truncated gzip member in WARC")
+            consumed = len(view) - len(d.unused_data)
+            ranges.append((pos, consumed))
+            pos += consumed
+            view = d.unused_data
+        if not ranges:
+            raise ValueError("no WARC records found")
+        return ranges
+    # plain WARC: walk the record framing, recording byte spans
+    ranges = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        start = pos
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC header block")
+        headers = _parse_headers(data[pos:hdr_end].split(_CRLF)[1:])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("WARC record without Content-Length") from exc
+        end = hdr_end + 4 + length + 4
+        if end > n:
+            raise ValueError("truncated WARC block")
+        ranges.append((start, end - start))
+        pos = end
+    if not ranges:
+        raise ValueError("no WARC records found")
+    return ranges
+
+
+def warc_member_index(spark, path: str):
+    """Archive directory → ``(warc_path, offset, length)`` member index.
+
+    The scan-planning pass of the member-granular reader: one
+    sequential read per archive (binaryFile, file-granular) emits the
+    byte span of every independently decompressible unit.  This is the
+    same offset/length index Common Crawl publishes alongside its
+    crawls (cdx); at 100 TB it is built once per crawl and reused by
+    every downstream read, which is why it is exposed as its own
+    DataFrame rather than fused into the reader."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _index(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"warc_path": [], "offset": [], "length": []}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                for off, ln in warc_member_ranges(bytes(blob)):
+                    out["warc_path"].append(p)
+                    out["offset"].append(off)
+                    out["length"].append(ln)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        _index, schema="warc_path string, offset long, length long"
+    )
+
+
+def _local_file(path: str) -> str:
+    """binaryFile paths arrive URI-form (``file:/…``); map to an OS
+    path.  On a real cluster the ranged read below goes through the
+    Hadoop FileSystem API instead (s3://, gs:// all support ranged
+    GET); the local build keeps the identical (path, offset, length)
+    task shape."""
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(path).path)
+    return path
+
+
+def warc_documents_df_members(spark, path: str, index=None):
+    """Member-granular variant of ``warc_documents_df``: the SAME
+    ``(uri, date, text, n_bytes, warc_path, doc_id)`` frame, but the
+    unit of parallelism is the gzip member (≈ one record), not the
+    file — so ONE 1 GB archive fans out across the whole cluster.
+    This is the skew case the file-granular cut cannot fix: few, large
+    archives.
+
+    Plan shape: index pass (one sequential read per archive) → shuffle
+    of the TINY (path, offset, length) index rows across
+    defaultParallelism tasks → per-task ranged reads of just its
+    members (seek+read, grouped per file, offset-sorted so the access
+    pattern stays sequential per task).  Archive payload bytes still
+    never cross a shuffle — only index triples do."""
+    from pyspark.sql import functions as F
+
+    idx = index if index is not None else warc_member_index(spark, path)
+    n = spark.sparkContext.defaultParallelism
+    spread = idx.repartition(n, "warc_path", "offset")
+
+    def _read(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "uri": [], "date": [], "text": [], "n_bytes": [],
+                "warc_path": [],
+            }
+            for p, grp in pdf.groupby("warc_path", sort=False):
+                spans = sorted(zip(grp["offset"], grp["length"]))
+                with open(_local_file(str(p)), "rb") as fh:
+                    for off, ln in spans:
+                        fh.seek(int(off))
+                        for doc in warc_documents(
+                            parse_warc(fh.read(int(ln)))
+                        ):
+                            out["uri"].append(doc["uri"])
+                            out["date"].append(doc["date"])
+                            out["text"].append(doc["text"])
+                            out["n_bytes"].append(doc["n_bytes"])
+                            out["warc_path"].append(p)
+            yield pd.DataFrame(out)
+
+    return spread.mapInPandas(
+        _read,
+        schema="uri string, date string, text string, n_bytes long, "
+        "warc_path string",
+    ).select(
+        "uri", "date", "text", "n_bytes", "warc_path",
+        F.xxhash64("uri").alias("doc_id"),
+    )
+
+
 def warc_documents_df(spark, path: str):
     """Directory of ``.warc`` / ``.warc.gz`` files → a documents
     DataFrame ``(uri, date, text, n_bytes, warc_path)`` — the Spark
@@ -244,8 +400,10 @@ def warc_documents_df(spark, path: str):
     per-record-member layout precisely so a finer split at gzip-member
     boundaries is possible; this loader takes the file-granular cut
     (100k files x 1 GB already yields more splits than any cluster has
-    cores), and ``parse_warc`` would serve a member-range reader
-    unchanged since every member is self-contained."""
+    cores).  When archives are FEW and LARGE — the skew case file
+    granularity cannot fix — use ``warc_documents_df_members``, which
+    fans a single archive across tasks at member granularity via a
+    (path, offset, length) index pass."""
     from pyspark.sql import functions as F
 
     files = (

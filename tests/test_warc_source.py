@@ -17,6 +17,7 @@ from rust_near_indexer_spark.operators.warc import (
     parse_warc,
     synth_warc,
     warc_documents,
+    warc_member_ranges,
 )
 
 
@@ -164,3 +165,94 @@ def test_warc_documents_df_ingestion(spark, tmp_path):
     assert rows["http://ex.com/2/0"]["warc_path"].endswith("a.warc")
     ids = {r["doc_id"] for r in rows.values()}
     assert len(ids) == 5  # distinct, derived from uri
+
+
+def test_member_ranges_plain_and_gzip():
+    """Every span warc_member_ranges reports must slice back out of
+    the raw bytes as a self-contained parse_warc input, and the spans
+    must tile the archive exactly."""
+    for seed, layout in ((2, "plain"), (3, "gzip")):
+        raw = synth_warc(seed, 4)
+        spans = warc_member_ranges(raw)
+        assert len(spans) == 5  # warcinfo + 4 responses
+        assert spans[0][0] == 0
+        for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+            assert o1 + l1 == o2, layout
+        assert spans[-1][0] + spans[-1][1] == len(raw)
+        all_recs = []
+        for off, ln in spans:
+            all_recs.extend(parse_warc(raw[off : off + ln]))
+        assert [r["type"] for r in all_recs] == [
+            r["type"] for r in parse_warc(raw)
+        ]
+
+
+def test_member_ranges_corrupt_raises():
+    with pytest.raises(ValueError):
+        warc_member_ranges(b"\x1f\x8b\x08garbage")
+    with pytest.raises(ValueError):
+        warc_member_ranges(b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort")
+
+
+def test_member_granular_reader_fans_one_archive_across_tasks(
+    spark, tmp_path
+):
+    """VERDICT r09 #6 done-bar: N>1 tasks process ONE archive, with
+    fingerprint-equal output to the file-granular path."""
+    from pyspark.sql import functions as F
+
+    from rust_near_indexer_spark.operators.warc import (
+        warc_documents_df,
+        warc_documents_df_members,
+        warc_member_index,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    # ONE large gzipped archive — the few-big-files skew case
+    (d / "big.warc.gz").write_bytes(synth_warc(7, 40))
+
+    idx = warc_member_index(spark, str(d))
+    assert idx.count() == 41  # warcinfo + 40 responses
+
+    members = warc_documents_df_members(spark, str(d))
+    # the single archive must occupy MORE THAN ONE task
+    n_tasks = (
+        members.withColumn("pid", F.spark_partition_id())
+        .select("pid").distinct().count()
+    )
+    assert n_tasks > 1
+
+    base = warc_documents_df(spark, str(d))
+    key = ["uri", "date", "text", "n_bytes", "doc_id"]
+    a = sorted(tuple(r[k] for k in key) for r in base.select(*key).collect())
+    b = sorted(
+        tuple(r[k] for k in key) for r in members.select(*key).collect()
+    )
+    assert a == b and len(a) == 40
+
+
+def test_member_reader_mixed_layout_dir_matches_file_granular(
+    spark, tmp_path
+):
+    from rust_near_indexer_spark.operators.warc import (
+        warc_documents_df,
+        warc_documents_df_members,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(synth_warc(2, 3))
+    (d / "b.warc.gz").write_bytes(synth_warc(3, 2))
+    key = ["uri", "text", "n_bytes", "warc_path", "doc_id"]
+    a = sorted(
+        tuple(r[k] for k in key)
+        for r in warc_documents_df(spark, str(d)).select(*key).collect()
+    )
+    b = sorted(
+        tuple(r[k] for k in key)
+        for r in warc_documents_df_members(spark, str(d))
+        .select(*key)
+        .collect()
+    )
+    assert a == b and len(a) == 5
