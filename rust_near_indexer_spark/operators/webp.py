@@ -1,10 +1,14 @@
-"""WebP lossless (VP8L) decoder — bytes → HWC uint8 ndarray.
+"""WebP decoder — bytes → HWC uint8 ndarray (VP8L lossless here,
+lossy VP8 routed to operators/vp8.py).
 
 The most common real-corpus format that still raised after round 8
 (VERDICT r08 Next #5).  VP8L is integer-exact (no DCT), so it fits the
 repo's golden-test pattern: tests/test_webp_codec.py carries an
 independently written in-test VP8L encoder and asserts bit-exact
-round-trips across the entropy layer and transforms.
+round-trips across the entropy layer and transforms.  Lossy VP8
+keyframes decode via the RFC 6386 implementation in operators/vp8.py
+(bit-exact in YUV against the system libwebp, tests/test_vp8_codec.py)
+and convert to RGB here.
 
 Implemented (the full lossless bitstream spec, RIFF container):
 - RIFF/WEBP chunk walk (VP8X-wrapped VP8L included);
@@ -20,8 +24,7 @@ Implemented (the full lossless bitstream spec, RIFF container):
   COLOR_INDEXING (delta-coded palette + sub-byte pixel bundling).
 
 Documented contract limits (ValueError/NotImplementedError, same
-policy as operators/multimodal.py): lossy VP8 raises
-NotImplementedError; combining PREDICTOR/COLOR with COLOR_INDEXING in
+policy as operators/multimodal.py): combining PREDICTOR/COLOR with COLOR_INDEXING in
 one stream raises ValueError (libwebp's encoder never emits the
 combination, and the packed-width interaction is a corner this
 decoder refuses rather than guesses).
@@ -434,8 +437,11 @@ def _apply_transforms(pixels, transforms, w: int, h: int):
 
 def decode_webp(data: bytes):
     """RIFF/WEBP → HWC uint8 (RGBA when the stream declares alpha,
-    RGB otherwise).  Lossless (VP8L) only — lossy VP8 is a documented
-    NotImplementedError contract, same policy as SOF3/SOF9 JPEG."""
+    RGB otherwise).  Lossless (VP8L) decodes bit-exact; lossy VP8
+    routes through operators/vp8.py (RFC 6386 keyframe decoder,
+    golden-gated bit-exact in YUV against the system libwebp) and
+    converts to RGB with the same BT.601 + nearest-chroma-upsample
+    convention as the JPEG path in operators/multimodal.py."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
@@ -450,10 +456,22 @@ def decode_webp(data: bytes):
             vp8l = payload
             break
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 decode unavailable in this environment "
-                "(VP8L lossless is the in-sandbox real path)"
+            from .vp8 import decode_vp8
+
+            y, u, v = decode_vp8(payload)
+            h, w = y.shape
+            cb = np.repeat(np.repeat(u, 2, 0), 2, 1)[:h, :w].astype(np.float64)
+            cr = np.repeat(np.repeat(v, 2, 0), 2, 1)[:h, :w].astype(np.float64)
+            yf, cb, cr = y.astype(np.float64), cb - 128.0, cr - 128.0
+            img = np.stack(
+                [
+                    yf + 1.402 * cr,
+                    yf - 0.344136 * cb - 0.714136 * cr,
+                    yf + 1.772 * cb,
+                ],
+                axis=2,
             )
+            return np.clip(np.round(img), 0, 255).astype(np.uint8)
         pos += 8 + size + (size & 1)
     if vp8l is None:
         raise ValueError("RIFF/WEBP without a VP8L chunk")

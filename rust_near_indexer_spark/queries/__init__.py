@@ -84,6 +84,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_adc_topk",
     "warc_ingest_stats",
     "image_codec_router_matrix",
+    "image_webp_lossy_stats",
     "token_cms_heavy_hitters",
     # audio/video codec paths never driver-checked
     "audio_ogg_metadata_scan",

@@ -199,6 +199,69 @@ def image_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_webp_lossy_stats",
+    oracle="""
+    WITH pins(fi, dim0, dim1, n_values, mean_milli) AS (VALUES
+        (0, 24, 24, 1728, 128000),
+        (1, 19, 21, 1197, 126390),
+        (2, 32, 48, 4608, 125220),
+        (3, 29, 35, 3045, 124016),
+        (4, 16, 24, 1152, 123500),
+        (5, 16, 16, 768, 124235)
+    )
+    SELECT d.doc_id AS media_id, 'image' AS kind,
+           CAST(p.dim0 AS BIGINT) AS dim0, CAST(p.dim1 AS BIGINT) AS dim1,
+           CAST(p.n_values AS BIGINT) AS n_values,
+           CAST(p.mean_milli AS BIGINT) AS mean_milli
+    FROM documents d JOIN pins p ON d.doc_id % 6 = p.fi
+    ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "image", "webp", "vp8"),
+)
+def image_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSY WebP path (VP8 keyframes, RFC 6386) gated end-to-end:
+    per document one of six committed libwebp-encoded payloads
+    (operators/vp8_fixtures.py — default/low/high quality, 4 segments,
+    4 token partitions, simple loop filter) routes through
+    ``decode_image``'s magic-byte dispatch into the pure-Python VP8
+    decoder (operators/vp8.py) and the BT.601 RGB conversion, reducing
+    to the pinned integer stats.  The pins were computed from a decode
+    asserted BIT-EXACT in YUV against the system libwebp at fixture
+    generation time, so the oracle VALUES list is independent evidence,
+    not self-reference; DCT quantization makes a formula-based oracle
+    impossible for lossy streams, which is exactly why the payloads are
+    committed bytes rather than synthesized per row.
+
+    Scale shape: payload bytes never cross a shuffle (fixture lookup +
+    decode ride the scan partitioning inside one Arrow batch stage);
+    output is one bounded row per document."""
+    from ..operators.multimodal import MEDIA_SCHEMA, decoded_stats
+    from ..operators.vp8_fixtures import VP8_FIXTURES
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+
+    def _mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        VP8_FIXTURES[int(did) % len(VP8_FIXTURES)][1]
+                        for did in pdf["doc_id"]
+                    ],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = d.mapInPandas(_mk, schema=MEDIA_SCHEMA)
+    return decoded_stats(media).orderBy("media_id")
+
+
+@register(
     "video_avi_frame_features",
     oracle="""
     WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),

@@ -72,11 +72,11 @@ def test_decode_audio_wav_roundtrip():
 
 
 def test_unsupported_formats_still_raise():
-    # WebP lossless (VP8L) is a real path now; a lossy-VP8-only container
-    # is the remaining unsupported subset, and a chunk-less RIFF is
-    # MALFORMED rather than unsupported
+    # Both WebP paths (VP8L lossless, lossy VP8 keyframes) are real
+    # now; a lossy chunk with a garbage payload is MALFORMED (the VP8
+    # decoder's truncation contract), and so is a chunk-less RIFF
     lossy = b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00" + b"\x00" * 4
-    with pytest.raises(NotImplementedError, match="VP8L"):
+    with pytest.raises(ValueError, match="truncated VP8"):
         multimodal.decode_image(lossy, {})
     with pytest.raises(ValueError, match="VP8L chunk"):
         multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8, {})

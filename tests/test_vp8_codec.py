@@ -1,0 +1,165 @@
+"""Lossy-VP8 (WebP keyframe) golden tests (VERDICT r09 Next #7).
+
+The oracle here is stronger than the other codec suites' in-test
+encoders: the sandbox ships the system libwebp (Google's public
+reference implementation of the same RFC 6386 spec), bound via ctypes
+in operators/webp_native.py.  Every test encodes pixels through
+libwebp's REAL VP8 encoder and requires the pure-Python decoder in
+operators/vp8.py to reproduce libwebp's own decode BIT-EXACT on the
+raw YUV 4:2:0 planes — two independent implementations of the
+published spec agreeing on every byte, across:
+
+- all intra prediction paths (16x16 DC/V/H/TM and the ten 4x4
+  B-modes via noise content, which the encoder codes B_PRED-heavy);
+- the keyframe B-mode contexts (the RFC-vs-libwebp mode-numbering
+  permutation of kf_bmode_prob is pinned by a dedicated test);
+- coefficient token decode incl. the large-value categories, the
+  Y2/WHT path, segmentation (2-4 segments), multiple token
+  partitions (1/4/8), and quantizer extremes (quality 5..95);
+- both loop filters (simple + normal) across strength/sharpness,
+  including the common_adjust return-value subtlety (RFC 15.3: the
+  subblock filter's outer taps derive from F=c(a+4)>>3, not raw a);
+- partial macroblocks (odd dimensions) and 1x1/3x5 degenerates.
+
+Skips (rather than fails) only if the system libwebp is absent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rust_near_indexer_spark.operators import webp_native as wn
+from rust_near_indexer_spark.operators.vp8 import (
+    KF_B_MODE_PROBS,
+    decode_vp8,
+    decode_webp_vp8,
+)
+from rust_near_indexer_spark.operators.webp import decode_webp
+
+pytestmark = pytest.mark.skipif(
+    not wn.available(), reason="system libwebp not present"
+)
+
+
+def _mix(h: int, w: int, rng) -> np.ndarray:
+    """Smooth gradients (16x16 modes, skip MBs) + a noise patch
+    (B_PRED-heavy) — exercises mode diversity inside one frame."""
+    y, x = np.mgrid[0:h, 0:w]
+    base = ((x * 255 // max(w - 1, 1) + y * 128 // max(h - 1, 1)) // 2).astype(
+        np.uint8
+    )
+    img = np.stack([base, 255 - base, (base * 3).astype(np.uint8)], axis=2)
+    img[h // 4 : h // 2, w // 4 : w // 2] = rng.integers(
+        0, 256, (h // 2 - h // 4, w // 2 - w // 4, 3)
+    )
+    return img
+
+
+def _assert_yuv_exact(data: bytes) -> None:
+    ys, us, vs = wn.decode_yuv(data)
+    my, mu, mv = decode_webp_vp8(data)
+    np.testing.assert_array_equal(ys, my)
+    np.testing.assert_array_equal(us, mu)
+    np.testing.assert_array_equal(vs, mv)
+
+
+@pytest.mark.parametrize(
+    "shape", [(64, 64), (48, 80), (37, 53), (16, 16), (8, 8), (1, 1), (3, 5)]
+)
+@pytest.mark.parametrize("kind", ["noise", "mix", "flat"])
+def test_default_config_bit_exact(shape, kind):
+    h, w = shape
+    rng = np.random.default_rng(h * 1000 + w)
+    if kind == "noise":
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    elif kind == "mix":
+        img = _mix(h, w, rng)
+    else:
+        img = np.full((h, w, 3), 90, np.uint8)
+    _assert_yuv_exact(wn.encode_rgb_advanced(img))
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(quality=5.0),
+        dict(quality=50.0),
+        dict(quality=95.0),
+        dict(filter_strength=60, filter_sharpness=3),
+        dict(filter_strength=30, filter_sharpness=7, filter_type=0),
+        dict(autofilter=1),
+        dict(partitions=2),
+        dict(partitions=3),
+        dict(segments=4, sns_strength=80),
+        dict(segments=2, sns_strength=50, quality=30.0),
+        dict(method=0),
+        dict(method=6),
+    ],
+    ids=lambda c: ",".join(f"{k}={v}" for k, v in c.items()),
+)
+def test_encoder_settings_bit_exact(cfg):
+    rng = np.random.default_rng(11)
+    for img in (
+        rng.integers(0, 256, (64, 64, 3)).astype(np.uint8),
+        _mix(129, 65, rng),
+        _mix(37, 53, rng),
+    ):
+        _assert_yuv_exact(wn.encode_rgb_advanced(img, **cfg))
+
+
+def test_simple_api_encode_bit_exact():
+    rng = np.random.default_rng(5)
+    img = _mix(96, 112, rng)
+    for q in (20.0, 75.0):
+        _assert_yuv_exact(wn.encode_rgb(img, quality=q))
+
+
+def test_bmode_prob_table_is_rfc_numbered():
+    """kf_bmode_prob[0][0] is quoted in RFC 6386 13.5; and the table
+    must be stored in the RFC's B-mode numbering (B_LD=4, B_RD=5,
+    B_VR=6) — libwebp's copy permutes those three axes (its enum
+    swaps RD/VR/LD), which round 10 caught as a partition-0 desync on
+    exactly the mode-diverse (noise) frames."""
+    assert list(KF_B_MODE_PROBS[0][0]) == [231, 120, 48, 89, 115, 113, 120, 152, 112]
+    # Functional pin of the numbering: a B_PRED-heavy frame decodes
+    # bit-exact (any outer-axis permutation desyncs partition 0).
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    _assert_yuv_exact(wn.encode_rgb_advanced(img, filter_strength=0))
+
+
+def test_router_rgb_path():
+    """decode_webp routes 'VP8 ' chunks through the spec decoder and
+    converts YUV→RGB with the documented BT.601 + nearest-upsample
+    convention; against libwebp's RGB (fancy upsampler) the luma-driven
+    values stay within a small bound while YUV is bit-exact."""
+    rng = np.random.default_rng(9)
+    img = _mix(40, 56, rng)
+    data = bytes(wn.encode_rgb_advanced(img))
+    out = decode_webp(data)
+    assert out.shape == (40, 56, 3) and out.dtype == np.uint8
+    lib_rgb = wn.decode_rgba(data)[:, :, :3]
+    assert np.abs(out.astype(int) - lib_rgb.astype(int)).mean() < 8
+
+
+def test_non_keyframe_contract():
+    # keyframe flag is tag bit 0 == 0; flip it on a real stream
+    rng = np.random.default_rng(1)
+    data = bytearray(wn.encode_rgb_advanced(_mix(16, 16, rng)))
+    pos = data.index(b"VP8 ") + 8
+    data[pos] |= 1
+    with pytest.raises(NotImplementedError):
+        decode_webp_vp8(bytes(data))
+
+
+def test_truncation_contract():
+    rng = np.random.default_rng(2)
+    data = bytes(wn.encode_rgb_advanced(_mix(16, 16, rng)))
+    pos = data.index(b"VP8 ") + 8
+    with pytest.raises(ValueError):
+        decode_vp8(data[pos : pos + 8])
+    bad = bytearray(data)
+    bad[pos + 3] ^= 0xFF  # break the start code
+    with pytest.raises(ValueError):
+        decode_webp_vp8(bytes(bad))

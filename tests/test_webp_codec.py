@@ -685,10 +685,12 @@ def test_webp_meta_prefix_groups():
 # ---------------------------------------------------------------------------
 
 
-def test_webp_lossy_raises_notimplemented():
+def test_webp_lossy_routes_to_vp8_decoder():
+    # since round 10 a 'VP8 ' chunk routes to operators/vp8.py instead
+    # of raising; a garbage payload surfaces that decoder's ValueError
     payload = b"\x00" * 10
     data = b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP" + b"VP8 " + struct.pack("<I", len(payload)) + payload
-    with pytest.raises(NotImplementedError, match="lossy VP8"):
+    with pytest.raises(ValueError, match="keyframe start code"):
         decode_webp(data)
 
 
