@@ -13,8 +13,11 @@ unfilter + sub-byte unpack), baseline AND
 progressive DCT JPEG (canonical-Huffman entropy decode, spectral
 selection + successive approximation, matrix IDCT), PCM16 WAV audio,
 and MJPEG / raw-DIB frames inside RIFF/AVI video containers
-(``parse_avi``/``decode_video``).  Formats beyond those (WebP,
-lossless/arithmetic JPEG, MP3/OGG, non-MJPEG video codecs) raise
+(``parse_avi``/``decode_video``).  Lossless (SOF3) and ARITHMETIC
+(SOF9/SOF10, operators/jpeg_arith.py) JPEG decode for real too, and
+WebP routes to operators/webp.py (VP8L) / vp8.py (lossy keyframes).
+Formats beyond those (MP3/OGG full audio decode — metadata scanners
+exist, non-MJPEG video codecs, hierarchical JPEG) raise
 ``NotImplementedError`` under the same contract, which a production
 image swaps in without touching the Spark plumbing.
 ``extract_features`` remains the deterministic fake decode whose
@@ -463,6 +466,9 @@ def _decode_jpeg(data: bytes):
     frame = None
     progressive = False
     lossless = False
+    arith = False
+    dc_cond: dict[int, tuple] = {}  # DAC: DC table id -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: AC table id -> Kx
     precision = 8
     coefs: list | None = None  # progressive: per-comp (by, bx, 64) int32
     restart_interval = 0
@@ -491,9 +497,13 @@ def _decode_jpeg(data: bytes):
                 ).astype(np.int32)
                 qt[tid] = tbl.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
-            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless sequential
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
+            # sequential, SOF9/SOF10 arithmetic sequential/progressive
+            # (T.81 F.2.4 / G.1.3 over the Annex D QM decoder)
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if marker in (0xC9, 0xCA):
+                arith = True
             if marker == 0xC3:
                 lossless = True
                 if not 2 <= prec <= 8:
@@ -509,7 +519,7 @@ def _decode_jpeg(data: bytes):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, qid))
             frame = (h, w, comps)
-            if marker == 0xC2:
+            if marker in (0xC2, 0xCA):
                 progressive = True
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
@@ -519,12 +529,22 @@ def _decode_jpeg(data: bytes):
                     np.zeros((mcuy * cv, mcux * ch, 64), np.int32)
                     for _cid, ch, cv, _q in comps
                 ]
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline, progressive, and lossless-sequential "
-                f"JPEG are supported (SOF marker 0x{marker:02X})"
+                "only baseline, progressive (Huffman or arithmetic), "
+                "lossless-sequential, and arithmetic-sequential JPEG "
+                f"are supported (SOF marker 0x{marker:02X})"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0xF
+                if tc == 0:
+                    dc_cond[tb] = (seg[i + 1] & 0xF, seg[i + 1] >> 4)
+                else:
+                    ac_cond[tb] = seg[i + 1]
+                i += 2
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -541,6 +561,44 @@ def _decode_jpeg(data: bytes):
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if arith:
+                # arithmetic SOS: table selectors index DAC
+                # conditioning, not Huffman tables
+                a_scan = []
+                for s in range(ns):
+                    cid, tsel = seg[1 + 2 * s], seg[2 + 2 * s]
+                    ci = next(
+                        i for i, c in enumerate(frame[2]) if c[0] == cid
+                    )
+                    a_scan.append((ci, tsel >> 4, tsel & 0xF))
+                from .jpeg_arith import (
+                    decode_progressive_scan,
+                    decode_sequential_scan,
+                )
+
+                if progressive:
+                    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+                    pos = decode_progressive_scan(
+                        data, pos, frame, a_scan, ss, se, ah, al,
+                        dc_cond, ac_cond, restart_interval, coefs,
+                        _JPEG_ZIGZAG,
+                    )
+                    continue
+                h, w, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coefs = [
+                    np.zeros((mcuy * cv, mcux * ch, 64), np.int32)
+                    for _cid, ch, cv, _q in comps
+                ]
+                decode_sequential_scan(
+                    data, pos, frame, a_scan, dc_cond, ac_cond,
+                    restart_interval, coefs, _JPEG_ZIGZAG,
+                )
+                return _jpeg_from_coefs(frame, qt, coefs)
             scan = []  # (comp_index, dc_table, ac_table) — either may be
             # absent for progressive scans that don't need it
             for s in range(ns):
@@ -958,9 +1016,11 @@ def decode_image(payload: bytes, meta: dict):
     (``_decode_jpeg``), WebP lossless (operators/webp.py), GIF 87a/89a
     incl. animation compositing (operators/gif.py), BMP incl. RLE and
     bitfields (operators/bmp.py), and baseline TIFF incl. LZW/PackBits
-    (operators/tiff.py).  Remaining formats (lossy-VP8 WebP,
-    arithmetic/hierarchical JPEG) raise ``NotImplementedError`` with
-    the same contract; a deployment with PIL/opencv extends the
+    (operators/tiff.py), lossy-VP8 WebP keyframes (operators/vp8.py,
+    bit-exact in YUV vs the system libwebp), and arithmetic-coded JPEG
+    (SOF9/SOF10, operators/jpeg_arith.py, coefficient-exact vs the
+    system libjpeg).  Remaining formats (hierarchical/differential
+    JPEG) raise ``NotImplementedError`` with the same contract; a deployment with PIL/opencv extends the
     magic-byte dispatch below, and the mapInPandas plumbing around it
     is unchanged.  Runs inside the Arrow batch iterator, one batch at
     a time, never on the driver.

@@ -312,14 +312,14 @@ def test_jpeg_dc_quantization_applies():
 
 
 def test_jpeg_remaining_sof_contract():
-    """Lossless (SOF3) is now decoded for real (see the golden tests at
-    the bottom); hierarchical/arithmetic still raise the documented
-    contract."""
+    """Lossless (SOF3) and arithmetic-sequential (SOF9,
+    tests/test_jpeg_arith.py) are decoded for real now;
+    hierarchical/differential still raise the documented contract."""
     img = _raster(8, 8, 1)
-    with pytest.raises(NotImplementedError, match="lossless-sequential"):
-        multimodal.decode_image(_encode_jpeg(img, sof=0xC9), {})
-    with pytest.raises(NotImplementedError, match="lossless-sequential"):
+    with pytest.raises(NotImplementedError, match="arithmetic-sequential"):
         multimodal.decode_image(_encode_jpeg(img, sof=0xC5), {})
+    with pytest.raises(NotImplementedError, match="arithmetic-sequential"):
+        multimodal.decode_image(_encode_jpeg(img, sof=0xCE), {})
 
 
 # --- progressive JPEG: spectral selection + successive approximation ------

@@ -187,6 +187,19 @@ def test_lm_bigram_score_partial_aggregates(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_token_cms_partial_aggregation_and_broadcast_probe(spark, sf_dir):
+    """The count-min sketch must combine map-side (≤256 cells leave
+    each task, one small shuffle) and probe the cells via broadcast —
+    the shape VERDICT r09 #4 asked to pin while adjudicating the
+    0.8→1.1s drift (measured: plan unchanged since r08; the residual
+    delta is session warmth, reps in PLANS_r10)."""
+    plan = _plan(spark, "token_cms_heavy_hitters", sf_dir)
+    assert "partial_count" in plan  # map-side combine engaged
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_importance_sample_broadcasts_totals(spark, sf_dir):
     """DSIR sampling must broadcast the 1-row corpus totals (never
     shuffle-join a scalar) and keep the token counts as window passes —
