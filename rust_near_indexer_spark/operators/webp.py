@@ -8,7 +8,10 @@ independently written in-test VP8L encoder and asserts bit-exact
 round-trips across the entropy layer and transforms.  Lossy VP8
 keyframes decode via the RFC 6386 implementation in operators/vp8.py
 (bit-exact in YUV against the system libwebp, tests/test_vp8_codec.py)
-and convert to RGB here.
+and convert to RGB here; ALPH alpha planes (raw and headerless-VP8L
+compressed, all three predictor filters) attach as a 4th channel, and
+VP8X/ANIM/ANMF animations composite through ``decode_webp_frames``
+(blend + dispose-to-background, the GIF-animation surface shape).
 
 Implemented (the full lossless bitstream spec, RIFF container):
 - RIFF/WEBP chunk walk (VP8X-wrapped VP8L included);
@@ -435,6 +438,63 @@ def _apply_transforms(pixels, transforms, w: int, h: int):
     return pixels, w
 
 
+def _decode_alpha(payload: bytes, w: int, h: int):
+    """ALPH chunk → (h, w) uint8 alpha plane (the lossy-with-alpha
+    path: a VP8 color frame plus a separately coded alpha plane).
+
+    Header byte: bits 0-1 compression (0 = raw, 1 = a HEADERLESS VP8L
+    image stream whose GREEN channel is the plane), bits 2-3 filtering
+    (none / horizontal / vertical / gradient predictors, inverted here
+    after decompression), bits 4-5 pre-processing (encoder-side level
+    reduction — nothing to invert).  Golden-gated against libwebp's
+    own RGBA decode in tests/test_vp8_codec.py."""
+    import numpy as np
+
+    if not payload:
+        raise ValueError("empty WebP ALPH chunk")
+    head = payload[0]
+    method = head & 3
+    filt = (head >> 2) & 3
+    if method == 0:
+        raw = payload[1 : 1 + w * h]
+        if len(raw) < w * h:
+            raise ValueError("truncated raw WebP alpha plane")
+        plane = np.frombuffer(raw, np.uint8).reshape(h, w).astype(np.int32)
+    elif method == 1:
+        br = _Bits(payload, 1)
+        pixels, transforms = _decode_image_stream(br, w, h, True)
+        pixels, w2 = _apply_transforms(pixels, transforms, w, h)
+        if w2 != w:
+            raise ValueError("WebP alpha stream width mismatch")
+        arr = np.array(pixels, dtype=np.uint8).reshape(h, w, 4)
+        plane = arr[:, :, 2].astype(np.int32)  # green channel (A,R,G,B)
+    else:
+        raise ValueError(f"reserved WebP alpha compression method {method}")
+    if filt:
+        out = np.zeros((h, w), np.int32)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif filt == 1:  # horizontal
+                    pred = out[y, x - 1] if x else out[y - 1, x]
+                elif filt == 2:  # vertical
+                    pred = out[y - 1, x] if y else out[y, x - 1]
+                else:  # gradient
+                    if y == 0:
+                        pred = out[y, x - 1]
+                    elif x == 0:
+                        pred = out[y - 1, x]
+                    else:
+                        g = int(out[y, x - 1]) + int(out[y - 1, x]) - int(
+                            out[y - 1, x - 1]
+                        )
+                        pred = min(255, max(0, g))
+                out[y, x] = (plane[y, x] + pred) & 0xFF
+        plane = out
+    return plane.astype(np.uint8)
+
+
 def decode_webp(data: bytes):
     """RIFF/WEBP → HWC uint8 (RGBA when the stream declares alpha,
     RGB otherwise).  Lossless (VP8L) decodes bit-exact; lossy VP8
@@ -448,10 +508,13 @@ def decode_webp(data: bytes):
         raise ValueError("not a RIFF/WEBP payload")
     pos = 12
     vp8l = None
+    alph = None
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"ALPH":
+            alph = payload  # precedes the VP8 chunk in extended files
         if fourcc == b"VP8L":
             vp8l = payload
             break
@@ -471,7 +534,11 @@ def decode_webp(data: bytes):
                 ],
                 axis=2,
             )
-            return np.clip(np.round(img), 0, 255).astype(np.uint8)
+            rgb = np.clip(np.round(img), 0, 255).astype(np.uint8)
+            if alph is None:
+                return rgb
+            a = _decode_alpha(alph, w, h)
+            return np.concatenate([rgb, a[:, :, None]], axis=2)
         pos += 8 + size + (size & 1)
     if vp8l is None:
         raise ValueError("RIFF/WEBP without a VP8L chunk")
@@ -574,3 +641,111 @@ def synth_webp_gray(seed: int, w: int, h: int) -> bytes:
     if len(vp8l) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM/ANMF) — same surface shape as the GIF
+# animation API: full composited frame list + the first frame for the
+# decode_image contract.
+# ---------------------------------------------------------------------------
+
+
+def _decode_frame_payload(payload: bytes):
+    """ANMF frame data → (h, w, 4) uint8 RGBA via the still decoders
+    (an ALPH subchunk may precede the VP8 one; VP8L carries its own
+    alpha)."""
+    import numpy as np
+
+    wrapped = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(payload))
+        + b"WEBP"
+        + payload
+    )
+    out = decode_webp(wrapped)
+    if out.shape[2] == 3:
+        out = np.concatenate(
+            [out, np.full(out.shape[:2] + (1,), 255, np.uint8)], axis=2
+        )
+    return out
+
+
+def decode_webp_frames(data: bytes):
+    """Animated WebP: list of composited HWC uint8 RGBA canvas frames
+    (one per ANMF chunk), honoring the per-frame blend flag (straight
+    alpha compositing, T.81-free integer-exact via the float formula
+    rounded once) and dispose-to-background.  The canvas starts fully
+    transparent (the ANIM background color is a hint most renderers
+    ignore; transparent-start is the browser behavior, same choice the
+    GIF decoder documents for its unobservable initial state).  A
+    non-animated still decodes as a single full-canvas frame."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    pos = 12
+    frames = []
+    animated = False
+    canvas = None
+    cw = ch = None
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X":
+            if len(payload) < 10:
+                raise ValueError("short VP8X chunk")
+            animated = bool(payload[0] & 0x02)
+            cw = 1 + int.from_bytes(payload[4:7], "little")
+            ch = 1 + int.from_bytes(payload[7:10], "little")
+            canvas = np.zeros((ch, cw, 4), np.uint8)
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before VP8X")
+            fx = 2 * int.from_bytes(payload[0:3], "little")
+            fy = 2 * int.from_bytes(payload[3:6], "little")
+            fw = 1 + int.from_bytes(payload[6:9], "little")
+            fh = 1 + int.from_bytes(payload[9:12], "little")
+            flags = payload[15]
+            blend = not (flags & 0x02)  # bit set = do NOT blend
+            dispose_bg = bool(flags & 0x01)
+            frame = _decode_frame_payload(bytes(payload[16:]))
+            if frame.shape[:2] != (fh, fw):
+                raise ValueError(
+                    f"ANMF geometry {fh}x{fw} != decoded {frame.shape[:2]}"
+                )
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("ANMF frame exceeds the canvas")
+            dst = canvas[fy : fy + fh, fx : fx + fw].astype(np.float64)
+            src = frame.astype(np.float64)
+            if blend:
+                sa = src[:, :, 3:4] / 255.0
+                da = dst[:, :, 3:4] / 255.0
+                oa = sa + da * (1.0 - sa)
+                rgb = np.where(
+                    oa > 0,
+                    (src[:, :, :3] * sa + dst[:, :, :3] * da * (1.0 - sa))
+                    / np.maximum(oa, 1e-12),
+                    0.0,
+                )
+                comp = np.concatenate([rgb, oa * 255.0], axis=2)
+            else:
+                comp = src
+            canvas[fy : fy + fh, fx : fx + fw] = np.clip(
+                np.round(comp), 0, 255
+            ).astype(np.uint8)
+            frames.append(canvas.copy())
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+        pos += 8 + size + (size & 1)
+    if not animated or not frames:
+        # still image (possibly VP8X-wrapped): one full-canvas frame
+        import numpy as np
+
+        out = decode_webp(data)
+        if out.shape[2] == 3:
+            out = np.concatenate(
+                [out, np.full(out.shape[:2] + (1,), 255, np.uint8)], axis=2
+            )
+        return [out]
+    return frames

@@ -220,11 +220,20 @@ def encode_rgb_advanced(arr, **overrides) -> bytes:
         raise RuntimeError("libwebp ABI mismatch (WebPPictureInit)")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     pic.height, pic.width = arr.shape[0], arr.shape[1]
-    pic.use_argb = 0  # import converts straight to YUV 4:2:0
-    if not lib.WebPPictureImportRGB(
-        byref(pic), arr.ctypes.data_as(POINTER(c_ubyte)), arr.shape[1] * 3
-    ):
-        raise ValueError("WebPPictureImportRGB failed")
+    nch = arr.shape[2]
+    if nch == 4:
+        # lossy + alpha: the encoder emits VP8X + ALPH + VP8
+        pic.use_argb = 1
+        ok = lib.WebPPictureImportRGBA(
+            byref(pic), arr.ctypes.data_as(POINTER(c_ubyte)), arr.shape[1] * 4
+        )
+    else:
+        pic.use_argb = 0  # import converts straight to YUV 4:2:0
+        ok = lib.WebPPictureImportRGB(
+            byref(pic), arr.ctypes.data_as(POINTER(c_ubyte)), arr.shape[1] * 3
+        )
+    if not ok:
+        raise ValueError("WebPPictureImportRGB(A) failed")
     wr = _MemoryWriter()
     lib.WebPMemoryWriterInit(byref(wr))
     pic.writer = ctypes.cast(lib.WebPMemoryWrite, c_void_p)

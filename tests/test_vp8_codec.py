@@ -163,3 +163,106 @@ def test_truncation_contract():
     bad[pos + 3] ^= 0xFF  # break the start code
     with pytest.raises(ValueError):
         decode_webp_vp8(bytes(bad))
+
+
+# --- lossy + alpha (ALPH chunk) ---------------------------------------------
+
+
+def _forward_filter(a, filt):
+    """Encoder-side alpha filtering (the inverse of webp._decode_alpha's
+    predictors) — implemented here independently for the synthetic
+    golden cases below."""
+    h, w = a.shape
+    res = np.zeros_like(a, dtype=np.int32)
+    ai = a.astype(np.int32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif filt == 1:
+                pred = ai[y, x - 1] if x else ai[y - 1, x]
+            elif filt == 2:
+                pred = ai[y - 1, x] if y else ai[y, x - 1]
+            else:
+                if y == 0:
+                    pred = ai[y, x - 1]
+                elif x == 0:
+                    pred = ai[y - 1, x]
+                else:
+                    pred = min(255, max(0, int(ai[y, x - 1]) + int(ai[y - 1, x])
+                                        - int(ai[y - 1, x - 1])))
+            res[y, x] = (ai[y, x] - pred) & 0xFF
+    return res.astype(np.uint8)
+
+
+def _replace_alph(container: bytes, new_alph: bytes) -> bytes:
+    import struct
+
+    pos, out = 12, bytearray(container[:12])
+    while pos + 8 <= len(container):
+        fourcc = container[pos : pos + 4]
+        (size,) = struct.unpack("<I", container[pos + 4 : pos + 8])
+        payload = container[pos + 8 : pos + 8 + size]
+        if fourcc == b"ALPH":
+            payload = new_alph
+        out += fourcc + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            out += b"\x00"
+        pos += 8 + size + (size & 1)
+    full = bytes(out)
+    return full[:4] + struct.pack("<I", len(full) - 8) + full[8:]
+
+
+@pytest.mark.parametrize("alpha_compression", [0, 1])
+@pytest.mark.parametrize("kind", ["smooth", "noisy", "mask"])
+def test_alpha_plane_exact(alpha_compression, kind):
+    """Lossy WebP with alpha: the ALPH plane (raw and VP8L-compressed)
+    must decode byte-exact vs libwebp's own RGBA output."""
+    rng = np.random.default_rng(hash((alpha_compression, kind)) % 2**31)
+    h, w = 40, 56
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    if kind == "smooth":
+        a = np.repeat(np.linspace(0, 255, h).astype(np.uint8).reshape(h, 1), w, 1)
+    elif kind == "noisy":
+        a = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    else:
+        a = ((np.add.outer(np.arange(h), np.arange(w)) % 7 < 3)
+             .astype(np.uint8) * 255)
+    img = np.concatenate([rgb, a[:, :, None]], 2)
+    data = bytes(
+        wn.encode_rgb_advanced(img, alpha_compression=alpha_compression)
+    )
+    assert b"ALPH" in data
+    ref = wn.decode_rgba(data)
+    out = decode_webp(data)
+    assert out.shape == (h, w, 4)
+    np.testing.assert_array_equal(ref[:, :, 3], out[:, :, 3])
+    # color part rides the already-gated VP8 path (bit-exact in YUV);
+    # vs libwebp's RGB the fancy-vs-nearest chroma upsampler diverges
+    # most on noise content, so this is a loose sanity bound only
+    assert np.abs(out[:, :, :3].astype(int) - ref[:, :, :3].astype(int)).mean() < 16
+
+
+@pytest.mark.parametrize("filt", [1, 2, 3])
+def test_alpha_filters_match_libwebp(filt):
+    """The system encoder never emits filtered ALPH chunks for our
+    content, so the three predictor inversions are pinned with
+    synthetic chunks (independent forward filter, raw method) that
+    LIBWEBP ITSELF must also decode back to the original plane."""
+    rng = np.random.default_rng(4)
+    h, w = 33, 47
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    alpha = ((np.add.outer(np.arange(h) * 3, np.arange(w) * 2)) % 256).astype(
+        np.uint8
+    )
+    base = bytes(
+        wn.encode_rgb_advanced(
+            np.concatenate([rgb, alpha[:, :, None]], 2), quality=60.0
+        )
+    )
+    alph = bytes([filt << 2]) + _forward_filter(alpha, filt).tobytes()
+    data = _replace_alph(base, alph)
+    ref = wn.decode_rgba(data)
+    out = decode_webp(data)
+    np.testing.assert_array_equal(ref[:, :, 3], alpha)  # oracle self-check
+    np.testing.assert_array_equal(out[:, :, 3], alpha)

@@ -761,3 +761,123 @@ def test_webp_vp8x_wrapped_vp8l():
     riff = b"RIFF" + struct.pack("<I", 4 + len(vp8x) + len(vp8l_chunk)) + b"WEBP" + vp8x + vp8l_chunk
     got = decode_webp(riff)
     assert np.array_equal(got, _to_rgba(_expand_tokens(tokens, 3), 2, 3))
+
+
+# --- animated WebP (VP8X + ANIM/ANMF) ---------------------------------------
+
+
+def _still_chunks(still: bytes) -> bytes:
+    """Extract the image chunks (ALPH?/VP8 /VP8L) from a still WebP —
+    part of the independent in-test animation muxer."""
+    pos, out = 12, b""
+    while pos + 8 <= len(still):
+        fourcc = still[pos : pos + 4]
+        (size,) = struct.unpack("<I", still[pos + 4 : pos + 8])
+        if fourcc in (b"ALPH", b"VP8 ", b"VP8L"):
+            out += still[pos : pos + 8 + size] + (b"\x00" if size & 1 else b"")
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def _mux_anim(cw, ch, frames):
+    """Independent ANMF muxer: frames = (x, y, fw, fh, still_bytes,
+    blend, dispose_bg) tuples; offsets must be even (stored /2)."""
+    body = (
+        b"VP8X"
+        + struct.pack("<I", 10)
+        + bytes([0x02 | 0x10, 0, 0, 0])
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little")
+    )
+    body += b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6
+    for x, y, fw, fh, still, blend, dispose in frames:
+        payload = (x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little")
+        payload += (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+        payload += (40).to_bytes(3, "little")
+        payload += bytes([(0 if blend else 2) | (1 if dispose else 0)])
+        payload += _still_chunks(still)
+        body += (
+            b"ANMF"
+            + struct.pack("<I", len(payload))
+            + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+    full = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(full) - 4 + 4) + full
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "rust_near_indexer_spark.operators.webp_native", fromlist=["available"]
+    ).available(),
+    reason="system libwebp not present (frame encoder)",
+)
+def test_animated_webp_compositing():
+    """Blend (binary alpha = exact replace/keep), subrect placement,
+    dispose-to-background, and the still→single-frame contract, with
+    the expected canvases computed independently in numpy."""
+    from rust_near_indexer_spark.operators import webp_native as wn
+    from rust_near_indexer_spark.operators.webp import (
+        decode_webp,
+        decode_webp_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    f1 = bytes(wn.encode_rgb_advanced(rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)))
+    patch = rng.integers(0, 256, (8, 12, 4)).astype(np.uint8)
+    patch[:, :, 3] = np.where(
+        np.add.outer(np.arange(8), np.arange(12)) % 2 == 0, 255, 0
+    ).astype(np.uint8)
+    f2 = bytes(wn.encode_rgb_advanced(patch, lossless=1))
+    anim = _mux_anim(
+        48,
+        32,
+        [
+            (0, 0, 48, 32, f1, False, False),
+            (4, 6, 12, 8, f2, True, True),
+            (0, 0, 48, 32, f1, True, False),
+        ],
+    )
+    frames = decode_webp_frames(anim)
+    assert len(frames) == 3 and frames[0].shape == (32, 48, 4)
+    e1 = decode_webp(f1)
+    assert np.array_equal(frames[0][:, :, :3], e1)
+    assert (frames[0][:, :, 3] == 255).all()
+    exp = frames[0].copy()
+    p = decode_webp(f2)
+    mask = p[:, :, 3] == 255
+    region = exp[6:14, 4:16]
+    region[mask] = p[mask]
+    exp[6:14, 4:16] = region
+    np.testing.assert_array_equal(frames[1], exp)
+    # dispose-to-bg cleared the patch rect; the opaque full-canvas
+    # frame 3 then restores the frame-1 state exactly
+    np.testing.assert_array_equal(frames[2], frames[0])
+    assert len(decode_webp_frames(f1)) == 1
+
+
+def test_animated_webp_fractional_blend():
+    """Straight alpha compositing at fractional alpha, against an
+    independently computed expectation (documented convention:
+    float formula, one final round)."""
+    from rust_near_indexer_spark.operators.webp import (
+        decode_webp_frames,
+        synth_webp_gray,
+    )
+
+    # build two tiny VP8L stills via the product synthesizer, then
+    # patch alpha... simpler: lossless RGBA via the in-test encoder
+    base = _encode_webp(4, 4, [("lit", (255, 10, 200, 30))] * 16)
+    over = _encode_webp(4, 4, [("lit", (128, 250, 40, 90))] * 16)
+    anim = _mux_anim(
+        4, 4,
+        [(0, 0, 4, 4, base, True, False), (0, 0, 4, 4, over, True, False)],
+    )
+    frames = decode_webp_frames(anim)
+    sa, da = 128 / 255.0, 1.0
+    oa = sa + da * (1 - sa)
+    exp_rgb = [
+        round((s * sa + d * da * (1 - sa)) / oa)
+        for s, d in ((250, 10), (40, 200), (90, 30))
+    ]
+    assert frames[1][0, 0].tolist() == exp_rgb + [round(oa * 255)]
