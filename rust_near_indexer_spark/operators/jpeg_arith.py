@@ -295,38 +295,10 @@ def decode_sequential_scan(
                 for bx in range(ch):
                     block = coefs[ci][my * cv + by][mx * ch + bx]
                     # ---- DC (F.2.4.1): difference from conditioning ctx
-                    base = dc_ctx[ci]
-                    if dec.decode(dst, base) == 0:
-                        dc_ctx[ci] = 0
-                    else:
-                        sign = dec.decode(dst, base + 1)
-                        sti = base + 2 + sign
-                        m = dec.decode(dst, sti)
-                        if m:
-                            sti = 20  # Table F.4: X1 bin
-                            while dec.decode(dst, sti):
-                                m <<= 1
-                                if m == 0x8000:
-                                    raise ValueError(
-                                        "JPEG arithmetic DC magnitude overflow"
-                                    )
-                                sti += 1
-                        # F.1.4.4.1.2: next block's conditioning class
-                        if m < (1 << L) >> 1:
-                            dc_ctx[ci] = 0
-                        elif m > (1 << U) >> 1:
-                            dc_ctx[ci] = 12 + 4 * sign
-                        else:
-                            dc_ctx[ci] = 4 + 4 * sign
-                        v = m
-                        sti += 14  # M bins (one shared bin per category)
-                        mm = m
-                        while mm > 1:
-                            mm >>= 1
-                            if dec.decode(dst, sti):
-                                v |= mm
-                        v += 1
-                        last_dc[ci] += -v if sign else v
+                    diff, dc_ctx[ci] = _decode_dc_diff(
+                        dec, dst, dc_ctx[ci], L, U
+                    )
+                    last_dc[ci] += diff
                     block[0] = last_dc[ci]
                     # ---- AC (F.2.4.2): per-index three-bin contexts
                     k = 1

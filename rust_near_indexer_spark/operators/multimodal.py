@@ -585,6 +585,15 @@ def _decode_jpeg(data: bytes):
                         _JPEG_ZIGZAG,
                     )
                     continue
+                if ns != len(frame[2]):
+                    # decode_sequential_scan walks the interleaved MCU
+                    # grid; a component-subset scan (legal but which no
+                    # mainstream encoder emits for sequential) would
+                    # desync rather than decode — refuse loudly
+                    raise NotImplementedError(
+                        "non-interleaved (multi-scan) sequential "
+                        "arithmetic JPEG"
+                    )
                 h, w, comps = frame
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
@@ -783,6 +792,26 @@ def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):
     return _jpeg_to_image(frame, planes)
 
 
+def ycc_to_rgb(y, cb, cr):
+    """Full-range BT.601 YCbCr → RGB, float in / uint8 HWC out — THE
+    conversion convention for every codec in this repo (JPEG here, and
+    lossy-VP8 WebP in operators/webp.py routes through this same
+    function so the two paths cannot drift)."""
+    import numpy as np
+
+    cb = cb - 128.0
+    cr = cr - 128.0
+    img = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
 def _jpeg_to_image(frame, planes):
     """Shared tail of both JPEG paths: component planes → chroma
     upsample → YCbCr→RGB → HWC uint8."""
@@ -801,19 +830,10 @@ def _jpeg_to_image(frame, planes):
         out.append(p[:h, :w])
     if len(out) == 1:
         img = out[0][:, :, None]
-    elif len(out) == 3:
-        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-        img = np.stack(
-            [
-                y + 1.402 * cr,
-                y - 0.344136 * cb - 0.714136 * cr,
-                y + 1.772 * cb,
-            ],
-            axis=2,
-        )
-    else:
-        raise NotImplementedError(f"{len(out)}-component JPEG")
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+        return np.clip(np.round(img), 0, 255).astype(np.uint8)
+    if len(out) == 3:
+        return ycc_to_rgb(out[0], out[1], out[2])
+    raise NotImplementedError(f"{len(out)}-component JPEG")
 
 
 # ---------------------------------------------------------------------------

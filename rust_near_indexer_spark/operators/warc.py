@@ -241,22 +241,35 @@ def warc_member_ranges(data: bytes) -> list[tuple[int, int]]:
     """
     data = bytes(data)
     if data[:2] == b"\x1f\x8b":
+        # Feed fixed-size windows from a memoryview instead of handing
+        # each decompressobj the whole remaining tail: unused_data then
+        # copies at most one window per member (the old form copied the
+        # ~half-archive average tail per member — quadratic on the
+        # 1 GB x 50k-member archives this index pass exists for).  The
+        # window is sized near the typical compressed-record size so
+        # the per-member overcopy stays small; multi-window members
+        # just loop.
         ranges = []
+        mv = memoryview(data)
+        n = len(data)
+        chunk = 64 << 10
         pos = 0
-        view = data
-        while view:
+        while pos < n:
             d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-            try:
-                d.decompress(view)
-            except zlib.error as exc:
-                raise ValueError(f"corrupt gzip member in WARC: {exc}") from exc
-            d.flush()
+            p = pos
+            while p < n and not d.eof:
+                window = mv[p : p + chunk]
+                try:
+                    d.decompress(window)  # output discarded per window
+                except zlib.error as exc:
+                    raise ValueError(
+                        f"corrupt gzip member in WARC: {exc}"
+                    ) from exc
+                p += len(window) - len(d.unused_data)
             if not d.eof:
                 raise ValueError("truncated gzip member in WARC")
-            consumed = len(view) - len(d.unused_data)
-            ranges.append((pos, consumed))
-            pos += consumed
-            view = d.unused_data
+            ranges.append((pos, p - pos))
+            pos = p
         if not ranges:
             raise ValueError("no WARC records found")
         return ranges

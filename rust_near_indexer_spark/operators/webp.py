@@ -513,6 +513,11 @@ def decode_webp(data: bytes):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"ANMF":
+            # animation: the image chunks live inside ANMF payloads,
+            # not at the top level — composite and return the first
+            # canvas frame (the decode_image contract, as for GIF)
+            return decode_webp_frames(data)[0]
         if fourcc == b"ALPH":
             alph = payload  # precedes the VP8 chunk in extended files
         if fourcc == b"VP8L":
@@ -521,20 +526,13 @@ def decode_webp(data: bytes):
         if fourcc == b"VP8 ":
             from .vp8 import decode_vp8
 
+            from .multimodal import ycc_to_rgb
+
             y, u, v = decode_vp8(payload)
             h, w = y.shape
             cb = np.repeat(np.repeat(u, 2, 0), 2, 1)[:h, :w].astype(np.float64)
             cr = np.repeat(np.repeat(v, 2, 0), 2, 1)[:h, :w].astype(np.float64)
-            yf, cb, cr = y.astype(np.float64), cb - 128.0, cr - 128.0
-            img = np.stack(
-                [
-                    yf + 1.402 * cr,
-                    yf - 0.344136 * cb - 0.714136 * cr,
-                    yf + 1.772 * cb,
-                ],
-                axis=2,
-            )
-            rgb = np.clip(np.round(img), 0, 255).astype(np.uint8)
+            rgb = ycc_to_rgb(y.astype(np.float64), cb, cr)
             if alph is None:
                 return rgb
             a = _decode_alpha(alph, w, h)

@@ -213,7 +213,7 @@ def image_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.dim0 AS BIGINT) AS dim0, CAST(p.dim1 AS BIGINT) AS dim1,
            CAST(p.n_values AS BIGINT) AS n_values,
            CAST(p.mean_milli AS BIGINT) AS mean_milli
-    FROM documents d JOIN pins p ON d.doc_id % 6 = p.fi
+    FROM documents d JOIN pins p ON (d.doc_id % 6 + 6) % 6 = p.fi
     ORDER BY media_id
     """,
     tags=("llm", "multimodal", "image", "webp", "vp8"),

@@ -250,3 +250,21 @@ def test_state_table_is_spec_table_d3():
     assert ARITH_STATE_TABLE[112] == (0x59EB, 0xF0, 111)
     assert ARITH_STATE_TABLE[113] == (0x5A1D, 0x71, 113)
     assert len(ARITH_STATE_TABLE) == 114
+
+
+def test_multi_scan_sequential_arith_refused(tool):
+    """A component-subset sequential arithmetic scan would desync the
+    interleaved MCU walk — pin that it raises instead of decoding
+    silently wrong (review r10 finding)."""
+    rng = np.random.default_rng(8)
+    jpg = bytearray(_enc(tool, rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)))
+    # rewrite the SOS to claim a single component (ns=1, comp 1 only)
+    i = jpg.index(b"\xff\xda")
+    ln = (jpg[i + 2] << 8) | jpg[i + 3]
+    # original: ns=3 with 3 (cid, tsel) pairs; new: ns=1 keeping comp 1
+    new_sos = bytes([0xFF, 0xDA, 0, 8, 1, jpg[i + 5], jpg[i + 6]]) + bytes(
+        jpg[i + 2 + ln - 3 : i + 2 + ln]
+    )
+    patched = bytes(jpg[:i]) + new_sos + bytes(jpg[i + 2 + ln :])
+    with pytest.raises((NotImplementedError, ValueError)):
+        _decode_jpeg(patched)

@@ -881,3 +881,21 @@ def test_animated_webp_fractional_blend():
         for s, d in ((250, 10), (40, 200), (90, 30))
     ]
     assert frames[1][0, 0].tolist() == exp_rgb + [round(oa * 255)]
+
+
+def test_animated_webp_routes_through_decode_image():
+    """decode_image must not drop animations: the router returns the
+    first composited canvas frame (review r10 finding — ANMF nests the
+    image chunks, so the plain chunk walk alone would raise)."""
+    from rust_near_indexer_spark.operators import webp_native as wn
+    from rust_near_indexer_spark.operators.multimodal import decode_image
+    from rust_near_indexer_spark.operators.webp import decode_webp
+
+    if not wn.available():
+        pytest.skip("system libwebp not present")
+    rng = np.random.default_rng(7)
+    f1 = bytes(wn.encode_rgb_advanced(rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)))
+    anim = _mux_anim(48, 32, [(0, 0, 48, 32, f1, False, False)])
+    out = decode_image(anim, {})
+    assert out.shape == (32, 48, 4)
+    np.testing.assert_array_equal(out[:, :, :3], decode_webp(f1))
