@@ -215,7 +215,7 @@ def write_outputs(results, reps, sf3_reps, have_sf3, have_sf10) -> int:
     lines = [
         MARK_A,
         "",
-        "## The sf1 decade (round 9 refresh)",
+        "## The sf1 decade (round 10 refresh)",
         "",
         "The 100 TB arguments extrapolated from sf0.1; this table adds a",
         "decade (sf1 = `scripts/make_sf1.py`, key-shifted 10x replication",
