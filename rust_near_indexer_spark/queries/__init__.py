@@ -58,80 +58,112 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = (), doc: str
 # to any observed gate length; unlisted queries follow in registration
 # order.
 GATE_PRIORITY: tuple[str, ...] = (
-    # ---- round-10 prefix rotation (VERDICT r09 #5): 34 of the 50
-    # entries below have never had a driver-green row in any prior
-    # CORRECTNESS_r*.json — the whole never-driver-checked backlog of
-    # the clustering / sampling / temporal / profiling / audio-video
-    # families rotates IN; rows green in r08+r09 rotate to the tail.
-    # A 16-entry class backbone (bronze → silver → gold, dedup, ANN,
-    # WARC, codec router, CMS) stays so ANY prefix truncation still
-    # touches every operator family.  Presentation only: the FULL
-    # registry is gated by scripts/run_gate.py at both SFs each round.
-    # NEAR pipeline backbone (R5-R25 classes)
+    # ---- round-11 prefix rotation (VERDICT r10 #1): the 42 queries
+    # that have NEVER had a driver-green row in any CORRECTNESS_r*.json
+    # rotate into positions 9-50, behind an 8-entry class backbone
+    # (NEAR bronze/silver/gold/R25 + codec router + lossy-WebP gate +
+    # WARC ingest) so ANY prefix truncation still touches every
+    # operator family.  8 + 42 = the 50-entry prefix the driver has
+    # sampled each round; after r11 every one of the 154 registry
+    # queries has a driver-green row in some round.  Presentation
+    # only: the FULL registry is gated by scripts/run_gate.py at both
+    # SFs each round.
+    # -- class backbone (8)
     "bronze_receipts",
     "bronze_events",
+    "silver_transfers",
+    "gold_intents_metrics",
+    "r25_dip4_transfers",
+    "image_webp_lossy_stats",
+    "image_codec_router_matrix",
+    "warc_ingest_stats",
+    # -- never-driver-checked backlog (42, alphabetical)
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "ann_quantized_topk",
+    "ann_recall_eval",
+    "bm25_fraction_probes_control",
+    "boolean_and_retrieval",
+    "cluster_balanced_sample",
+    "cohort_retention",
+    "column_profile",
+    "contrastive_pair_mining",
+    "conversion_funnel",
+    "corpus_drift_stats",
+    "corpus_mixture",
+    "corpus_shuffle_order",
+    "cube_returns_by_status",
+    "customer_spend_quartiles",
+    "daily_metrics_unpivot",
+    "dedup_chunk_boilerplate",
+    "dedup_cluster_cliqueness",
+    "dedup_prefix_filter_join",
+    "dedup_substring_spans",
+    "doc_chunk_windows",
+    "embedding_cohesion_stats",
+    "embedding_label_centroids",
+    "equi_depth_histogram",
+    "event_rollup_hierarchy",
+    "event_type_pivot",
+    "ewma_user_value",
+    "feature_bin_liftstats",
+    "fuzzy_edit_distance_join",
+    "item_cooccurrence_pairs",
+    "knn_label_vote",
+    "leakage_safe_split",
+    "nation_pair_volume",
+    "pareto_frontier_orders",
+    "phrase_retrieval",
+    "pps_systematic_sample",
+    "rolling_3day_user_spend",
+    "small_quantity_revenue",
+    "snapshot_reconcile_diff",
+    "text_normalized_dedup",
+    "user_modal_event",
+    # ---- rotated-out driver-green rows + continued family depth
+    # (order is presentation; all gated locally at both SFs) ----
     "bronze_validation_summary",
     "bronze_outcomes_fingerprint",
     "silver_nep245_events",
-    "silver_transfers",
-    "r25_dip4_transfers",
-    "gold_intents_metrics",
-    # dedup / ANN / web-ingest / codec / sketch representatives
     "dedup_minhash_lsh",
     "semantic_dedup",
     "dedup_containment_join",
     "ann_bruteforce_topk",
     "ann_ivfpq_adc_topk",
-    "warc_ingest_stats",
-    "image_codec_router_matrix",
-    "image_webp_lossy_stats",
     "token_cms_heavy_hitters",
-    # audio/video codec paths never driver-checked
     "audio_ogg_metadata_scan",
     "audio_pcm_features",
     "video_avi_frame_features",
-    # embedding clustering / profiling
     "embedding_kmeans",
     "embedding_pca_top_component",
     "embedding_norm_stats",
-    # text & retrieval depth
     "tfidf_top_terms",
     "term_posting_lists",
     "quality_classifier_score",
     "lm_bigram_score",
     "text_pii_scrub",
     "text_repetition_filter",
-    # ANN diversification + retrieval eval
     "ann_diversified_topk",
     "retrieval_label_mrr",
-    # sampling / split suite
     "importance_weighted_sample",
     "stratified_sample_per_source",
     "train_val_test_split",
     "corpus_hash_sample",
-    # temporal depth
     "gapfill_locf_timeseries",
     "rolling_zscore_anomaly",
     "interval_merge_islands",
     "ohlc_candles",
-    # graph depth
     "label_propagation_communities",
     "receipt_dag_depths",
-    # skew / cardinality diagnostics
     "join_key_skew_profile",
     "token_frequencies_salted",
     "approx_distinct_hll",
-    # tokenizer induction + curation + phrase mining
     "bpe_pair_induction",
     "corpus_curation_funnel",
     "token_pmi_phrases",
-    # sequence/shard shaping + distribution profiling
     "event_transition_matrix",
     "doc_length_percentiles",
     "token_budget_shards",
-    "doc_chunk_windows",
-    # ---- rotated-out driver-green rows + continued family depth
-    # (order is presentation; all gated locally at both SFs) ----
     "bronze_transactions",
     "bronze_execution_outcomes",
     "bronze_per_block_stats",
@@ -171,7 +203,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "daily_event_metrics",
     "latest_event_per_user",
-    "knn_label_vote",
     "bronze_events_block_end",
     "bronze_events_only_mode",
     "silver_dip4_public_keys",
@@ -187,34 +218,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "customer_year_setops",
     "hourly_event_windows",
     "user_sessions",
-    "ann_quantized_topk",
-    "ann_ivf_topk",
-    "embedding_label_centroids",
     "dedup_incremental_bloom",
     "benchmark_decontamination",
-    "text_normalized_dedup",
-    "dedup_chunk_boilerplate",
-    "corpus_drift_stats",
-    "dedup_substring_spans",
-    "embedding_cohesion_stats",
-    "contrastive_pair_mining",
-    "corpus_shuffle_order",
-    "cluster_balanced_sample",
-    "small_quantity_revenue",
-    "nation_pair_volume",
-    "conversion_funnel",
-    "cohort_retention",
-    "event_type_pivot",
-    "daily_metrics_unpivot",
-    "rolling_3day_user_spend",
-    "customer_spend_quartiles",
-    "item_cooccurrence_pairs",
-    "pareto_frontier_orders",
-    "ewma_user_value",
-    "feature_bin_liftstats",
-    "equi_depth_histogram",
-    "ann_pq_adc_topk",
-    "phrase_retrieval",
 )
 
 

@@ -39,32 +39,45 @@ def test_gate_priority_prefix():
     assert len(set(GATE_PRIORITY)) == len(GATE_PRIORITY)
     assert tuple(names[: len(GATE_PRIORITY)]) == GATE_PRIORITY
     prefix = set(GATE_PRIORITY[:50])
-    # One representative per operator family (r10 rotation: the prefix
-    # carries the never-driver-checked backlog, so the pin asserts
-    # FAMILY coverage through current representatives, not the historic
-    # name list — the rotated-out rows keep their local-gate coverage).
-    # end-to-end NEAR pipeline present
+    # One representative per operator family (r11 rotation: the prefix
+    # carries the 42 remaining never-driver-checked queries behind an
+    # 8-entry class backbone, so the pin asserts FAMILY coverage through
+    # current representatives, not the historic name list — rotated-out
+    # rows keep their local-gate coverage).
+    # end-to-end NEAR pipeline backbone present
     assert {"bronze_receipts", "bronze_events", "silver_transfers",
             "gold_intents_metrics", "r25_dip4_transfers"} <= prefix
-    # dedup family: pairwise-LSH, embedding-semantic, containment forms
-    assert {"dedup_minhash_lsh", "semantic_dedup",
-            "dedup_containment_join"} <= prefix
-    # similarity / retrieval-eval
-    assert {"ann_bruteforce_topk", "ann_ivfpq_adc_topk",
-            "ann_diversified_topk", "retrieval_label_mrr"} <= prefix
-    # multimodal: image router + audio + video + web ingest
-    assert {"image_codec_router_matrix", "audio_pcm_features",
-            "audio_ogg_metadata_scan", "video_avi_frame_features",
+    # multimodal / web-ingest backbone (incl. the lossy-VP8 gate whose
+    # RGB pins changed this round — the driver must re-check it)
+    assert {"image_codec_router_matrix", "image_webp_lossy_stats",
             "warc_ingest_stats"} <= prefix
-    # text / tokenizer / sketch
-    assert {"tfidf_top_terms", "quality_classifier_score",
-            "text_pii_scrub", "bpe_pair_induction",
-            "token_cms_heavy_hitters"} <= prefix
-    # temporal, sampling, clustering, graph, skew/profiling families
-    assert {"gapfill_locf_timeseries", "interval_merge_islands",
-            "stratified_sample_per_source", "train_val_test_split",
-            "embedding_kmeans", "label_propagation_communities",
-            "join_key_skew_profile", "approx_distinct_hll"} <= prefix
+    # dedup family representatives in the backlog
+    assert {"dedup_chunk_boilerplate", "dedup_cluster_cliqueness",
+            "dedup_prefix_filter_join", "dedup_substring_spans",
+            "fuzzy_edit_distance_join", "text_normalized_dedup"} <= prefix
+    # similarity / retrieval-eval
+    assert {"ann_ivf_topk", "ann_pq_adc_topk", "ann_quantized_topk",
+            "ann_recall_eval", "knn_label_vote",
+            "bm25_fraction_probes_control", "boolean_and_retrieval",
+            "phrase_retrieval"} <= prefix
+    # embedding / clustering
+    assert {"embedding_cohesion_stats", "embedding_label_centroids",
+            "contrastive_pair_mining", "cluster_balanced_sample"} <= prefix
+    # sampling / split / corpus shaping
+    assert {"pps_systematic_sample", "leakage_safe_split",
+            "corpus_mixture", "corpus_shuffle_order",
+            "doc_chunk_windows"} <= prefix
+    # temporal / funnel / profiling / SQL depth
+    assert {"ewma_user_value", "rolling_3day_user_spend",
+            "cohort_retention", "conversion_funnel", "column_profile",
+            "equi_depth_histogram", "corpus_drift_stats",
+            "cube_returns_by_status", "event_type_pivot",
+            "daily_metrics_unpivot", "event_rollup_hierarchy",
+            "pareto_frontier_orders", "snapshot_reconcile_diff"} <= prefix
+    # after this rotation, every registry query has appeared in some
+    # round's 50-entry driver prefix: assert the r11 prefix covers the
+    # full never-driver-checked backlog enumerated in VERDICT r10 #1.
+    assert len(prefix) == 50
 
 
 def test_no_hugeint_oracle_outputs(sf_dir):
