@@ -793,10 +793,12 @@ def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):
 
 
 def ycc_to_rgb(y, cb, cr):
-    """Full-range BT.601 YCbCr → RGB, float in / uint8 HWC out — THE
-    conversion convention for every codec in this repo (JPEG here, and
-    lossy-VP8 WebP in operators/webp.py routes through this same
-    function so the two paths cannot drift)."""
+    """Full-range BT.601 YCbCr → RGB, float in / uint8 HWC out — the
+    JPEG/JFIF conversion (T.871 full-range).  Deliberately NOT shared
+    with lossy-VP8 WebP: VP8 YUV is limited-range (studio swing, Y
+    16..235), so webp.vp8_yuv_to_rgb uses libwebp's fixed-point
+    limited-range constants instead (ADVICE r10 high — sharing this
+    formula made every lossy-WebP pixel systematically skewed)."""
     import numpy as np
 
     cb = cb - 128.0

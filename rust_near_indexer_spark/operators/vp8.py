@@ -871,6 +871,11 @@ def decode_webp_vp8(data: bytes):
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > len(data):
+            # a lying/truncated size field is a container defect — flag
+            # it here rather than hand a short payload to decode_vp8 and
+            # let it mis-blame the bitstream (ADVICE r10)
+            raise ValueError("truncated RIFF chunk")
         if fourcc == b"VP8 ":
             return decode_vp8(data[pos + 8 : pos + 8 + size])
         pos += 8 + size + (size & 1)

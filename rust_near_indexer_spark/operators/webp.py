@@ -495,13 +495,79 @@ def _decode_alpha(payload: bytes, w: int, h: int):
     return plane.astype(np.uint8)
 
 
+def _fancy_upsample(c, h: int, w: int):
+    """libwebp's "fancy" 4:2:0 chroma upsampler (src/dsp/upsampling.c),
+    exactly: output pixel (r, c) blends the 2x2 chroma neighborhood with
+    weights (9, 3, 3, 1)/16 — 9 on the nearest sample, 3 on the
+    horizontal and vertical neighbors toward the pixel's quarter-pel
+    offset, 1 on the diagonal — with +8 rounding and edge replication.
+    The staged packed arithmetic libwebp uses ((a + ((a+3b+3c+d+8)>>3))
+    >> 1) is bit-identical to the direct (9a+3b+3c+d+8)>>4 form used
+    here (proof: write a+3b+3c+d+8 = 8q+r, r<8; both reduce to
+    floor((a+q)/2)), so this reproduces libwebp's planes exactly."""
+    import numpy as np
+
+    ch_, cw_ = c.shape
+    r = np.arange(h)[:, None]
+    col = np.arange(w)[None, :]
+    j = r >> 1
+    i = col >> 1
+    j2 = np.clip(np.where(r & 1, j + 1, j - 1), 0, ch_ - 1)
+    i2 = np.clip(np.where(col & 1, i + 1, i - 1), 0, cw_ - 1)
+    c32 = c.astype(np.int32)
+    out = (
+        9 * c32[j, i] + 3 * c32[j, i2] + 3 * c32[j2, i] + c32[j2, i2] + 8
+    ) >> 4
+    return out
+
+
+def vp8_yuv_to_rgb(y, u, v):
+    """Limited-range (studio-swing) BT.601 YUV 4:2:0 → HWC uint8 RGB
+    with libwebp's exact pipeline: the fancy chroma upsampler above,
+    then the 14-bit fixed-point conversion from libwebp src/dsp/yuv.h —
+      R = clip((((19077*y) >> 8) + ((26149*v) >> 8)                   - 14234) >> 6)
+      G = clip((((19077*y) >> 8) -  ((6419*u) >> 8) - ((13320*v) >> 8) + 8708) >> 6)
+      B = clip((((19077*y) >> 8) + ((33050*u) >> 8)                   - 17685) >> 6)
+    VP8 YUV is LIMITED range (Y 16..235 maps to 0..255), unlike JPEG's
+    full-range YCbCr (multimodal.ycc_to_rgb) — the two codecs genuinely
+    use different conventions, so they deliberately do NOT share a
+    formula (ADVICE r10).  Matching libwebp's fixed-point constants
+    makes the pure path bit-exact against WebPDecodeRGBA, which the
+    tests gate directly."""
+    import numpy as np
+
+    h, w = y.shape
+    yy = (19077 * y.astype(np.int32)) >> 8
+    uu = _fancy_upsample(u, h, w)
+    vv = _fancy_upsample(v, h, w)
+    r = (yy + ((26149 * vv) >> 8) - 14234) >> 6
+    g = (yy - ((6419 * uu) >> 8) - ((13320 * vv) >> 8) + 8708) >> 6
+    b = (yy + ((33050 * uu) >> 8) - 17685) >> 6
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _decode_lossy_rgb(payload: bytes):
+    """'VP8 ' chunk payload → HWC uint8 RGB, entirely pure-Python
+    (operators/vp8.py spec decode + vp8_yuv_to_rgb) — kept as a named
+    path so tests can differentially gate it bit-exact against the
+    native libwebp route regardless of which one decode_webp picks."""
+    from .vp8 import decode_vp8
+
+    y, u, v = decode_vp8(payload)
+    return vp8_yuv_to_rgb(y, u, v)
+
+
 def decode_webp(data: bytes):
     """RIFF/WEBP → HWC uint8 (RGBA when the stream declares alpha,
     RGB otherwise).  Lossless (VP8L) decodes bit-exact; lossy VP8
-    routes through operators/vp8.py (RFC 6386 keyframe decoder,
-    golden-gated bit-exact in YUV against the system libwebp) and
-    converts to RGB with the same BT.601 + nearest-chroma-upsample
-    convention as the JPEG path in operators/multimodal.py."""
+    routes through the system libwebp (operators/webp_native) when the
+    .so is present, else through operators/vp8.py (RFC 6386 keyframe
+    decoder, golden-gated bit-exact in YUV against the same libwebp)
+    plus vp8_yuv_to_rgb (limited-range BT.601, libwebp's fixed-point
+    constants + fancy upsampler).  The two routes are bit-exact to each
+    other (tests/test_vp8_codec.py gates it on the committed fixtures
+    and fresh encodes), so the gated-query pins hold on machines with
+    or without libwebp."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
@@ -524,17 +590,24 @@ def decode_webp(data: bytes):
             vp8l = payload
             break
         if fourcc == b"VP8 ":
-            from .vp8 import decode_vp8
+            from . import webp_native
 
-            from .multimodal import ycc_to_rgb
-
-            y, u, v = decode_vp8(payload)
-            h, w = y.shape
-            cb = np.repeat(np.repeat(u, 2, 0), 2, 1)[:h, :w].astype(np.float64)
-            cr = np.repeat(np.repeat(v, 2, 0), 2, 1)[:h, :w].astype(np.float64)
-            rgb = ycc_to_rgb(y.astype(np.float64), cb, cr)
+            if webp_native.available():
+                try:
+                    rgba = webp_native.decode_rgba(data)
+                except ValueError:
+                    # libwebp enforces container rules the spec path
+                    # tolerates (e.g. ALPH without a VP8X header, which
+                    # _decode_frame_payload's re-mux of ANMF still
+                    # chunks produces) — fall through to the pure route,
+                    # which is gated bit-exact against it anyway
+                    pass
+                else:
+                    return rgba if alph is not None else rgba[:, :, :3].copy()
+            rgb = _decode_lossy_rgb(payload)
             if alph is None:
                 return rgb
+            h, w = rgb.shape[:2]
             a = _decode_alpha(alph, w, h)
             return np.concatenate([rgb, a[:, :, None]], axis=2)
         pos += 8 + size + (size & 1)
@@ -736,6 +809,12 @@ def decode_webp_frames(data: bytes):
             if dispose_bg:
                 canvas[fy : fy + fh, fx : fx + fw] = 0
         pos += 8 + size + (size & 1)
+    if frames and not animated:
+        # ANMF chunks under a VP8X header whose animation flag is clear:
+        # malformed — and falling through to the still path would
+        # re-enter decode_webp on the same ANMF-bearing bytes (mutual
+        # recursion, ADVICE r10).
+        raise ValueError("ANMF chunks present but VP8X animation flag unset")
     if not animated or not frames:
         # still image (possibly VP8X-wrapped): one full-canvas frame
         import numpy as np

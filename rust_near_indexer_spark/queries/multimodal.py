@@ -202,12 +202,12 @@ def image_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_webp_lossy_stats",
     oracle="""
     WITH pins(fi, dim0, dim1, n_values, mean_milli) AS (VALUES
-        (0, 24, 24, 1728, 128000),
-        (1, 19, 21, 1197, 126390),
-        (2, 32, 48, 4608, 125220),
-        (3, 29, 35, 3045, 124016),
-        (4, 16, 24, 1152, 123500),
-        (5, 16, 16, 768, 124235)
+        (0, 24, 24, 1728, 130000),
+        (1, 19, 21, 1197, 128568),
+        (2, 32, 48, 4608, 127449),
+        (3, 29, 35, 3045, 126019),
+        (4, 16, 24, 1152, 125194),
+        (5, 16, 16, 768, 126079)
     )
     SELECT d.doc_id AS media_id, 'image' AS kind,
            CAST(p.dim0 AS BIGINT) AS dim0, CAST(p.dim1 AS BIGINT) AS dim1,
@@ -223,12 +223,14 @@ def image_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document one of six committed libwebp-encoded payloads
     (operators/vp8_fixtures.py — default/low/high quality, 4 segments,
     4 token partitions, simple loop filter) routes through
-    ``decode_image``'s magic-byte dispatch into the pure-Python VP8
-    decoder (operators/vp8.py) and the BT.601 RGB conversion, reducing
-    to the pinned integer stats.  The pins were computed from a decode
-    asserted BIT-EXACT in YUV against the system libwebp at fixture
-    generation time, so the oracle VALUES list is independent evidence,
-    not self-reference; DCT quantization makes a formula-based oracle
+    ``decode_image``'s magic-byte dispatch into the lossy-WebP decode
+    (system libwebp when present, else the pure-Python RFC 6386 decoder
+    + limited-range vp8_yuv_to_rgb — the two are gated bit-exact to
+    each other), reducing to the pinned integer stats.  The pins are
+    the RGB stats of libwebp's own WebPDecodeRGBA output for the six
+    payloads (r11: regenerated after the limited-range fix, ADVICE r10
+    high), so the oracle VALUES list is independent evidence, not
+    self-reference; DCT quantization makes a formula-based oracle
     impossible for lossy streams, which is exactly why the payloads are
     committed bytes rather than synthesized per row.
 

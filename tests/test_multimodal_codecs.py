@@ -76,8 +76,15 @@ def test_unsupported_formats_still_raise():
     # now; a lossy chunk with a garbage payload is MALFORMED (the VP8
     # decoder's truncation contract), and so is a chunk-less RIFF
     lossy = b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00" + b"\x00" * 4
-    with pytest.raises(ValueError, match="truncated VP8"):
-        multimodal.decode_image(lossy, {})
+    with pytest.raises(ValueError):
+        multimodal.decode_image(lossy, {})  # native or spec route
+    import unittest.mock as mock
+
+    from rust_near_indexer_spark.operators import webp_native as wn
+
+    with mock.patch.object(wn, "available", lambda: False):
+        with pytest.raises(ValueError, match="truncated VP8"):
+            multimodal.decode_image(lossy, {})
     with pytest.raises(ValueError, match="VP8L chunk"):
         multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8, {})
     mp3ish = b"ID3\x04" + b"\x00" * 16

@@ -129,18 +129,105 @@ def test_bmode_prob_table_is_rfc_numbered():
     _assert_yuv_exact(wn.encode_rgb_advanced(img, filter_strength=0))
 
 
-def test_router_rgb_path():
-    """decode_webp routes 'VP8 ' chunks through the spec decoder and
-    converts YUV→RGB with the documented BT.601 + nearest-upsample
-    convention; against libwebp's RGB (fancy upsampler) the luma-driven
-    values stay within a small bound while YUV is bit-exact."""
+def test_router_rgb_path(monkeypatch):
+    """decode_webp's two lossy routes — native libwebp when present,
+    pure-Python (spec decoder + limited-range vp8_yuv_to_rgb + fancy
+    upsampler) otherwise — must BOTH be bit-exact against libwebp's
+    RGB.  r11 tightening (ADVICE r10 high): the old full-range BT.601
+    conversion skewed every pixel (flat black → 16) under a loose
+    mean<8 bound that misattributed the error to chroma upsampling;
+    the pure path now reproduces libwebp's fixed-point constants AND
+    its fancy upsampler, so the gate is exact equality."""
     rng = np.random.default_rng(9)
     img = _mix(40, 56, rng)
     data = bytes(wn.encode_rgb_advanced(img))
-    out = decode_webp(data)
-    assert out.shape == (40, 56, 3) and out.dtype == np.uint8
     lib_rgb = wn.decode_rgba(data)[:, :, :3]
-    assert np.abs(out.astype(int) - lib_rgb.astype(int)).mean() < 8
+    out = decode_webp(data)  # native route (libwebp present under the suite skipif)
+    assert out.shape == (40, 56, 3) and out.dtype == np.uint8
+    np.testing.assert_array_equal(out, lib_rgb)
+    monkeypatch.setattr(wn, "available", lambda: False)
+    pure = decode_webp(data)
+    np.testing.assert_array_equal(pure, lib_rgb)
+
+
+@pytest.mark.parametrize("quality", [20.0, 75.0, 95.0])
+@pytest.mark.parametrize(
+    "shape", [(40, 56), (33, 17), (16, 16), (2, 3), (1, 1)]
+)
+def test_pure_rgb_bit_exact(quality, shape):
+    """The pure RGB path (vp8_yuv_to_rgb) is bit-exact vs libwebp's
+    WebPDecodeRGBA across qualities and odd/degenerate shapes — the
+    limited-range fixed-point constants and the (9,3,3,1)/16 fancy
+    upsampler, including its edge replication, all match exactly."""
+    from rust_near_indexer_spark.operators.webp import _decode_lossy_rgb
+
+    rng = np.random.default_rng(int(quality) * 100 + shape[0])
+    img = rng.integers(0, 256, shape + (3,)).astype(np.uint8)
+    data = bytes(wn.encode_rgb(img, quality=quality))
+    pos = data.index(b"VP8 ")
+    import struct
+
+    (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+    pure = _decode_lossy_rgb(data[pos + 8 : pos + 8 + size])
+    np.testing.assert_array_equal(pure, wn.decode_rgba(data)[:, :, :3])
+
+
+def test_fixture_pins_path_independent():
+    """The six committed gate fixtures decode to identical RGB through
+    the native and pure routes — the image_webp_lossy_stats pins
+    therefore hold on machines with or without libwebp."""
+    from rust_near_indexer_spark.operators.vp8_fixtures import VP8_FIXTURES
+    from rust_near_indexer_spark.operators.webp import _decode_lossy_rgb
+
+    import struct
+
+    for name, data in VP8_FIXTURES:
+        pos = data.index(b"VP8 ")
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        pure = _decode_lossy_rgb(data[pos + 8 : pos + 8 + size])
+        np.testing.assert_array_equal(
+            pure, wn.decode_rgba(data)[:, :, :3], err_msg=name
+        )
+
+
+def test_alph_without_vp8x_falls_back_to_pure():
+    """libwebp rejects ALPH+VP8 containers lacking a VP8X header, but
+    the animation path's _decode_frame_payload re-mux produces exactly
+    that shape for lossy+alpha ANMF frames — decode_webp must fall back
+    to the pure route and still produce libwebp's RGBA for the original
+    (VP8X-bearing) container."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (20, 24, 4)).astype(np.uint8)
+    data = bytes(wn.encode_rgb_advanced(img))
+    pos, chunks = 12, []
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if fourcc in (b"ALPH", b"VP8 "):
+            chunks.append(
+                data[pos : pos + 8 + size] + (b"\x00" if size & 1 else b"")
+            )
+        pos += 8 + size + (size & 1)
+    body = b"WEBP" + b"".join(chunks)
+    minimal = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        wn.decode_rgba(minimal)  # the strictness this test documents
+    out = decode_webp(minimal)
+    np.testing.assert_array_equal(out, wn.decode_rgba(data))
+
+
+def test_limited_range_extremes():
+    """The studio-swing endpoints decode to full-range RGB: a flat
+    black encode comes back 0 (not 16) and flat white 255 (not 235) —
+    the exact symptom of the r10 full-range bug."""
+    for val, want in ((0, 0), (255, 255)):
+        img = np.full((16, 16, 3), val, np.uint8)
+        data = bytes(wn.encode_rgb_advanced(img, quality=95.0))
+        lib = wn.decode_rgba(data)[:, :, :3]
+        assert int(lib.mean().round()) == want  # oracle self-check
+        np.testing.assert_array_equal(decode_webp(data), lib)
 
 
 def test_non_keyframe_contract():
@@ -234,13 +321,16 @@ def test_alpha_plane_exact(alpha_compression, kind):
     )
     assert b"ALPH" in data
     ref = wn.decode_rgba(data)
-    out = decode_webp(data)
+    out = decode_webp(data)  # native route
     assert out.shape == (h, w, 4)
-    np.testing.assert_array_equal(ref[:, :, 3], out[:, :, 3])
-    # color part rides the already-gated VP8 path (bit-exact in YUV);
-    # vs libwebp's RGB the fancy-vs-nearest chroma upsampler diverges
-    # most on noise content, so this is a loose sanity bound only
-    assert np.abs(out[:, :, :3].astype(int) - ref[:, :, :3].astype(int)).mean() < 16
+    np.testing.assert_array_equal(ref, out)
+    # and the pure route (spec VP8 + vp8_yuv_to_rgb + _decode_alpha)
+    # must produce the identical RGBA raster (r11: exact, was mean<16)
+    import unittest.mock as mock
+
+    with mock.patch.object(wn, "available", lambda: False):
+        pure = decode_webp(data)
+    np.testing.assert_array_equal(ref, pure)
 
 
 @pytest.mark.parametrize("filt", [1, 2, 3])
@@ -263,6 +353,12 @@ def test_alpha_filters_match_libwebp(filt):
     alph = bytes([filt << 2]) + _forward_filter(alpha, filt).tobytes()
     data = _replace_alph(base, alph)
     ref = wn.decode_rgba(data)
-    out = decode_webp(data)
     np.testing.assert_array_equal(ref[:, :, 3], alpha)  # oracle self-check
+    # force the pure route: _decode_alpha's predictor inversion is the
+    # code under test and the native route would bypass it entirely
+    import unittest.mock as mock
+
+    with mock.patch.object(wn, "available", lambda: False):
+        out = decode_webp(data)
     np.testing.assert_array_equal(out[:, :, 3], alpha)
+    np.testing.assert_array_equal(out, ref)

@@ -20,12 +20,12 @@ from rust_near_indexer_spark.operators.vp8_fixtures import VP8_FIXTURES
 
 # mirror of the oracle VALUES list in image_webp_lossy_stats
 PINS = {
-    "flat_q75": (24, 24, 1728, 128000),
-    "noise_q40": (19, 21, 1197, 126390),
-    "mix_seg4": (32, 48, 4608, 125220),
-    "mix_parts4": (29, 35, 3045, 124016),
-    "grad_simplef": (16, 24, 1152, 123500),
-    "noise_q90": (16, 16, 768, 124235),
+    "flat_q75": (24, 24, 1728, 130000),
+    "noise_q40": (19, 21, 1197, 128568),
+    "mix_seg4": (32, 48, 4608, 127449),
+    "mix_parts4": (29, 35, 3045, 126019),
+    "grad_simplef": (16, 24, 1152, 125194),
+    "noise_q90": (16, 16, 768, 126079),
 }
 
 

@@ -686,12 +686,22 @@ def test_webp_meta_prefix_groups():
 
 
 def test_webp_lossy_routes_to_vp8_decoder():
-    # since round 10 a 'VP8 ' chunk routes to operators/vp8.py instead
-    # of raising; a garbage payload surfaces that decoder's ValueError
+    # since round 10 a 'VP8 ' chunk routes to a lossy decoder instead of
+    # raising NotImplementedError; garbage surfaces ValueError from
+    # whichever route runs (libwebp's "could not decode" or the spec
+    # decoder's start-code check), and the pure route specifically
+    # raises the spec decoder's message
+    import unittest.mock as mock
+
+    from rust_near_indexer_spark.operators import webp_native as wn
+
     payload = b"\x00" * 10
     data = b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP" + b"VP8 " + struct.pack("<I", len(payload)) + payload
-    with pytest.raises(ValueError, match="keyframe start code"):
+    with pytest.raises(ValueError):
         decode_webp(data)
+    with mock.patch.object(wn, "available", lambda: False):
+        with pytest.raises(ValueError, match="keyframe start code"):
+            decode_webp(data)
 
 
 def test_webp_bad_signature_and_truncation():
@@ -881,6 +891,39 @@ def test_animated_webp_fractional_blend():
         for s, d in ((250, 10), (40, 200), (90, 30))
     ]
     assert frames[1][0, 0].tolist() == exp_rgb + [round(oa * 255)]
+
+
+def test_anmf_without_animation_flag_raises():
+    """ANMF chunks under a VP8X header whose animation flag is CLEAR
+    are malformed; before r11 this recursed decode_webp ↔
+    decode_webp_frames to RecursionError (ADVICE r10).  Must be a
+    clean ValueError from both entry points."""
+    from rust_near_indexer_spark.operators.webp import (
+        decode_webp,
+        decode_webp_frames,
+    )
+
+    base = _encode_webp(4, 4, [("lit", (255, 10, 200, 30))] * 16)
+    anim = bytearray(_mux_anim(4, 4, [(0, 0, 4, 4, base, True, False)]))
+    pos = anim.index(b"VP8X") + 8
+    anim[pos] &= ~0x02  # clear the animation flag, keep the ANMF chunk
+    for fn in (decode_webp, decode_webp_frames):
+        with pytest.raises(ValueError, match="animation flag"):
+            fn(bytes(anim))
+
+
+def test_vp8_riff_walk_rejects_lying_chunk_size():
+    """A RIFF chunk whose declared size overruns the buffer must be
+    flagged as a container defect, not mis-blamed on the bitstream
+    (ADVICE r10): decode_webp_vp8 raises 'truncated RIFF chunk'."""
+    from rust_near_indexer_spark.operators.vp8 import decode_webp_vp8
+    from rust_near_indexer_spark.operators.vp8_fixtures import VP8_FIXTURES
+
+    data = bytearray(VP8_FIXTURES[0][1])
+    pos = data.index(b"VP8 ")
+    data[pos + 4 : pos + 8] = struct.pack("<I", len(data))  # lies past EOF
+    with pytest.raises(ValueError, match="truncated RIFF chunk"):
+        decode_webp_vp8(bytes(data))
 
 
 def test_animated_webp_routes_through_decode_image():
