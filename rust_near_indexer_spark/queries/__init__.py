@@ -121,7 +121,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_normalized_dedup",
     "user_modal_event",
     # ---- rotated-out driver-green rows + continued family depth
-    # (order is presentation; all gated locally at both SFs) ----
+    # (order is presentation; all gated locally at both SFs).  The
+    # r11-new JPEG gate sits at position 51 — deliberately OUTSIDE the
+    # 50-entry prefix so it displaces none of the 42 backlog entries;
+    # it rotates into the prefix next round. ----
+    "image_jpeg_decode_stats",
     "bronze_validation_summary",
     "bronze_outcomes_fingerprint",
     "silver_nep245_events",

@@ -264,6 +264,73 @@ def image_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_jpeg_decode_stats",
+    oracle="""
+    WITH pins(fi, dim0, dim1, n_values, mean_milli) AS (VALUES
+        (0, 24, 24, 1728, 127631),
+        (1, 19, 21, 1197, 128788),
+        (2, 32, 48, 4608, 127539),
+        (3, 29, 35, 3045, 127127),
+        (4, 16, 24, 1152, 126796),
+        (5, 16, 16, 768, 127128)
+    )
+    SELECT d.doc_id AS media_id, 'image' AS kind,
+           CAST(p.dim0 AS BIGINT) AS dim0, CAST(p.dim1 AS BIGINT) AS dim1,
+           CAST(p.n_values AS BIGINT) AS n_values,
+           CAST(p.mean_milli AS BIGINT) AS mean_milli
+    FROM documents d JOIN pins p ON (d.doc_id % 6 + 6) % 6 = p.fi
+    ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "image", "jpeg"),
+)
+def image_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL JPEG path gated end-to-end across the full entropy/scan
+    matrix: per document one of six committed libjpeg-encoded payloads
+    (operators/jpeg_fixtures.py — baseline Huffman q75 / q30+restart,
+    progressive SOF2, arithmetic sequential SOF9, arithmetic
+    progressive SOF10, q90 noise) routes through ``decode_image``'s
+    magic-byte dispatch into the pure-Python T.81 decoder
+    (operators/multimodal._decode_jpeg + operators/jpeg_arith.py) and
+    reduces to the pinned integer stats.  Until r11 the JPEG decoder
+    was pytest-gated only; this puts every entropy mode behind the
+    driver's DuckDB gate the way image_webp_lossy_stats does for VP8.
+    Provenance of the pins: the coefficient layer is EXACT vs
+    jpeg_read_coefficients and the RGB render sits inside the
+    documented IDCT-convention envelope of libjpeg's output
+    (tests/test_jpeg_fixtures.py re-verifies both when gcc+libjpeg are
+    present); DCT quantization makes a formula-based oracle impossible,
+    which is why the payloads are committed bytes.
+
+    Scale shape: payload bytes never cross a shuffle (fixture lookup +
+    decode ride the scan partitioning inside one Arrow batch stage);
+    output is one bounded row per document."""
+    from ..operators.jpeg_fixtures import JPEG_FIXTURES
+    from ..operators.multimodal import MEDIA_SCHEMA, decoded_stats
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+
+    def _mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        JPEG_FIXTURES[int(did) % len(JPEG_FIXTURES)][1]
+                        for did in pdf["doc_id"]
+                    ],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = d.mapInPandas(_mk, schema=MEDIA_SCHEMA)
+    return decoded_stats(media).orderBy("media_id")
+
+
+@register(
     "video_avi_frame_features",
     oracle="""
     WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),

@@ -65,11 +65,13 @@ DEFAULT_QUERIES = [
     "audio_g711_expand_stats",
     "audio_mp3_metadata_scan",
     "audio_ogg_metadata_scan",
-    # round-11 addition (VERDICT r10 #3): the lossy-VP8 gate — 500
+    # round-11 additions (VERDICT r10 #3): the lossy-VP8 gate — 500
     # committed WebP payloads through the native-or-pure decode route
-    # inside Arrow batches; fat partitions stress the per-batch RGBA
-    # buffers exactly like the other codec paths
+    # inside Arrow batches — and the new JPEG entropy-matrix gate;
+    # fat partitions stress the per-batch RGBA buffers exactly like
+    # the other codec paths
     "image_webp_lossy_stats",
+    "image_jpeg_decode_stats",
 ]
 
 MODES = {
