@@ -248,13 +248,20 @@ def _decode_png(data: bytes):
     RGB / gray+alpha / RGBA / palette at every legal bit depth —
     1/2/4-bit (packed samples, gray scaled to 8-bit, palette indexed),
     8-bit, and 16-bit (high byte — the standard 16→8 reduction) —
-    interlaced (Adam7, per-pass unfiltering) and non-interlaced."""
+    interlaced (Adam7, per-pass unfiltering) and non-interlaced.
+    tRNS transparency (r11) expands to a real alpha channel, matching
+    libpng's png_set_expand: per-entry alpha for palette images,
+    colorkey→alpha for gray/RGB — with the colorkey compared at the
+    stream's NATIVE depth (a 16-bit key whose low bytes are nonzero
+    matches nothing after an early 16→8 reduction, so the mask is
+    computed before the high-byte cut; gated bit-exact against libpng
+    in tests/test_png_golden.py)."""
     import struct
     import zlib
 
     import numpy as np
 
-    pos, ihdr, plte, idat = 8, None, None, []
+    pos, ihdr, plte, idat, trns = 8, None, None, [], None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -264,6 +271,8 @@ def _decode_png(data: bytes):
             ihdr = struct.unpack(">IIBBBBB", chunk)
         elif ctype == b"PLTE":
             plte = chunk
+        elif ctype == b"tRNS":
+            trns = chunk
         elif ctype == b"IDAT":
             idat.append(chunk)
         elif ctype == b"IEND":
@@ -328,6 +337,19 @@ def _decode_png(data: bytes):
             raise ValueError("PNG IDAT length mismatch")
     else:
         raise NotImplementedError(f"PNG interlace method {interlace}")
+    alpha = None  # (h, w) uint8 colorkey alpha, built at NATIVE depth
+    if trns is not None and color in (0, 2):
+        if len(trns) != 2 * channels:
+            raise ValueError("tRNS length mismatch for color type")
+        key = struct.unpack(f">{channels}H", trns)
+        if depth == 16:
+            samples = (
+                img.reshape(h, w, channels, 2).astype(np.uint16) << (8, 0)
+            ).sum(axis=3, dtype=np.uint16)
+        else:
+            samples = img.astype(np.uint16)  # (h, w, channels), raw values
+        mask = (samples == np.array(key, np.uint16)).all(axis=2)
+        alpha = np.where(mask, 0, 255).astype(np.uint8)
     if depth == 16:
         # samples are big-endian: byte 0 is the high byte
         img = img.reshape(h, w, channels, 2)[:, :, :, 0].copy()
@@ -335,13 +357,25 @@ def _decode_png(data: bytes):
         if plte is None:
             raise ValueError("palette PNG without PLTE")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        img = pal[img[:, :, 0]]
+        idx = img[:, :, 0]
+        if trns is not None:
+            # per-palette-entry alpha; entries past the chunk are opaque
+            alut = np.full(len(pal), 255, np.uint8)
+            alut[: min(len(trns), len(pal))] = np.frombuffer(
+                trns[: len(pal)], np.uint8
+            )
+            return np.concatenate(
+                [pal[idx], alut[idx][:, :, None]], axis=2
+            )
+        img = pal[idx]
     elif depth < 8:
         # scale packed gray to full 8-bit range (255 // (2^d - 1) is an
         # exact integer for d in 1/2/4: 255, 85, 17)
         img = (img.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
             np.uint8
         )
+    if alpha is not None:
+        img = np.concatenate([img, alpha[:, :, None]], axis=2)
     return img
 
 

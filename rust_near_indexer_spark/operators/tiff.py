@@ -166,6 +166,93 @@ def _tiff_lzw(data: bytes, want: int) -> bytes:
     return bytes(out[:want])
 
 
+def _assemble_segments(
+    data: bytes, f: dict, e: str, w: int, h: int, b: int, spp: int,
+    comp: int, predictor: int, planar: int, tiled: bool,
+):
+    """Assemble tiled and/or planar-separate TIFF segments into a
+    native-dtype (h, w, spp) array.  Segment order follows libtiff's
+    TIFFComputeStrip/TIFFComputeTile: row-major within a plane, planes
+    outermost (sample-major).  Tiles are full-size padded per TIFF6
+    §15 (edge tiles carry pad rows/cols, cropped here); the horizontal
+    predictor is undone per segment row before placement."""
+    import numpy as np
+
+    dt = np.dtype(("<u2" if e == "<" else ">u2") if b == 16 else "u1")
+    nb = b // 8
+    planes = spp if planar == 2 else 1
+    sppx = 1 if planar == 2 else spp
+    offsets = f[324] if tiled else f[273]
+    counts = f[325] if tiled else f[279]
+    if tiled:
+        tw = f.get(322, [w])[0]
+        tl = f.get(323, [h])[0]
+        if not tw or not tl:
+            raise ValueError("zero TIFF tile dimensions")
+        across = -(-w // tw)
+        down = -(-h // tl)
+        per_plane = across * down
+    else:
+        rps = f.get(278, [h])[0] or h
+        per_plane = -(-h // rps)
+    if len(offsets) != len(counts):
+        raise ValueError("segment offsets/counts length mismatch")
+    if len(offsets) < planes * per_plane:
+        raise ValueError("too few TIFF segments for geometry")
+
+    def seg_bytes(i: int, want: int) -> bytes:
+        o, c = offsets[i], counts[i]
+        if o + c > len(data):
+            raise ValueError("TIFF segment past end of file")
+        raw = data[o : o + c]
+        if comp == 1:
+            if len(raw) < want:
+                raise ValueError("short uncompressed TIFF segment")
+            return raw[:want]
+        if comp == 32773:
+            return _packbits(raw, want)
+        return _tiff_lzw(raw, want)
+
+    out = np.zeros((h, w, spp), np.uint16 if b == 16 else np.uint8)
+    for p in range(planes):
+        if tiled:
+            for ty in range(down):
+                for tx in range(across):
+                    i = p * per_plane + ty * across + tx
+                    want = tl * tw * sppx * nb
+                    seg = np.frombuffer(seg_bytes(i, want), dt).reshape(
+                        tl, tw, sppx
+                    )
+                    if predictor == 2:
+                        seg = np.cumsum(seg.astype(np.int64), axis=1)
+                        seg = seg.astype(np.uint16 if b == 16 else np.uint8)
+                    y0, x0 = ty * tl, tx * tw
+                    rows = min(tl, h - y0)
+                    cols = min(tw, w - x0)
+                    tgt = seg[:rows, :cols]
+                    if planar == 2:
+                        out[y0 : y0 + rows, x0 : x0 + cols, p] = tgt[:, :, 0]
+                    else:
+                        out[y0 : y0 + rows, x0 : x0 + cols, :] = tgt
+        else:
+            for s in range(per_plane):
+                i = p * per_plane + s
+                y0 = s * rps
+                rows = min(rps, h - y0)
+                want = rows * w * sppx * nb
+                seg = np.frombuffer(seg_bytes(i, want), dt).reshape(
+                    rows, w, sppx
+                )
+                if predictor == 2:
+                    seg = np.cumsum(seg.astype(np.int64), axis=1)
+                    seg = seg.astype(np.uint16 if b == 16 else np.uint8)
+                if planar == 2:
+                    out[y0 : y0 + rows, :, p] = seg[:, :, 0]
+                else:
+                    out[y0 : y0 + rows, :, :] = seg
+    return out
+
+
 def decode_tiff(data: bytes):
     """bytes → HWC uint8 ndarray (gray (h,w,1), RGB/palette (h,w,3))."""
     import numpy as np
@@ -178,15 +265,19 @@ def decode_tiff(data: bytes):
     else:
         raise ValueError("not a classic TIFF payload")
     f = _read_ifd(data, e)
-    if 322 in f or 323 in f:
-        raise NotImplementedError("tiled TIFF")
-    if f.get(284, [1])[0] != 1:
-        raise NotImplementedError("planar TIFF (PlanarConfiguration=2)")
+    tiled = 322 in f or 323 in f
+    planar = f.get(284, [1])[0]
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF PlanarConfiguration {planar}")
     try:
         w = f[256][0]
         h = f[257][0]
-        offsets = f[273]
-        counts = f[279]
+        if tiled:
+            offsets = f[324]
+            counts = f[325]
+        else:
+            offsets = f[273]
+            counts = f[279]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from exc
     comp = f.get(259, [1])[0]
@@ -221,6 +312,38 @@ def decode_tiff(data: bytes):
         raise ValueError("RGB TIFF with SamplesPerPixel < 3")
     if photo != 2 and spp != 1:
         raise NotImplementedError("multi-sample non-RGB TIFF")
+    if tiled or planar == 2:
+        # tile grids and separate planes (TIFF6 §15 / PlanarConfig=2,
+        # r11 — golden-gated against libtiff's own tile/plane writer in
+        # tests/test_tiff_golden.py): assemble per segment, with the
+        # horizontal predictor applied WITHIN each segment row (a tile
+        # row is its own differencing run — cumsum across the full
+        # image row would bleed across tile boundaries)
+        if b not in (8, 16):
+            raise NotImplementedError(
+                f"tiled/planar TIFF at {b} bits per sample"
+            )
+        px = _assemble_segments(
+            data, f, e, w, h, b, spp, comp, predictor, planar, tiled
+        )
+        if b == 16:
+            if photo == 0:
+                px = (np.uint16(0xFFFF) - px).astype(np.uint16)
+            px = (px >> 8).astype(np.uint8)
+        elif photo == 0:
+            px = (255 - px.astype(np.int16)).astype(np.uint8)
+        if photo == 3:
+            cmap = f.get(320)
+            if not cmap or len(cmap) < 3 * 256:
+                raise ValueError("palette TIFF without a full ColorMap")
+            pal = (
+                np.array(cmap[: 3 * 256], dtype=np.uint16).reshape(3, 256).T
+                >> 8
+            ).astype(np.uint8)
+            return pal[px[:, :, 0]]
+        if photo == 2:
+            return px[:, :, :3].copy()
+        return px
     row_bytes = (w * b * spp + 7) // 8
     n_strips = (h + rps - 1) // rps
     if len(offsets) < n_strips:

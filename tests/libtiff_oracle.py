@@ -42,6 +42,10 @@ def _load():
     lib.TIFFWriteEncodedStrip.argtypes = [
         ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_long,
     ]
+    lib.TIFFWriteEncodedTile.restype = ctypes.c_long
+    lib.TIFFWriteEncodedTile.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_long,
+    ]
     lib.TIFFReadRGBAImageOriented.restype = ctypes.c_int
     lib.TIFFReadRGBAImageOriented.argtypes = [
         ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
@@ -67,45 +71,86 @@ _TAGS = {
     278: ctypes.c_uint32,  # RowsPerStrip
     284: ctypes.c_int,     # PlanarConfig
     317: ctypes.c_int,     # Predictor
+    322: ctypes.c_uint32,  # TileWidth
+    323: ctypes.c_uint32,  # TileLength
 }
 
 
 def encode(img: np.ndarray, *, compression: int, rows_per_strip: int = 4,
-           predictor: int | None = None) -> bytes:
+           predictor: int | None = None, tile: tuple[int, int] | None = None,
+           planar: bool = False) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → TIFF bytes via libtiff's
-    real encoder (COMPRESSION_NONE=1 / LZW=5 / PACKBITS=32773)."""
+    real encoder (COMPRESSION_NONE=1 / LZW=5 / PACKBITS=32773).
+    ``tile=(tw, tl)`` writes a tiled file (tw/tl multiples of 16 per
+    TIFF6); ``planar=True`` writes PlanarConfiguration=2 (separate
+    planes, sample-major segment order — libtiff's TIFFComputeStrip/
+    TIFFComputeTile numbering)."""
     lib = _load()
     assert lib is not None
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else img.shape[2]
+    img3 = img.reshape(h, w, spp)
     path = tempfile.mktemp(suffix=".tif")
     tif = lib.TIFFOpen(path.encode(), b"w")
     if not tif:
         raise RuntimeError("TIFFOpen(w) failed")
     fields = [(256, w), (257, h), (258, 8), (259, compression),
               (262, 1 if gray else 2), (277, spp),
-              (278, rows_per_strip), (284, 1)]
+              (284, 2 if planar else 1)]
+    if tile is not None:
+        fields += [(322, tile[0]), (323, tile[1])]
+    else:
+        fields.append((278, rows_per_strip))
     if predictor is not None:
         fields.append((317, predictor))
     for tag, val in fields:
         lib.TIFFSetField(
             ctypes.c_void_p(tif), ctypes.c_uint32(tag), _TAGS[tag](val)
         )
-    # whole encoded strips, NOT TIFFWriteScanline: this libtiff build's
-    # scanline path records PREDICTOR=2 in the directory but writes
-    # undifferenced data (observed empirically — its own reader then
-    # mis-accumulates), while the strip path applies the predictor
-    # correctly.  libtiff differences the buffer IN PLACE, hence .copy().
-    rows = np.ascontiguousarray(img.reshape(h, w * spp), dtype=np.uint8)
-    for s, y0 in enumerate(range(0, h, rows_per_strip)):
-        buf = rows[y0 : y0 + rows_per_strip].copy()
-        if lib.TIFFWriteEncodedStrip(
-            tif, s, buf.ctypes.data_as(ctypes.c_void_p), buf.size
-        ) < 0:
-            lib.TIFFClose(tif)
-            os.unlink(path)
-            raise RuntimeError(f"TIFFWriteEncodedStrip failed at strip {s}")
+    # whole encoded segments, NOT TIFFWriteScanline: this libtiff
+    # build's scanline path records PREDICTOR=2 in the directory but
+    # writes undifferenced data (observed empirically — its own reader
+    # then mis-accumulates), while the encoded-strip/tile path applies
+    # the predictor correctly.  libtiff differences the buffer IN
+    # PLACE, hence the .copy() on every segment.
+    planes = range(spp) if planar else (None,)
+    seg = 0
+    try:
+        if tile is not None:
+            tw, tl = tile
+            for p in planes:
+                for y0 in range(0, h, tl):
+                    for x0 in range(0, w, tw):
+                        pad = np.zeros(
+                            (tl, tw, 1 if planar else spp), np.uint8
+                        )
+                        src = (img3[y0:y0 + tl, x0:x0 + tw, p:p + 1]
+                               if planar else img3[y0:y0 + tl, x0:x0 + tw])
+                        pad[: src.shape[0], : src.shape[1]] = src
+                        buf = np.ascontiguousarray(pad)
+                        if lib.TIFFWriteEncodedTile(
+                            tif, seg, buf.ctypes.data_as(ctypes.c_void_p),
+                            buf.size,
+                        ) < 0:
+                            raise RuntimeError(f"tile {seg} write failed")
+                        seg += 1
+        else:
+            for p in planes:
+                for y0 in range(0, h, rows_per_strip):
+                    src = (img3[y0:y0 + rows_per_strip, :, p:p + 1]
+                           if planar else img3[y0:y0 + rows_per_strip])
+                    buf = np.ascontiguousarray(src).copy()
+                    if lib.TIFFWriteEncodedStrip(
+                        tif, seg, buf.ctypes.data_as(ctypes.c_void_p),
+                        buf.size,
+                    ) < 0:
+                        raise RuntimeError(f"strip {seg} write failed")
+                    seg += 1
+    except Exception:
+        lib.TIFFClose(tif)
+        os.unlink(path)
+        raise
     lib.TIFFClose(tif)
     data = open(path, "rb").read()
     os.unlink(path)

@@ -138,6 +138,92 @@ def test_libpng_decodes_our_16bit_and_interlaced(tool):
     np.testing.assert_array_equal(_decode_png(png), img)
 
 
+def _with_trns(png: bytes, payload: bytes) -> bytes:
+    """Splice a tRNS chunk immediately before the first IDAT."""
+    import zlib
+
+    pos = 8
+    while pos + 8 <= len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        if png[pos + 4 : pos + 8] == b"IDAT":
+            chunk = (
+                struct.pack(">I", len(payload)) + b"tRNS" + payload
+                + struct.pack(">I", zlib.crc32(b"tRNS" + payload))
+            )
+            return png[:pos] + chunk + png[pos:]
+        pos += 12 + length
+    raise AssertionError("no IDAT")
+
+
+def test_trns_palette_alpha(tool):
+    """Palette tRNS: per-entry alpha, entries past the chunk opaque —
+    both decoders must produce the identical RGBA raster."""
+    rng = np.random.default_rng(11)
+    plte = bytes(rng.integers(0, 256, 24, dtype=np.uint8))  # 8 entries
+    idx = rng.integers(0, 8, (9, 13, 1)).astype(np.uint8)
+    png = _with_trns(
+        _png_subbyte(idx, 4, 3, [0, 1, 2, 3, 4], plte=plte),
+        bytes([0, 128, 255]),  # alpha for entries 0..2; 3..7 opaque
+    )
+    ours = _decode_png(png)
+    assert ours.shape == (9, 13, 4)
+    np.testing.assert_array_equal(_dec(tool, png), ours)
+    alut = np.array([0, 128, 255, 255, 255, 255, 255, 255], np.uint8)
+    np.testing.assert_array_equal(ours[:, :, 3], alut[idx[:, :, 0]])
+
+
+@pytest.mark.parametrize("color,ch", [(0, 1), (2, 3)], ids=["gray", "rgb"])
+def test_trns_colorkey_8bit(tool, color, ch):
+    rng = np.random.default_rng(13 + color)
+    img = rng.integers(0, 4, (11, 7, ch)).astype(np.uint8) * 80
+    key = tuple(img[0, 0])  # guaranteed present
+    png = _with_trns(
+        _png(img, [0, 1, 2, 3, 4], color), struct.pack(f">{ch}H", *key)
+    )
+    ours = _decode_png(png)
+    assert ours.shape == (11, 7, ch + 1)
+    np.testing.assert_array_equal(_dec(tool, png), ours)
+    assert (ours[:, :, ch] == 0).any() and (ours[:, :, ch] == 255).any()
+
+
+def test_trns_colorkey_16bit_native_depth(tool):
+    """The reduction trap: a 16-bit colorkey with NONZERO low bytes
+    must be compared at native depth — matching on the high byte after
+    the 16→8 cut would make extra pixels transparent."""
+    img16 = np.zeros((6, 5, 3), np.uint16)
+    img16[..., :] = (0x1234, 0x5678, 0x9ABC)       # the key, everywhere
+    img16[2, 3] = (0x1200, 0x5600, 0x9A00)         # same HIGH bytes only
+    img16[4, 1] = (0x1111, 0x2222, 0x3333)         # unrelated
+    png = _with_trns(
+        _png16(img16, [0, 2], 2), struct.pack(">3H", 0x1234, 0x5678, 0x9ABC)
+    )
+    ours = _decode_png(png)
+    np.testing.assert_array_equal(_dec(tool, png), ours)
+    assert ours[2, 3, 3] == 255 and ours[4, 1, 3] == 255  # NOT keyed
+    assert ours[0, 0, 3] == 0                             # keyed
+
+
+def test_trns_colorkey_subbyte_and_interlaced(tool):
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 4, (10, 9, 1)).astype(np.uint8)
+    png = _with_trns(
+        _png_subbyte(vals, 2, 0, [0, 1, 2]), struct.pack(">H", 3)
+    )
+    ours = _decode_png(png)
+    assert ours.shape == (10, 9, 2)
+    np.testing.assert_array_equal(_dec(tool, png), ours)
+    np.testing.assert_array_equal(
+        ours[:, :, 1], np.where(vals[:, :, 0] == 3, 0, 255)
+    )
+    img = _raster(13, 5, 3)
+    key = tuple(img[3, 3])
+    png = _with_trns(
+        _png_interlaced(img, [0, 1, 2, 3, 4], 2),
+        struct.pack(">3H", *key),
+    )
+    np.testing.assert_array_equal(_dec(tool, png), _decode_png(png))
+
+
 def test_libpng_decodes_our_palette(tool):
     rng = np.random.default_rng(6)
     plte = bytes(rng.integers(0, 256, 48, dtype=np.uint8))  # 16 entries

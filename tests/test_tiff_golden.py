@@ -115,6 +115,61 @@ def test_libtiff_decodes_our_lzw_and_packbits(endian):
     )
 
 
+@pytest.mark.parametrize("compression", [1, 5, 32773], ids=["none", "lzw", "packbits"])
+@pytest.mark.parametrize("kind", ["gray", "rgb"])
+def test_libtiff_tiled_we_decode(compression, kind):
+    """Tiled TIFF (TIFF6 §15) — retired from NotImplementedError in
+    r11: libtiff writes 16x16 tiles (edge tiles padded), our decoder
+    crops and reassembles exactly, including the horizontal predictor
+    applied per TILE row rather than per image row."""
+    rng = np.random.default_rng(compression)
+    shape = (37, 45) if kind == "gray" else (37, 45, 3)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    want = img[:, :, None] if kind == "gray" else img
+    data = lt.encode(img, compression=compression, tile=(16, 16))
+    np.testing.assert_array_equal(decode_tiff(data), want)
+    if compression == 5:
+        data = lt.encode(img, compression=5, tile=(16, 16), predictor=2)
+        np.testing.assert_array_equal(decode_tiff(data), want)
+
+
+@pytest.mark.parametrize("compression", [1, 5, 32773], ids=["none", "lzw", "packbits"])
+def test_libtiff_planar_we_decode(compression):
+    """PlanarConfiguration=2 (separate planes, sample-major segment
+    order) — retired from NotImplementedError in r11."""
+    rng = np.random.default_rng(40 + compression)
+    img = rng.integers(0, 256, (13, 9, 3)).astype(np.uint8)
+    data = lt.encode(img, compression=compression, rows_per_strip=4,
+                     planar=True)
+    np.testing.assert_array_equal(decode_tiff(data), img)
+
+
+def test_libtiff_planar_tiled_predictor_we_decode():
+    """The stacked corner: separate planes x tile grid x LZW x
+    horizontal predictor, against libtiff's own writer — and libtiff's
+    reader agrees with ours on the same file."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (37, 45, 3)).astype(np.uint8)
+    data = lt.encode(img, compression=5, tile=(16, 32), planar=True,
+                     predictor=2)
+    np.testing.assert_array_equal(decode_tiff(data), img)
+    np.testing.assert_array_equal(
+        lt.decode_rgba(data), _rgba_of_ours(decode_tiff(data))
+    )
+
+
+def test_tiled_geometry_contracts():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (20, 33)).astype(np.uint8)
+    data = bytearray(lt.encode(img, compression=5, tile=(16, 16)))
+    # truncate the last tile's bytes: must flag the container
+    from rust_near_indexer_spark.operators.tiff import _read_ifd
+
+    f = _read_ifd(bytes(data), "<")
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(data[: f[324][-1] + 2]))
+
+
 def test_our_lzw_encoder_matches_libtiff_bytes():
     """Strongest form: the in-test spec-derived LZW encoder and
     libtiff's encoder produce the IDENTICAL compressed stream for the
