@@ -379,6 +379,63 @@ def _decode_png(data: bytes):
     return img
 
 
+def synth_png_gray(seed: int, w: int, h: int) -> bytes:
+    """Deterministic gray-8 PNG for the gate query
+    (queries/multimodal.image_png_decode_stats): pixel (x, y) carries
+    ``(seed*23 + y*7 + x*3) % 251`` — a formula DuckDB reproduces from
+    generate_series — and each row is FORWARD-filtered with the full
+    filter cycle (None/Sub/Up/Average/Paeth by ``y % 5``) so the gate
+    exercises every unfilter path, not just the trivial one.  The
+    encode side is deliberately independent of ``_decode_png`` (filters
+    applied here by direct spec arithmetic; the decoder inverts them),
+    and the same raster bytes are additionally golden-gated against
+    libpng in tests/test_png_golden.py."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    img = ((seed * 23 + y * 7 + x * 3) % 251).astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w, np.int64)
+    for yy in range(h):
+        row = img[yy].astype(np.int64)
+        ft = yy % 5
+        a = np.concatenate([[0], row[:-1]])  # left (bpp=1)
+        b = prev
+        c = np.concatenate([[0], prev[:-1]])  # upper-left
+        if ft == 0:
+            pred = np.zeros(w, np.int64)
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+        raw += bytes([ft]) + ((row - pred) & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,

@@ -124,8 +124,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # (order is presentation; all gated locally at both SFs).  The
     # r11-new JPEG gate sits at position 51 — deliberately OUTSIDE the
     # 50-entry prefix so it displaces none of the 42 backlog entries;
-    # it rotates into the prefix next round. ----
+    # they rotate into the prefix next round. ----
     "image_jpeg_decode_stats",
+    "image_png_decode_stats",
     "bronze_validation_summary",
     "bronze_outcomes_fingerprint",
     "silver_nep245_events",

@@ -331,6 +331,72 @@ def image_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_png_decode_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 5 + doc_id % 6 AS w, 6 + doc_id % 5 AS h FROM documents
+    ),
+    r1 AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+    r2 AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM r1),
+    v AS (
+        SELECT doc_id, w, h,
+               (doc_id * 23 + y * 7 + x * 3) % 251 AS g
+        FROM r2
+    )
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(h AS BIGINT) AS dim0, CAST(w AS BIGINT) AS dim1,
+           CAST(h * w AS BIGINT) AS n_values,
+           CAST((1000 * SUM(g)) // (h * w) AS BIGINT) AS mean_milli
+    FROM v GROUP BY doc_id, w, h ORDER BY media_id
+    """,
+    tags=("llm", "multimodal", "image", "png"),
+)
+def image_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL PNG path gated end-to-end (r11 — PNG was the one image
+    decoder with no driver-facing gate): per document a genuine gray-8
+    PNG is synthesized from an integer pixel generator
+    (operators/multimodal.synth_png_gray — rows forward-filtered with
+    the FULL filter cycle None/Sub/Up/Average/Paeth, so every unfilter
+    path runs per image), decoded by ``decode_image``'s actual PNG
+    branch (zlib inflate + per-row unfiltering), and reduced to integer
+    stats.  PNG is lossless, so DuckDB reproduces every value from
+    generate_series — gating the chunk walk, all five filter
+    inversions, and the Arrow mapInPandas plumbing.  (Interlace,
+    sub-byte depths, 16-bit, palette, and tRNS stay pytest-gated
+    bit-exact against the system libpng in tests/test_png_golden.py.)
+
+    Scale shape: payload bytes never cross a shuffle (synth and decode
+    ride the scan partitioning); output is one bounded row per image."""
+    from ..operators.multimodal import MEDIA_SCHEMA, decoded_stats, synth_png_gray
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id",
+        (5 + F.col("doc_id") % 6).cast("int").alias("w"),
+        (6 + F.col("doc_id") % 5).cast("int").alias("h"),
+    )
+
+    def _mk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        synth_png_gray(int(did), int(w), int(h))
+                        for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"])
+                    ],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = d.mapInPandas(_mk, schema=MEDIA_SCHEMA)
+    return decoded_stats(media).orderBy("media_id")
+
+
+@register(
     "video_avi_frame_features",
     oracle="""
     WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),

@@ -98,6 +98,35 @@ def test_giflib_decodes_product_synth():
         np.testing.assert_array_equal(_giflib_pixels(data), decode_gif(data))
 
 
+def test_giflib_agrees_on_animation_frames():
+    """Multi-frame GIF: per-image geometry (Left/Top/Width/Height) and
+    raw index rasters through giflib must match parse_gif's pre-
+    composition view — the comparison deliberately happens BEFORE
+    disposal/transparency compositing, which is renderer convention."""
+    from rust_near_indexer_spark.operators.gif import parse_gif
+
+    rng = np.random.default_rng(8)
+    pal = _gray_pal(256)
+    base = rng.integers(0, 256, (12, 16)).astype(np.uint8)
+    patch = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+    data = encode_gif(
+        [
+            {"indices": base, "disposal": 1, "delay_cs": 4},
+            {"indices": patch, "x": 3, "y": 2, "transparent": 0,
+             "disposal": 2, "delay_cs": 6},
+        ],
+        16, 12, global_palette=pal, loop=0,
+    )
+    ref = lg.decode_frames(data)
+    ours = parse_gif(data)["frames"]
+    assert len(ref) == len(ours) == 2
+    for rf, of in zip(ref, ours):
+        assert (rf["left"], rf["top"]) == (of["x"], of["y"])
+        np.testing.assert_array_equal(rf["raster"], of["indices"])
+    np.testing.assert_array_equal(ref[0]["raster"], base)
+    np.testing.assert_array_equal(ref[1]["raster"], patch)
+
+
 def test_giflib_decodes_kwkwk_stream():
     """The KwKwK corner (code == next-to-assign) through giflib's
     reader: our encoder emits it for abab... content."""

@@ -224,6 +224,19 @@ def test_trns_colorkey_subbyte_and_interlaced(tool):
     np.testing.assert_array_equal(_dec(tool, png), _decode_png(png))
 
 
+def test_libpng_decodes_product_synth(tool):
+    """The gate query's synthesizer (full filter cycle per row) reads
+    back through libpng to the exact generator formula."""
+    from rust_near_indexer_spark.operators.multimodal import synth_png_gray
+
+    for seed, w, h in ((0, 5, 6), (7, 10, 10), (123, 8, 7)):
+        png = synth_png_gray(seed, w, h)
+        y, x = np.mgrid[0:h, 0:w]
+        want = ((seed * 23 + y * 7 + x * 3) % 251).astype(np.uint8)[:, :, None]
+        np.testing.assert_array_equal(_dec(tool, png), want)
+        np.testing.assert_array_equal(_decode_png(png), want)
+
+
 def test_libpng_decodes_our_palette(tool):
     rng = np.random.default_rng(6)
     plte = bytes(rng.integers(0, 256, 48, dtype=np.uint8))  # 16 entries
