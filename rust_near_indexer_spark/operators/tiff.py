@@ -304,6 +304,7 @@ def decode_tiff(data: bytes):
         (16, 1),
         (8, 2),
         (8, 3),
+        (16, 2),
     }:
         raise NotImplementedError(
             f"TIFF class bits={b} photometric={photo} unsupported"
@@ -312,13 +313,14 @@ def decode_tiff(data: bytes):
         raise ValueError("RGB TIFF with SamplesPerPixel < 3")
     if photo != 2 and spp != 1:
         raise NotImplementedError("multi-sample non-RGB TIFF")
-    if tiled or planar == 2:
-        # tile grids and separate planes (TIFF6 §15 / PlanarConfig=2,
-        # r11 — golden-gated against libtiff's own tile/plane writer in
-        # tests/test_tiff_golden.py): assemble per segment, with the
-        # horizontal predictor applied WITHIN each segment row (a tile
-        # row is its own differencing run — cumsum across the full
-        # image row would bleed across tile boundaries)
+    if tiled or planar == 2 or (b == 16 and spp > 1):
+        # tile grids, separate planes, and 16-bit multi-sample rasters
+        # (TIFF6 §15 / PlanarConfig=2, r11 — golden-gated against
+        # libtiff's own tile/plane writer in tests/test_tiff_golden.py):
+        # assemble per segment, with the horizontal predictor applied
+        # WITHIN each segment row (a tile row is its own differencing
+        # run — cumsum across the full image row would bleed across
+        # tile boundaries)
         if b not in (8, 16):
             raise NotImplementedError(
                 f"tiled/planar TIFF at {b} bits per sample"

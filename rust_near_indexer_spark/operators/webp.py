@@ -578,6 +578,11 @@ def decode_webp(data: bytes):
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > len(data):
+            # a lying/truncated size field is a container defect: flag
+            # it here rather than hand a short payload downstream (or
+            # skip past real chunks) and mis-blame the bitstream
+            raise ValueError("truncated RIFF chunk")
         payload = data[pos + 8 : pos + 8 + size]
         if fourcc == b"ANMF":
             # animation: the image chunks live inside ANMF payloads,
@@ -762,6 +767,8 @@ def decode_webp_frames(data: bytes):
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > len(data):
+            raise ValueError("truncated RIFF chunk")
         payload = data[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8X":
             if len(payload) < 10:

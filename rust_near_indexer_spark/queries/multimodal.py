@@ -334,13 +334,16 @@ def image_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_png_decode_stats",
     oracle="""
     WITH d AS (
-        SELECT doc_id, 5 + doc_id % 6 AS w, 6 + doc_id % 5 AS h FROM documents
+        SELECT doc_id, 5 + (doc_id % 6 + 6) % 6 AS w,
+               6 + (doc_id % 5 + 5) % 5 AS h,
+               (doc_id % 251 + 251) % 251 AS sd
+        FROM documents
     ),
-    r1 AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
-    r2 AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM r1),
+    r1 AS (SELECT doc_id, w, h, sd, unnest(range(0, h)) AS y FROM d),
+    r2 AS (SELECT doc_id, w, h, sd, y, unnest(range(0, w)) AS x FROM r1),
     v AS (
         SELECT doc_id, w, h,
-               (doc_id * 23 + y * 7 + x * 3) % 251 AS g
+               (sd * 23 + y * 7 + x * 3) % 251 AS g
         FROM r2
     )
     SELECT doc_id AS media_id, 'image' AS kind,
@@ -370,10 +373,15 @@ def image_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import MEDIA_SCHEMA, decoded_stats, synth_png_gray
     from ..tables import spread
 
+    # sign-defensive residues on BOTH sides (r11 self-review): Spark's
+    # and DuckDB's % follow the dividend's sign while numpy's does not,
+    # so every modulo feeding geometry or the pixel seed is normalized
+    # before use (the sibling fixture queries do the same for fi)
     d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
-        (5 + F.col("doc_id") % 6).cast("int").alias("w"),
-        (6 + F.col("doc_id") % 5).cast("int").alias("h"),
+        (5 + (F.col("doc_id") % 6 + 6) % 6).cast("int").alias("w"),
+        (6 + (F.col("doc_id") % 5 + 5) % 5).cast("int").alias("h"),
+        ((F.col("doc_id") % 251 + 251) % 251).cast("int").alias("sd"),
     )
 
     def _mk(batches):
@@ -385,8 +393,8 @@ def image_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": pdf["doc_id"].astype("int64"),
                     "kind": ["image"] * len(pdf),
                     "payload": [
-                        synth_png_gray(int(did), int(w), int(h))
-                        for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"])
+                        synth_png_gray(int(sd), int(w), int(h))
+                        for sd, w, h in zip(pdf["sd"], pdf["w"], pdf["h"])
                     ],
                     "meta": [None] * len(pdf),
                 }

@@ -78,7 +78,7 @@ _TAGS = {
 
 def encode(img: np.ndarray, *, compression: int, rows_per_strip: int = 4,
            predictor: int | None = None, tile: tuple[int, int] | None = None,
-           planar: bool = False) -> bytes:
+           planar: bool = False, bits: int = 8) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → TIFF bytes via libtiff's
     real encoder (COMPRESSION_NONE=1 / LZW=5 / PACKBITS=32773).
     ``tile=(tw, tl)`` writes a tiled file (tw/tl multiples of 16 per
@@ -90,12 +90,13 @@ def encode(img: np.ndarray, *, compression: int, rows_per_strip: int = 4,
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else img.shape[2]
-    img3 = img.reshape(h, w, spp)
+    dt = np.uint16 if bits == 16 else np.uint8
+    img3 = img.reshape(h, w, spp).astype(dt)  # native-endian for libtiff
     path = tempfile.mktemp(suffix=".tif")
     tif = lib.TIFFOpen(path.encode(), b"w")
     if not tif:
         raise RuntimeError("TIFFOpen(w) failed")
-    fields = [(256, w), (257, h), (258, 8), (259, compression),
+    fields = [(256, w), (257, h), (258, bits), (259, compression),
               (262, 1 if gray else 2), (277, spp),
               (284, 2 if planar else 1)]
     if tile is not None:
@@ -123,7 +124,7 @@ def encode(img: np.ndarray, *, compression: int, rows_per_strip: int = 4,
                 for y0 in range(0, h, tl):
                     for x0 in range(0, w, tw):
                         pad = np.zeros(
-                            (tl, tw, 1 if planar else spp), np.uint8
+                            (tl, tw, 1 if planar else spp), dt
                         )
                         src = (img3[y0:y0 + tl, x0:x0 + tw, p:p + 1]
                                if planar else img3[y0:y0 + tl, x0:x0 + tw])
@@ -131,7 +132,7 @@ def encode(img: np.ndarray, *, compression: int, rows_per_strip: int = 4,
                         buf = np.ascontiguousarray(pad)
                         if lib.TIFFWriteEncodedTile(
                             tif, seg, buf.ctypes.data_as(ctypes.c_void_p),
-                            buf.size,
+                            buf.nbytes,
                         ) < 0:
                             raise RuntimeError(f"tile {seg} write failed")
                         seg += 1
@@ -143,7 +144,7 @@ def encode(img: np.ndarray, *, compression: int, rows_per_strip: int = 4,
                     buf = np.ascontiguousarray(src).copy()
                     if lib.TIFFWriteEncodedStrip(
                         tif, seg, buf.ctypes.data_as(ctypes.c_void_p),
-                        buf.size,
+                        buf.nbytes,
                     ) < 0:
                         raise RuntimeError(f"strip {seg} write failed")
                     seg += 1

@@ -158,6 +158,72 @@ def test_libtiff_planar_tiled_predictor_we_decode():
     )
 
 
+@pytest.mark.parametrize("compression", [1, 5], ids=["none", "lzw"])
+@pytest.mark.parametrize(
+    "layout", ["tiled", "planar", "tiled-planar", "rgb-strips"]
+)
+def test_libtiff_16bit_tiled_planar_we_decode(compression, layout):
+    """16-bit through the new segment assembler (r11 self-review: the
+    8-bit matrix was golden-gated, the 16-bit branch was not): libtiff
+    writes native-endian 16-bit samples; our decoder must reduce to the
+    high byte after correct endian interpretation, predictor included."""
+    rng = np.random.default_rng(60 + compression)
+    img16 = rng.integers(0, 65536, (20, 33)).astype(np.uint16)
+    kw = dict(compression=compression, bits=16)
+    if layout == "tiled":
+        kw["tile"] = (16, 16)
+    elif layout == "planar":
+        img16 = rng.integers(0, 65536, (20, 33, 3)).astype(np.uint16)
+        kw.update(planar=True, rows_per_strip=7)
+    elif layout == "rgb-strips":  # 16-bit RGB chunky (also new in r11)
+        img16 = rng.integers(0, 65536, (20, 33, 3)).astype(np.uint16)
+        kw.update(rows_per_strip=6)
+    else:
+        img16 = rng.integers(0, 65536, (20, 33, 3)).astype(np.uint16)
+        kw.update(planar=True, tile=(16, 16))
+    if compression == 5:
+        kw["predictor"] = 2
+    data = lt.encode(img16, **kw)
+    want = (img16 >> 8).astype(np.uint8)
+    if want.ndim == 2:
+        want = want[:, :, None]
+    np.testing.assert_array_equal(decode_tiff(data), want)
+
+
+def test_big_endian_16bit_tiled_hand_built():
+    """libtiff always writes the host's endianness ('II' on x86), so
+    the big-endian 16-bit tile path is pinned with a hand-built 'MM'
+    file: one uncompressed 16x16 tile, samples stored big-endian."""
+    import struct
+
+    rng = np.random.default_rng(5)
+    img16 = rng.integers(0, 65536, (10, 12)).astype(np.uint16)
+    tile = np.zeros((16, 16), np.uint16)
+    tile[:10, :12] = img16
+    raster = tile.astype(">u2").tobytes()
+    entries = [  # (tag, type, values)
+        (256, 3, [12]), (257, 3, [10]), (258, 3, [16]), (259, 3, [1]),
+        (262, 3, [1]), (277, 3, [1]), (284, 3, [1]),
+        (322, 3, [16]), (323, 3, [16]), (324, 4, [None]), (325, 4, [len(raster)]),
+    ]
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    out = bytearray(b"MM\x00*" + struct.pack(">I", ifd_off))
+    out += struct.pack(">H", len(entries))
+    for tag, typ, vals in entries:
+        v = data_off if vals == [None] else vals[0]
+        if typ == 3:
+            packed = struct.pack(">HH", v, 0)
+        else:
+            packed = struct.pack(">I", v)
+        out += struct.pack(">HHI", tag, typ, 1) + packed
+    out += struct.pack(">I", 0)  # next IFD
+    assert len(out) == data_off
+    out += raster
+    got = decode_tiff(bytes(out))
+    np.testing.assert_array_equal(got, (img16 >> 8).astype(np.uint8)[:, :, None])
+
+
 def test_tiled_geometry_contracts():
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (20, 33)).astype(np.uint8)

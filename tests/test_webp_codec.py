@@ -893,6 +893,26 @@ def test_animated_webp_fractional_blend():
     assert frames[1][0, 0].tolist() == exp_rgb + [round(oa * 255)]
 
 
+def test_production_walkers_reject_lying_chunk_size():
+    """The truncated-RIFF guard must live in the PRODUCTION walkers
+    (decode_webp / decode_webp_frames), not only in the test-facing
+    vp8.decode_webp_vp8 (r11 self-review): a size field past EOF is a
+    container defect, and without the guard it either mis-blames the
+    bitstream or silently skips past real chunks."""
+    from rust_near_indexer_spark.operators.webp import (
+        decode_webp,
+        decode_webp_frames,
+    )
+
+    good = _encode_webp(4, 4, [("lit", (255, 10, 200, 30))] * 16)
+    bad = bytearray(good)
+    pos = bad.index(b"VP8L")
+    bad[pos + 4 : pos + 8] = struct.pack("<I", len(bad))  # lies past EOF
+    for fn in (decode_webp, decode_webp_frames):
+        with pytest.raises(ValueError, match="truncated RIFF chunk"):
+            fn(bytes(bad))
+
+
 def test_anmf_without_animation_flag_raises():
     """ANMF chunks under a VP8X header whose animation flag is CLEAR
     are malformed; before r11 this recursed decode_webp ↔
