@@ -198,10 +198,18 @@ def test_concurrent_appends_idempotent(spark, blocks, tmp_path):
         a = _fp(sinks.read_final(spark, f"{base}/{name}", pk))
         b = _fp(sinks.read_final(spark, f"{once}/{name}", pk))
         assert a == b, f"{name}: concurrent double-run diverged"
-        # both jobs' rows are on disk (nothing lost, duplicates coexist
-        # until a merge — the ReplacingMergeTree model)
+        # both jobs' rows are on disk — NOTHING LOST — and raw rows are
+        # whole-batch multiples: >= 2 batches (one per job), possibly
+        # more when the jobs' committers collide in the shared
+        # _temporary dir and with_retries re-appends the full batch (a
+        # legitimate overlap re-append under the ReplacingMergeTree
+        # contract: "re-appending an overlapping range is safe — dedup
+        # happens at read/compact time"; FINAL equality above is the
+        # semantic gate).  An exact ==2x pin here flaked ~1/1000 runs
+        # on exactly that committer race (r11).
         raw = spark.read.parquet(f"{base}/{name}").count()
-        assert raw == 2 * spark.read.parquet(f"{once}/{name}").count()
+        single = spark.read.parquet(f"{once}/{name}").count()
+        assert raw >= 2 * single, f"{name}: rows LOST in the race"
 
     h_double = sinks.last_indexed_height(spark, f"{base}/events")
     h_single = sinks.last_indexed_height(spark, f"{once}/events")
