@@ -39,44 +39,46 @@ def test_gate_priority_prefix():
     assert len(set(GATE_PRIORITY)) == len(GATE_PRIORITY)
     assert tuple(names[: len(GATE_PRIORITY)]) == GATE_PRIORITY
     prefix = set(GATE_PRIORITY[:50])
-    # One representative per operator family (r11 rotation: the prefix
-    # carries the 42 remaining never-driver-checked queries behind an
-    # 8-entry class backbone, so the pin asserts FAMILY coverage through
-    # current representatives, not the historic name list — rotated-out
-    # rows keep their local-gate coverage).
-    # end-to-end NEAR pipeline backbone present
+    # One representative per operator family (r12 rotation: behind the
+    # 8-entry class backbone the prefix carries the 10 evidence
+    # stragglers from VERDICT r11 #1, the 20 queries last
+    # driver-checked in r08 and 12 family-diverse r09 ones — so the
+    # pin asserts FAMILY coverage through current representatives, not
+    # the historic name list; rotated-out rows keep their local-gate
+    # coverage).
+    # end-to-end NEAR pipeline backbone present (incl. the flagship,
+    # kept every round per VERDICT r11 #5) + bronze depth from the r09
+    # band
     assert {"bronze_receipts", "bronze_events", "silver_transfers",
-            "gold_intents_metrics", "r25_dip4_transfers"} <= prefix
-    # multimodal / web-ingest backbone (incl. the lossy-VP8 gate whose
-    # RGB pins changed this round — the driver must re-check it)
+            "gold_intents_metrics", "r25_dip4_transfers",
+            "bronze_transactions", "bronze_per_block_stats",
+            "bronze_events_block_end", "bronze_events_only_mode"} <= prefix
+    # multimodal / web-ingest backbone (incl. the JPEG/PNG gates that
+    # have never had a driver row — the rotation's whole point)
     assert {"image_codec_router_matrix", "image_webp_lossy_stats",
-            "warc_ingest_stats"} <= prefix
-    # dedup family representatives in the backlog
-    assert {"dedup_chunk_boilerplate", "dedup_cluster_cliqueness",
-            "dedup_prefix_filter_join", "dedup_substring_spans",
-            "fuzzy_edit_distance_join", "text_normalized_dedup"} <= prefix
+            "warc_ingest_stats", "image_jpeg_decode_stats",
+            "image_png_decode_stats", "multimodal_features",
+            "multimodal_frame_sample", "audio_g711_expand_stats",
+            "audio_mp3_metadata_scan"} <= prefix
+    # dedup / decontamination representatives
+    assert {"dedup_exact", "dedup_incremental_bloom",
+            "benchmark_decontamination"} <= prefix
     # similarity / retrieval-eval
-    assert {"ann_ivf_topk", "ann_pq_adc_topk", "ann_quantized_topk",
-            "ann_recall_eval", "knn_label_vote",
-            "bm25_fraction_probes_control", "boolean_and_retrieval",
-            "phrase_retrieval"} <= prefix
-    # embedding / clustering
-    assert {"embedding_cohesion_stats", "embedding_label_centroids",
-            "contrastive_pair_mining", "cluster_balanced_sample"} <= prefix
-    # sampling / split / corpus shaping
-    assert {"pps_systematic_sample", "leakage_safe_split",
-            "corpus_mixture", "corpus_shuffle_order",
-            "doc_chunk_windows"} <= prefix
-    # temporal / funnel / profiling / SQL depth
-    assert {"ewma_user_value", "rolling_3day_user_spend",
-            "cohort_retention", "conversion_funnel", "column_profile",
-            "equi_depth_histogram", "corpus_drift_stats",
-            "cube_returns_by_status", "event_type_pivot",
-            "daily_metrics_unpivot", "event_rollup_hierarchy",
-            "pareto_frontier_orders", "snapshot_reconcile_diff"} <= prefix
-    # after this rotation, every registry query has appeared in some
-    # round's 50-entry driver prefix: assert the r11 prefix covers the
-    # full never-driver-checked backlog enumerated in VERDICT r10 #1.
+    assert {"ann_ivfpq_recall_eval", "ann_lsh_bucketed_topk",
+            "bm25_topk_retrieval"} <= prefix
+    # text / tokenization / graph
+    assert {"text_language_id", "bpe_fixed_merge_token_counts",
+            "receipt_pagerank"} <= prefix
+    # temporal / sessionization / SQL depth (the stale-r02 band plus
+    # the r08 window/rollup block)
+    assert {"date_bucket_join", "region_rollup", "distinct_segments",
+            "table_fingerprint", "topk_orders_per_priority",
+            "shipping_priority", "user_sessions", "hourly_event_windows",
+            "running_customer_revenue", "revenue_rollup",
+            "customer_year_setops", "latest_event_per_user",
+            "user_state_scd2"} <= prefix
+    # after this rotation every registry query's most recent driver row
+    # is r09 or newer (VERDICT r11 #1 done-condition).
     assert len(prefix) == 50
 
 
