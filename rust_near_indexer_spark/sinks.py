@@ -27,19 +27,24 @@ height-bucket, embarrassingly parallel, and idempotent.
 
 Concurrency contract (VERDICT r07 #5 audit):
 
-- **append vs append — SAFE.**  Each Spark task writes a uniquely-named
-  part file through a job-scoped staging dir, so two racing appends
-  both land in full, whatever the interleaving.  If the race is an
-  accidental DOUBLE-RUN of the same batch (two schedulers fire the same
-  ingest), the duplicate rows carry the same PK and ``read_final``'s
-  last-write-wins collapses them — same rows either way because the
-  duplicates are value-identical (test_sinks.py::
-  test_concurrent_appends_idempotent proves both the race and the
-  resume-height composition under it).  This mirrors the reference,
-  where double-inserted rows coexist in ReplacingMergeTree until a
-  merge and FINAL reads stay exact.
+- **append vs append — EXACTLY-ONCE (r12; was tolerated-re-append).**
+  Each append job writes its whole batch into a PRIVATE
+  ``_staging-<uuid>`` subtree and publishes by atomic per-file rename,
+  so racing jobs never share a Hadoop ``_temporary`` dir — the
+  committer clobber that used to make a raced job legally re-append
+  its full batch (r11's 3x flake) cannot happen, and raw storage is
+  exactly one batch per job (test_sinks.py::
+  test_concurrent_appends_idempotent pins ``== 2x`` under the forced
+  race plus the resume-height composition).  If the race is an
+  accidental DOUBLE-RUN of the same batch, the duplicate rows still
+  carry the same PK and ``read_final``'s last-write-wins collapses
+  them — the reference's ReplacingMergeTree model, now without the
+  storage amplification.
 - **append vs read — SAFE.**  Readers list part files at plan time;
-  an in-flight append's staging files are ``_``-prefixed and invisible.
+  an in-flight append's staging subtree is ``_``-prefixed and
+  invisible, and each part file appears atomically via rename — a
+  reader never observes a torn parquet, however the writer dies
+  (test_kill_mid_append_no_torn_reads).
 - **compact/retain vs read — SAFE within one publish cycle.**
   Compaction publishes by atomic symlink swap (never a missing dir),
   and the REPLACED generation is retained until the next publish
@@ -137,15 +142,100 @@ def append(
     """One batch append (R23 shape): stamp the ingest sequence, partition
     by height bucket (or month — the PG layout), append.  Re-appending an
     overlapping range is safe — dedup happens at read/compact time
-    (ReplacingMergeTree semantics)."""
-    (
-        _with_bucket(
-            df.withColumn("ingest_seq", F.lit(ingest_seq).cast("long")), partitioning
+    (ReplacingMergeTree semantics).
+
+    Exactly-once under RACING appends (VERDICT r11 #2 — was
+    tolerated-re-append): each job writes its whole batch into a
+    private ``_staging-<uuid>`` subtree of the table (underscore
+    prefix → invisible to every reader and to ``_part_inventory``),
+    then publishes by ``os.rename``-ing the completed part files into
+    the partition dirs.  Because the staging dir is per-job, two
+    racing appends never share a Hadoop ``_temporary`` dir — the
+    committer clobber that made a raced job legally re-append its full
+    batch (PLANS_r11 flake adjudication) cannot happen, and raw counts
+    are exactly one batch per job again (test_sinks pins ``== 2x``
+    under the forced race).  Part filenames embed Spark's per-job
+    write UUID, so destination names never collide across jobs.
+
+    Crash contract: every rename is atomic, so a READER never observes
+    a torn or partial part file — a job killed mid-publish leaves a
+    complete-file subset of its batch visible plus its staging dir
+    (invisible; swept by ``clean_staging``).  ``with_retries`` re-runs
+    the whole append; the re-appended duplicates carry the same PK and
+    ingest_seq, so ``read_final`` collapses them (the kill-mid-append
+    test pins both properties).
+
+    Compact interplay unchanged: the table realpath is resolved once
+    up front and re-checked after the moves — a concurrent compact
+    that swapped the generation symlink makes the append fail LOUDLY
+    (rows that already moved sit in the replaced generation, where
+    compact's post-swap rescue or the loud retry re-lands them; none
+    are silently lost), exactly the pre-existing append-vs-compact
+    contract."""
+    import shutil
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    real = os.path.realpath(path)
+    staging = os.path.join(real, f"_staging-{uuid.uuid4().hex}")
+    try:
+        (
+            _with_bucket(
+                df.withColumn("ingest_seq", F.lit(ingest_seq).cast("long")),
+                partitioning,
+            )
+            .write.mode("overwrite")
+            .partitionBy("height_bucket")
+            .parquet(staging)
         )
-        .write.mode("append")
-        .partitionBy("height_bucket")
-        .parquet(path)
-    )
+        if os.path.realpath(path) != real:
+            raise RuntimeError(
+                f"append({path}): table generation swapped during staging "
+                f"write — retrying into the new generation"
+            )
+        for entry in os.listdir(staging):
+            if not entry.startswith("height_bucket="):
+                continue
+            dst_dir = os.path.join(real, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            src_dir = os.path.join(staging, entry)
+            for f in os.listdir(src_dir):
+                if f.startswith(("_", ".")):
+                    continue
+                os.rename(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+        if os.path.realpath(path) != real:
+            raise RuntimeError(
+                f"append({path}): table generation swapped during publish "
+                f"— moved files target the replaced generation; retrying"
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def clean_staging(path: str, max_age_seconds: float = 3600.0) -> int:
+    """Sweep orphaned ``_staging-*`` dirs left by killed append jobs.
+    Age-gated so a live append's staging is never yanked from under it;
+    run from the same maintenance window as ``retain``.  Returns the
+    number of dirs removed."""
+    import shutil
+
+    real = os.path.realpath(path)
+    if not os.path.isdir(real):
+        return 0
+    now = time.time()
+    removed = 0
+    for d in os.listdir(real):
+        if not d.startswith("_staging-"):
+            continue
+        full = os.path.join(real, d)
+        try:
+            if now - os.path.getmtime(full) < max_age_seconds:
+                continue
+        except OSError:
+            continue  # raced with its own cleanup
+        shutil.rmtree(full, ignore_errors=True)
+        removed += 1
+    return removed
 
 
 def write_bucketed(

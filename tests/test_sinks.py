@@ -4,6 +4,8 @@ makes the reference's resume-and-reinsert-overlap model exactly-once)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -199,22 +201,105 @@ def test_concurrent_appends_idempotent(spark, blocks, tmp_path):
         b = _fp(sinks.read_final(spark, f"{once}/{name}", pk))
         assert a == b, f"{name}: concurrent double-run diverged"
         # both jobs' rows are on disk — NOTHING LOST — and raw rows are
-        # whole-batch multiples: >= 2 batches (one per job), possibly
-        # more when the jobs' committers collide in the shared
-        # _temporary dir and with_retries re-appends the full batch (a
-        # legitimate overlap re-append under the ReplacingMergeTree
-        # contract: "re-appending an overlapping range is safe — dedup
-        # happens at read/compact time"; FINAL equality above is the
-        # semantic gate).  An exact ==2x pin here flaked ~1/1000 runs
-        # on exactly that committer race (r11).
+        # EXACTLY one batch per job: the per-job _staging-<uuid> publish
+        # (VERDICT r11 #2) means racing appends never share a Hadoop
+        # _temporary dir, so the committer clobber that used to force a
+        # legal full-batch re-append (r11's ~1/1000 3x flake) cannot
+        # happen.  FINAL equality above stays the semantic gate; this
+        # pin is the exactly-once storage gate.
         raw = spark.read.parquet(f"{base}/{name}").count()
         single = spark.read.parquet(f"{once}/{name}").count()
-        assert raw >= 2 * single, f"{name}: rows LOST in the race"
+        assert raw == 2 * single, f"{name}: raw rows {raw} != 2x{single}"
+        # no staging residue survives a completed append
+        assert not [
+            d for d in os.listdir(os.path.realpath(f"{base}/{name}"))
+            if d.startswith("_staging-")
+        ]
 
     h_double = sinks.last_indexed_height(spark, f"{base}/events")
     h_single = sinks.last_indexed_height(spark, f"{once}/events")
     assert h_double == h_single
     assert sinks.resume_start(0, False, h_double) == h_single + 1
+
+
+def test_kill_mid_append_no_torn_reads(spark, blocks, tmp_path):
+    """A job killed mid-publish (VERDICT r11 #2 done-condition): the
+    per-job staging design publishes each completed part file by one
+    atomic ``os.rename``, so however the job dies a reader sees only
+    COMPLETE part files — a whole-file subset of the batch, never a
+    torn parquet.  The leftover staging dir is invisible to readers,
+    ``clean_staging`` sweeps it, and the standard ``with_retries``
+    re-run restores exact FINAL equality with a never-killed sink."""
+    import unittest.mock as mock
+
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "sink")
+    sinks.ingest_bronze(spark, blocks, base, ingest_seq=1)
+    path = f"{base}/events"
+    pk = sinks.TABLE_PKS["events"]
+    raw_before = spark.read.parquet(path).count()
+
+    tail = blocks.where(F.col("block_height") >= 1100)
+    tables = __import__(
+        "rust_near_indexer_spark.plans.pipeline", fromlist=["run_bronze"]
+    ).run_bronze(tail)
+    # several part files per batch, so the kill lands BETWEEN renames
+    batch = tables["events"].repartition(4)
+
+    # kill the publish after the first part-file rename: later renames
+    # (and sinks.append's own cleanup... which uses shutil, so the
+    # staging dir survives the "crash" like a real SIGKILL would leave it)
+    real_rename = os.rename
+    state = {"renamed": 0}
+
+    def dying_rename(src, dst):
+        if "_staging-" in src and not os.path.basename(src).startswith("_"):
+            if state["renamed"] >= 1:
+                raise KeyboardInterrupt("simulated kill mid-publish")
+            state["renamed"] += 1
+        real_rename(src, dst)
+
+    # rmtree no-op'd: append's failure-path cleanup must not run, so the
+    # on-disk state is exactly what a real SIGKILL leaves behind
+    with mock.patch.object(sinks.os, "rename", side_effect=dying_rename), \
+            mock.patch("shutil.rmtree", lambda *a, **k: None):
+        with pytest.raises(KeyboardInterrupt):
+            sinks.append(batch, path, ingest_seq=2)
+    assert state["renamed"] == 1
+
+    # torn-read gate: EVERY visible part file parses completely
+    real = os.path.realpath(path)
+    visible = []
+    for dirpath, dirnames, filenames in os.walk(real):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        visible.extend(
+            os.path.join(dirpath, f)
+            for f in filenames
+            if not f.startswith(("_", "."))
+        )
+    for f in visible:
+        pq.read_table(f)  # raises on a torn/truncated file
+    raw_partial = spark.read.parquet(path).count()
+    assert raw_before < raw_partial < raw_before + batch.count()
+
+    # the orphaned staging dir exists but is INVISIBLE to readers;
+    # clean_staging sweeps it without changing what readers see
+    leftovers = [d for d in os.listdir(real) if d.startswith("_staging-")]
+    assert leftovers
+    assert sinks.clean_staging(path, max_age_seconds=0.0) == len(leftovers)
+    assert spark.read.parquet(path).count() == raw_partial
+
+    # the documented recovery: with_retries re-runs the whole append —
+    # FINAL collapses the same-PK/same-seq duplicates to exactly the
+    # never-killed result
+    sinks.append(batch, path, ingest_seq=2)
+    clean = str(tmp_path / "clean")
+    sinks.ingest_bronze(spark, blocks, clean, ingest_seq=1)
+    sinks.ingest_bronze(spark, tail, clean, ingest_seq=2)
+    a = _fp(sinks.read_final(spark, path, pk))
+    b = _fp(sinks.read_final(spark, f"{clean}/events", pk))
+    assert a == b
 
 
 def test_compact_swap_never_hides_table(spark, blocks, tmp_path):
