@@ -448,7 +448,10 @@ def _jpeg_idct_matrix():
     """The orthonormal 8x8 DCT-II basis A (A[k,n] = c(k)/2 ·
     cos((2n+1)kπ/16)); spatial = Aᵀ·coef·A.  A @ Aᵀ = I, so the
     inverse is exact to float precision (orthonormality is pinned by
-    test_jpeg_codec)."""
+    test_jpeg_codec).  Used by the TEST encoder; the decoder renders
+    through ``_jpeg_idct_islow`` below so its pixels are bit-exact vs
+    the system libjpeg (r12 — the same decode-convention contract the
+    VP8 path satisfies vs libwebp)."""
     import math
 
     import numpy as np
@@ -459,6 +462,84 @@ def _jpeg_idct_matrix():
         for n in range(8):
             a[k, n] = 0.5 * c * math.cos((2 * n + 1) * k * math.pi / 16)
     return a
+
+
+# libjpeg's islow IDCT fixed-point constants: FIX(x) = round(x · 2^13)
+# for the AAN-factored DCT angles (public T.81 practice, identical in
+# every IJG/libjpeg-turbo build; turbo's SIMD paths are bit-compatible).
+_J_F0298, _J_F0390, _J_F0541, _J_F0765 = 2446, 3196, 4433, 6270
+_J_F0899, _J_F1175, _J_F1501, _J_F1847 = 7373, 9633, 12299, 15137
+_J_F1961, _J_F2053, _J_F2562, _J_F3072 = 16069, 16819, 20995, 25172
+_J_CONST_BITS, _J_PASS1_BITS = 13, 2
+
+
+def _jpeg_idct_pass(inp, shift):
+    """One islow butterfly pass along axis -2, vectorized over every
+    leading dim (all blocks of a component at once).  ``shift`` is the
+    DESCALE amount: CONST_BITS-PASS1_BITS for pass 1 (columns),
+    CONST_BITS+PASS1_BITS+3 for pass 2 (rows).  int64 throughout;
+    ``>>`` on negative ints is arithmetic in numpy, matching C's
+    RIGHT_SHIFT on the signed descale."""
+    import numpy as np
+
+    d = [inp[..., k, :] for k in range(8)]
+    z2, z3 = d[2], d[6]
+    z1 = (z2 + z3) * _J_F0541
+    t2 = z1 - z3 * _J_F1847
+    t3 = z1 + z2 * _J_F0765
+    z2, z3 = d[0], d[4]
+    t0 = (z2 + z3) << _J_CONST_BITS
+    t1 = (z2 - z3) << _J_CONST_BITS
+    t10, t13 = t0 + t3, t0 - t3
+    t11, t12 = t1 + t2, t1 - t2
+    t0, t1, t2, t3 = d[7], d[5], d[3], d[1]
+    z1, z2 = t0 + t3, t1 + t2
+    z3, z4 = t0 + t2, t1 + t3
+    z5 = (z3 + z4) * _J_F1175
+    t0 = t0 * _J_F0298
+    t1 = t1 * _J_F2053
+    t2 = t2 * _J_F3072
+    t3 = t3 * _J_F1501
+    z1 = -z1 * _J_F0899
+    z2 = -z2 * _J_F2562
+    z3 = -z3 * _J_F1961 + z5
+    z4 = -z4 * _J_F0390 + z5
+    t0 += z1 + z3
+    t1 += z2 + z4
+    t2 += z2 + z3
+    t3 += z1 + z4
+    half = 1 << (shift - 1)
+    out = np.empty_like(inp)
+    out[..., 0, :] = (t10 + t3 + half) >> shift
+    out[..., 7, :] = (t10 - t3 + half) >> shift
+    out[..., 1, :] = (t11 + t2 + half) >> shift
+    out[..., 6, :] = (t11 - t2 + half) >> shift
+    out[..., 2, :] = (t12 + t1 + half) >> shift
+    out[..., 5, :] = (t12 - t1 + half) >> shift
+    out[..., 3, :] = (t13 + t0 + half) >> shift
+    out[..., 4, :] = (t13 - t0 + half) >> shift
+    return out
+
+
+def _jpeg_idct_islow(blocks, quant):
+    """Dequantize + libjpeg islow IDCT for a whole component:
+    ``blocks`` (by, bx, 64) int coefficients in natural order,
+    ``quant`` (8, 8) int table → (by·8, bx·8) uint8 sample plane.
+    Bit-exact vs any libjpeg's JDCT_ISLOW output (the library default;
+    proven across the entropy × sampling × quality matrix by
+    tests/test_jpeg_native.py).  The C code's all-AC-zero DC shortcuts
+    are algebraically equal to the general path (DESCALE identities),
+    so one vectorized general path suffices."""
+    import numpy as np
+
+    by, bx, _ = blocks.shape
+    b = blocks.astype(np.int64).reshape(by, bx, 8, 8) * quant.astype(np.int64)
+    p1 = _jpeg_idct_pass(b, _J_CONST_BITS - _J_PASS1_BITS)
+    p2 = _jpeg_idct_pass(
+        p1.transpose(0, 1, 3, 2), _J_CONST_BITS + _J_PASS1_BITS + 3
+    ).transpose(0, 1, 3, 2)
+    samples = np.clip(p2 + 128, 0, 255).astype(np.uint8)
+    return samples.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
 
 class _JpegBitReader:
@@ -831,6 +912,11 @@ def _jpeg_lossless_scan(data, pos, frame, prec, scan, predictor, pt,
 
 
 def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):
+    """Baseline Huffman scan: entropy-decode every MCU into per-
+    component coefficient grids, then render through the same
+    dequantize→islow-IDCT tail the progressive/arithmetic paths use
+    (one vectorized IDCT per component instead of one matmul per
+    block — and bit-exact vs libjpeg, see _jpeg_idct_islow)."""
     import numpy as np
 
     h, w, comps = frame
@@ -838,10 +924,9 @@ def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), np.float64) for c in comps
+    coefs = [
+        np.zeros((mcuy * c[2], mcux * c[1], 64), np.int32) for c in comps
     ]
-    idct = _jpeg_idct_matrix()
     reader = _JpegBitReader(data, pos)
     pred = [0] * len(comps)
     n_restarts = 0
@@ -852,11 +937,10 @@ def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):
             pred = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for ci, dc_tbl, ac_tbl in scan:
-            _cid, ch, cv, qid = comps[ci]
-            q = qt[qid]
+            _cid, ch, cv, _qid = comps[ci]
             for by in range(cv):
                 for bx in range(ch):
-                    coef = np.zeros(64, np.float64)
+                    coef = coefs[ci][my * cv + by, mx * ch + bx]
                     t = _jpeg_huff_decode(reader, dc_tbl)
                     pred[ci] += _jpeg_extend(reader.bits(t), t)
                     coef[0] = pred[ci]
@@ -876,38 +960,77 @@ def _jpeg_scan(data, pos, frame, qt, scan, restart_interval):
                             )
                         coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(s), s)
                         k += 1
-                    block = idct.T @ (coef.reshape(8, 8) * q) @ idct
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
-    return _jpeg_to_image(frame, planes)
+    return _jpeg_from_coefs(frame, qt, coefs)
+
+
+_J_SCALEBITS = 16
+_J_ONE_HALF = 1 << (_J_SCALEBITS - 1)
+
+
+def _jpeg_color_tables():
+    """jdcolor.c's build_ycc_rgb_table: per-Cb/Cr fixed-point lookup
+    tables with FIX(x) = round(x · 2^16) of the full-range BT.601
+    (T.871) constants — identical in jdmerge.c, so every libjpeg build
+    converts YCbCr→RGB through exactly these integers."""
+    import numpy as np
+
+    def fix(x):
+        return int(x * (1 << _J_SCALEBITS) + 0.5)
+
+    i = np.arange(256, dtype=np.int64) - 128
+    return (
+        (fix(1.40200) * i + _J_ONE_HALF) >> _J_SCALEBITS,  # Cr → R
+        (fix(1.77200) * i + _J_ONE_HALF) >> _J_SCALEBITS,  # Cb → B
+        -fix(0.71414) * i,                                 # Cr → G (hi-res)
+        -fix(0.34414) * i + _J_ONE_HALF,                   # Cb → G (hi-res)
+    )
+
+
+_J_COLOR_TABLES = None
 
 
 def ycc_to_rgb(y, cb, cr):
-    """Full-range BT.601 YCbCr → RGB, float in / uint8 HWC out — the
-    JPEG/JFIF conversion (T.871 full-range).  Deliberately NOT shared
-    with lossy-VP8 WebP: VP8 YUV is limited-range (studio swing, Y
-    16..235), so webp.vp8_yuv_to_rgb uses libwebp's fixed-point
-    limited-range constants instead (ADVICE r10 high — sharing this
+    """Full-range BT.601 YCbCr → RGB, integer samples in / uint8 HWC
+    out — libjpeg's exact fixed-point table conversion (jdcolor.c), so
+    the pure decode is bit-identical to the native route (r12; before,
+    a float formula differed from libjpeg by ±1 LSB).  Deliberately
+    NOT shared with lossy-VP8 WebP: VP8 YUV is limited-range (studio
+    swing, Y 16..235), so webp.vp8_yuv_to_rgb uses libwebp's 14-bit
+    limited-range constants instead (ADVICE r10 high — sharing one
     formula made every lossy-WebP pixel systematically skewed)."""
     import numpy as np
 
-    cb = cb - 128.0
-    cr = cr - 128.0
+    global _J_COLOR_TABLES
+    if _J_COLOR_TABLES is None:
+        _J_COLOR_TABLES = _jpeg_color_tables()
+    cr_r, cb_b, cr_g, cb_g = _J_COLOR_TABLES
+    y = y.astype(np.int64)
+    cb = cb.astype(np.int64)
+    cr = cr.astype(np.int64)
     img = np.stack(
         [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
+            y + cr_r[cr],
+            y + ((cb_g[cb] + cr_g[cr]) >> _J_SCALEBITS),
+            y + cb_b[cb],
         ],
         axis=2,
     )
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 def _jpeg_to_image(frame, planes):
-    """Shared tail of both JPEG paths: component planes → chroma
-    upsample → YCbCr→RGB → HWC uint8."""
+    """Shared tail of every JPEG path: integer sample planes → chroma
+    upsample → YCbCr→RGB → HWC uint8.
+
+    Upsampling is libjpeg's PLAIN (box) replication — the one
+    convention every build computes identically, and the one the
+    native route pins with ``do_fancy_upsampling = FALSE``
+    (operators/jpeg_native.py; with the default fancy flag, IJG's
+    triangular filter and turbo's merged box upsampler would make the
+    same bytes decode differently across builds).  Each plane is first
+    cropped to its ceil-scaled downsampled dims, replicated, then
+    cropped to the frame — replication commutes with cropping, so edge
+    handling matches libjpeg's."""
     import numpy as np
 
     h, w, comps = frame
@@ -919,11 +1042,11 @@ def _jpeg_to_image(frame, planes):
         if ch != hmax or cv != vmax:
             if hmax % ch or vmax % cv:
                 raise NotImplementedError("non-integer JPEG sampling ratio")
+            p = p[: -(-h * cv // vmax), : -(-w * ch // hmax)]
             p = np.repeat(np.repeat(p, vmax // cv, 0), hmax // ch, 1)
         out.append(p[:h, :w])
     if len(out) == 1:
-        img = out[0][:, :, None]
-        return np.clip(np.round(img), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(out[0][:, :, None])
     if len(out) == 3:
         return ycc_to_rgb(out[0], out[1], out[2])
     raise NotImplementedError(f"{len(out)}-component JPEG")
@@ -1102,21 +1225,13 @@ def _jpeg_progressive_scan(
 
 
 def _jpeg_from_coefs(frame, qt, coefs):
-    """Progressive reconstruction: dequantize every accumulated block,
-    one einsum IDCT per component, shared plane→image tail."""
-    import numpy as np
-
-    h, w, comps = frame
-    idct = _jpeg_idct_matrix()
-    planes = []
-    for ci, (_cid, ch, cv, qid) in enumerate(comps):
-        q = qt[qid].astype(np.float64)
-        by_n, bx_n, _ = coefs[ci].shape
-        blocks = coefs[ci].astype(np.float64).reshape(by_n, bx_n, 8, 8) * q
-        # block = idct.T @ B @ idct, vectorized over the grid
-        spat = np.einsum("ij,abjk,kl->abil", idct.T, blocks, idct) + 128.0
-        plane = spat.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
-        planes.append(plane)
+    """Shared DCT-path reconstruction (baseline, progressive, and
+    arithmetic scans all land here): dequantize + islow IDCT per
+    component — bit-exact vs libjpeg — then the plane→image tail."""
+    planes = [
+        _jpeg_idct_islow(coefs[ci], qt[qid])
+        for ci, (_cid, _ch, _cv, qid) in enumerate(frame[2])
+    ]
     return _jpeg_to_image(frame, planes)
 
 
@@ -1143,6 +1258,17 @@ def decode_image(payload: bytes, meta: dict):
     if bytes(payload[:8]) == PNG_MAGIC:
         return _decode_png(bytes(payload))
     if bytes(payload[:3]) == b"\xff\xd8\xff":
+        from . import jpeg_native
+
+        if jpeg_native.available():
+            try:
+                return jpeg_native.decode(bytes(payload))
+            except ValueError:
+                # data libjpeg rejects but the pure decoder handles —
+                # lossless SOF3 above all (libjpeg never implemented
+                # it); genuinely corrupt payloads re-raise from the
+                # pure path with the decoder's own diagnostics
+                pass
         return _decode_jpeg(bytes(payload))
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
         from .webp import decode_webp

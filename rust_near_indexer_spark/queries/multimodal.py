@@ -267,12 +267,12 @@ def image_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_jpeg_decode_stats",
     oracle="""
     WITH pins(fi, dim0, dim1, n_values, mean_milli) AS (VALUES
-        (0, 24, 24, 1728, 127631),
-        (1, 19, 21, 1197, 128788),
-        (2, 32, 48, 4608, 127539),
-        (3, 29, 35, 3045, 127127),
-        (4, 16, 24, 1152, 126796),
-        (5, 16, 16, 768, 127128)
+        (0, 24, 24, 1728, 127620),
+        (1, 19, 21, 1197, 128803),
+        (2, 32, 48, 4608, 127548),
+        (3, 29, 35, 3045, 127033),
+        (4, 16, 24, 1152, 126798),
+        (5, 16, 16, 768, 127093)
     )
     SELECT d.doc_id AS media_id, 'image' AS kind,
            CAST(p.dim0 AS BIGINT) AS dim0, CAST(p.dim1 AS BIGINT) AS dim1,

@@ -2,17 +2,20 @@
 queries/multimodal.image_jpeg_decode_stats (round 11 — the JPEG decode
 path's first driver-facing gate; mirrors test_vp8_fixtures.py).
 
-Two layers: (1) the pure decoder reproduces the stats the query's
-oracle VALUES list pins (catches any drift in the Huffman/arithmetic
-entropy decoders, IDCT, color conversion, or router); (2) when gcc and
-libjpeg are present, each committed payload's RGB render is re-checked
-against libjpeg's own decompress at test time — pixel-level
-independent evidence per fixture, inside the documented
-IDCT-convention envelope (integer islow IDCT there, exact float IDCT
-here).  The entropy layers themselves are compared coefficient-EXACT
-against jpeg_read_coefficients on fresh encodes of every mode in
+Three layers: (1) BOTH decode routes — pure T.81 and the native
+libjpeg shim — reproduce the stats the query's oracle VALUES list
+pins, so the pins hold with or without gcc/libjpeg on the machine
+(the path-independence contract test_vp8_fixtures proved for WebP);
+(2) when gcc and libjpeg are present, each committed payload's RGB
+render is re-checked BIT-EXACT against libjpeg's own decompress at
+test time (r12 — the pure decoder now implements libjpeg's islow
+IDCT, box upsample, and fixed-point color tables exactly; the old
+float-IDCT "envelope" comparison is gone with the float IDCT); (3)
+the entropy layers are compared coefficient-EXACT against
+jpeg_read_coefficients on fresh encodes of every mode in
 tests/test_jpeg_arith.py — the class gate these fixtures were
-generated under.
+generated under.  The full randomized sampling × entropy matrix is in
+tests/test_jpeg_native.py.
 """
 
 from __future__ import annotations
@@ -28,12 +31,12 @@ from rust_near_indexer_spark.operators.multimodal import decode_image
 
 # mirror of the oracle VALUES list in image_jpeg_decode_stats
 PINS = {
-    "baseline_q75": (24, 24, 1728, 127631),
-    "baseline_q30_restart": (19, 21, 1197, 128788),
-    "progressive_q75": (32, 48, 4608, 127539),
-    "arith_seq_q60": (29, 35, 3045, 127127),
-    "arith_prog_q75": (16, 24, 1152, 126796),
-    "baseline_q90_noise": (16, 16, 768, 127128),
+    "baseline_q75": (24, 24, 1728, 127620),
+    "baseline_q30_restart": (19, 21, 1197, 128803),
+    "progressive_q75": (32, 48, 4608, 127548),
+    "arith_seq_q60": (29, 35, 3045, 127033),
+    "arith_prog_q75": (16, 24, 1152, 126798),
+    "baseline_q90_noise": (16, 16, 768, 127093),
 }
 
 # SOF marker proving each fixture really exercises its entropy mode
@@ -66,6 +69,23 @@ def test_fixture_decode_matches_oracle_pins(name, payload):
     assert c == 3 and img.dtype == np.uint8
 
 
+@pytest.mark.parametrize(
+    "name,payload", JPEG_FIXTURES, ids=[n for n, _ in JPEG_FIXTURES]
+)
+def test_fixture_pins_path_independent(name, payload, monkeypatch):
+    """The oracle pins hold on machines WITHOUT gcc/libjpeg: force the
+    pure route and re-assert the exact stats (the same contract
+    test_vp8_fixtures pins for the WebP native route — a native-only
+    truth would make the driver gate environment-dependent)."""
+    from rust_near_indexer_spark.operators import jpeg_native
+
+    monkeypatch.setattr(jpeg_native, "available", lambda: False)
+    img = decode_image(payload, {})
+    h, w, _c = img.shape
+    vals = img.reshape(-1).astype(np.int64)
+    assert (h, w, int(vals.size), int(vals.sum() * 1000 // vals.size)) == PINS[name]
+
+
 @pytest.fixture(scope="module")
 def tool(tmp_path_factory):
     if shutil.which("gcc") is None:
@@ -83,20 +103,25 @@ def tool(tmp_path_factory):
 @pytest.mark.parametrize(
     "name,payload", JPEG_FIXTURES, ids=[n for n, _ in JPEG_FIXTURES]
 )
-def test_fixture_rgb_within_idct_envelope(tool, name, payload):
-    """RGB vs libjpeg's decompress (fancy upsampling off, so both
-    sides replicate chroma): coefficients are exact above, leaving
-    libjpeg's integer islow IDCT vs this repo's exact float IDCT plus
-    per-component color rounding.  Mean |diff| stays well under 1;
-    outliers are confined to heavily-quantized high-frequency blocks
-    (q30 noise content measured max 20 at generation time)."""
+def test_fixture_rgb_bit_exact_vs_libjpeg(tool, name, payload, monkeypatch):
+    """The PURE decoder's RGB vs libjpeg's own decompress: BIT-EXACT
+    (r12 — islow IDCT + box upsample + fixed-point color reproduce
+    libjpeg's pipeline integer-for-integer; the pre-r12 float IDCT
+    needed a ±24 envelope here).  The golden tool decodes with library
+    defaults, which on this image resolve to the same plain-box
+    chroma convention the native shim pins.  The pure route is forced
+    so the native wiring cannot hollow this gate out."""
+    from rust_near_indexer_spark.operators import jpeg_native
+
     r = subprocess.run([tool, "dec"], input=bytes(payload), capture_output=True)
     assert r.returncode == 0, r.stderr
     hd, rest = r.stdout.split(b"\n", 1)
     w, h, nc = map(int, hd.split())
     ref = np.frombuffer(rest[: w * h * nc], np.uint8).reshape(h, w, nc)
+    monkeypatch.setattr(jpeg_native, "available", lambda: False)
     out = decode_image(payload, {})
     assert out.shape == ref.shape
-    d = np.abs(out.astype(int) - ref.astype(int))
-    assert d.mean() < 1.0, (name, d.mean())
-    assert d.max() <= 24, (name, d.max())
+    assert np.array_equal(out, ref), (
+        name,
+        int(np.abs(out.astype(int) - ref.astype(int)).max()),
+    )
