@@ -129,7 +129,14 @@ int jn_encode(const unsigned char *pix, int w, int h, int gray, int quality,
 void jn_free(unsigned char *p) { free(p); }
 """
 
-_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_native_build")
+# MUST be a real filesystem dir, NOT derived from __file__: executors
+# import this module from the addPyFile package ZIP (session.py), where
+# a __file__-relative path cannot hold a compiled .so.  The system temp
+# dir is the same channel the package zip itself stages through; the
+# content-addressed filename keeps stale shims from ever loading.
+_BUILD_DIR = os.path.join(
+    tempfile.gettempdir(), "rust_near_indexer_spark_native"
+)
 
 _lib = None
 _lib_err: str | None = None
