@@ -289,17 +289,17 @@ def image_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/jpeg_fixtures.py — baseline Huffman q75 / q30+restart,
     progressive SOF2, arithmetic sequential SOF9, arithmetic
     progressive SOF10, q90 noise) routes through ``decode_image``'s
-    magic-byte dispatch into the pure-Python T.81 decoder
-    (operators/multimodal._decode_jpeg + operators/jpeg_arith.py) and
-    reduces to the pinned integer stats.  Until r11 the JPEG decoder
-    was pytest-gated only; this puts every entropy mode behind the
-    driver's DuckDB gate the way image_webp_lossy_stats does for VP8.
-    Provenance of the pins: the coefficient layer is EXACT vs
-    jpeg_read_coefficients and the RGB render sits inside the
-    documented IDCT-convention envelope of libjpeg's output
-    (tests/test_jpeg_fixtures.py re-verifies both when gcc+libjpeg are
-    present); DCT quantization makes a formula-based oracle impossible,
-    which is why the payloads are committed bytes.
+    magic-byte dispatch — the compiled libjpeg shim where available
+    (operators/jpeg_native.py, r12), else the pure-Python T.81 decoder
+    (operators/multimodal._decode_jpeg + operators/jpeg_arith.py) —
+    and reduces to the pinned integer stats.  The two routes are
+    BIT-EXACT (the pure decoder implements libjpeg's islow IDCT, box
+    upsample, and fixed-point color tables integer-for-integer), so
+    the pins hold on any machine; tests/test_jpeg_fixtures.py pins
+    both path independence and RGB equality vs libjpeg's own
+    decompress, and the coefficient layer stays EXACT vs
+    jpeg_read_coefficients.  DCT quantization makes a formula-based
+    oracle impossible, which is why the payloads are committed bytes.
 
     Scale shape: payload bytes never cross a shuffle (fixture lookup +
     decode ride the scan partitioning inside one Arrow batch stage);
