@@ -219,7 +219,7 @@ def synth_wav_bytes(doc_id: int, n: int, rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def pcm_gate_features(media: DataFrame) -> DataFrame:
+def pcm_gate_features(media: DataFrame, pre=None) -> DataFrame:
     """WAV payload → REAL ``decode_audio`` → integer-exact summary
     features: energy = Σ s², zero_crossings = #{i : s_i·s_{i-1} < 0},
     peak = max|s|.  Float32 normalization in the decoder is exact for
@@ -233,6 +233,8 @@ def pcm_gate_features(media: DataFrame) -> DataFrame:
 
         from .multimodal import decode_audio
 
+        if pre is not None:  # fuse payload synthesis into this stage
+            batches = pre(batches)  # (decoded_stats docstring, r12)
         for pdf in batches:
             rows = {k: [] for k in
                     ("media_id", "n_samples", "energy", "zero_crossings", "peak")}

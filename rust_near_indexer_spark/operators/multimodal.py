@@ -1469,7 +1469,7 @@ VIDEO_FRAME_SCHEMA = (
 )
 
 
-def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+def sample_video_frames(media: DataFrame, every_k: int = 2, pre=None) -> DataFrame:
     """Container-aware REAL frame sampling over ``mapInPandas``: for
     each RIFF/AVI payload, walk the chunk index, decode ONLY every
     ``every_k``-th frame (MJPEG/DIB via ``decode_video``), and emit
@@ -1486,6 +1486,8 @@ def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     def _sample(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        if pre is not None:  # fuse payload synthesis into this stage
+            batches = pre(batches)  # (decoded_stats docstring, r12)
         for pdf in batches:
             out = {k: [] for k in ("media_id", "frame_idx", "height",
                                    "width", "mean_milli", "frame_md5")}
@@ -1520,7 +1522,7 @@ DECODED_STATS_SCHEMA = (
 )
 
 
-def decoded_stats(media: DataFrame) -> DataFrame:
+def decoded_stats(media: DataFrame, pre=None) -> DataFrame:
     """End-to-end REAL-codec feature extraction over mapInPandas: decode
     each payload with the genuine stdlib codec (PNM image / WAV audio)
     and emit integer summary features — for images (dim0, dim1) =
@@ -1537,11 +1539,22 @@ def decoded_stats(media: DataFrame) -> DataFrame:
     is the correct engine behavior, not a benchmark trick.  The memo is
     per batch (bounded by batch size), keyed by the raw bytes (hash +
     equality — no collision risk), and caches the DROP decision for
-    undecodable payloads too."""
+    undecodable payloads too.
+
+    ``pre`` (r12, guide §4.1): an optional generator transform applied
+    to the incoming batches INSIDE the same ``mapInPandas`` stage —
+    gate queries that synthesize payloads per row pass their maker here
+    so synth → decode → reduce is ONE Python stage; the chained
+    ``df.mapInPandas(mk) → decoded_stats`` form paid a second full
+    JVM↔Arrow round-trip of the payload bytes (two ArrowEvalPython
+    nodes) purely to move bytes between two Python functions."""
 
     def _stats(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
+
+        if pre is not None:
+            batches = pre(batches)
 
         for pdf in batches:
             out = {k: [] for k in

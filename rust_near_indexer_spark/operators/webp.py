@@ -592,6 +592,25 @@ def decode_webp(data: bytes):
         if fourcc == b"ALPH":
             alph = payload  # precedes the VP8 chunk in extended files
         if fourcc == b"VP8L":
+            from . import webp_native
+
+            if webp_native.available() and len(payload) >= 5:
+                # r12: route lossless through libwebp too — the pure
+                # VP8L path below builds the pixel stream as a Python
+                # list (per-pixel interpreter cost); VP8L is lossless,
+                # so libwebp's output is the same bytes by definition
+                # (gated anyway: tests/test_webp_codec.py pins native ≡
+                # pure on the synth fixtures).  The alpha-present flag
+                # is bit 28 of the VP8L header (LSB-first after the
+                # 0x2F signature): byte 4, bit 4.
+                try:
+                    rgba = webp_native.decode_rgba(data)
+                except ValueError:
+                    pass  # malformed-for-libwebp: pure route decides
+                else:
+                    if (payload[4] >> 4) & 1:
+                        return rgba
+                    return rgba[:, :, :3].copy()
             vp8l = payload
             break
         if fourcc == b"VP8 ":

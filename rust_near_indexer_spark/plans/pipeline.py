@@ -49,8 +49,15 @@ def run_bronze(
     edges = state.child_edges(flat_outcomes, accounts)
     mappings = state.resolve_mappings(seeds, edges, ttl_blocks)
 
-    readers = state.readers_from_outcomes(flat_outcomes)
-    resolved_rows = state.resolve(readers, mappings, accounts, ttl_blocks, events_path=False)
+    # readers feeds BOTH resolve passes and resolved_rows feeds BOTH the
+    # outcome and receipt projections; without a persist every consumer
+    # action replays the distinct/join/agg chain (r12 — measured via the
+    # bronze blocks/s bench, which counts all four tables; same pattern
+    # as the flat_outcomes persist above)
+    readers = state.readers_from_outcomes(flat_outcomes).persist()
+    resolved_rows = state.resolve(
+        readers, mappings, accounts, ttl_blocks, events_path=False
+    ).persist()
     resolved_events = state.resolve(readers, mappings, accounts, ttl_blocks, events_path=True)
 
     events = bronze.event_rows(flat_outcomes, resolved_events, accounts)

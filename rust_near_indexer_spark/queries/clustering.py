@@ -417,22 +417,25 @@ _PCA_CTES = ",\n    ".join(
 )
 def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding cloud by power
-    iteration — the whitening / dimensionality-audit step of an
-    embedding pipeline, done as relational linear algebra: center the
-    milli-quantized vectors, build the 64×64 scatter matrix as an
-    (i, j, c) table, then {PCA_ITERS} rounds of matrix-vector multiply +
-    infinity-norm normalization, all exact integer arithmetic (milli
-    loadings, truncating div) so the DuckDB oracle — the identical
-    rounds unrolled as CTEs — matches bit-for-bit.
+    iteration, all exact integer arithmetic (milli loadings, truncating
+    div) so the DuckDB oracle — the identical rounds unrolled as CTEs —
+    matches bit-for-bit.
 
-    Scale shape: the only corpus-sized steps are the mean (one
-    map-combined aggregate) and the scatter matrix (posexplode to
-    (vec_id, dim, x) then a co-partitioned self-join — at 100 TB you'd
-    swap this one stage for a block-matrix treeAggregate, MLlib
-    RowMatrix style, without touching the iteration).  Every power
-    step runs on the fixed 64×64 table: broadcast joins, no shuffle
-    growth, localCheckpoint per round (plans/state.py lineage rule)."""
-    from ..plans.state import _materialize
+    Scale shape (r12 rewrite — the block-matrix treeAggregate form the
+    r09 docstring deferred, MLlib RowMatrix style): ONE corpus pass
+    computes per-partition integer Gram/colsum/count partials inside a
+    single Arrow stage (64×64 numpy matmul per batch), a bounded
+    d²-row aggregate combines them, and the centering identity
+    Σ(q−m)(q−m)ᵀ = G − m·sᵀ − s·mᵀ + n·m·mᵀ (exact in integers, since
+    m is itself integral) plus the {PCA_ITERS} power rounds run on the
+    driver over the fixed 64×64 matrix — the d×d eigen step every
+    distributed PCA does driver-side.  The r09 relational form
+    (posexplode → mean join → self-join on vec_id → groupBy → four
+    materialize/join rounds) shuffled a corpus×d token table twice and
+    paid ~6 scheduled jobs to multiply a 64×64 matrix; this pays one
+    scan and one 4161-row shuffle regardless of corpus size.  The
+    driver never holds more than d²+d+1 longs — scale-independent."""
+    import numpy as np
 
     emb = spread(load(spark, sf_dir, "embeddings"))
     qm = emb.select(
@@ -442,37 +445,70 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1e3 + F.lit(0.5)).cast("long"),
         ).alias("qe"),
     )
-    xs = qm.select("vec_id", F.posexplode("qe").alias("pos", "q")).select(
-        "vec_id", (F.col("pos") + 1).alias("i"), "q"
+
+    def _gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        g = np.zeros((DIM, DIM), np.int64)
+        s = np.zeros(DIM, np.int64)
+        n = 0
+        for pdf in batches:
+            arrs = [a for a in pdf["qe"] if a is not None]
+            if not arrs:
+                continue
+            x = np.stack([np.asarray(a, np.int64) for a in arrs])
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += x.shape[0]
+        d1 = np.arange(1, DIM + 1, dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([np.repeat(d1, DIM), d1, [0]]),
+                "j": np.concatenate([np.tile(d1, DIM), np.zeros(DIM, np.int64), [0]]),
+                "c": np.concatenate([g.reshape(-1), s, [n]]),
+            }
+        )
+
+    parts = (
+        qm.mapInPandas(_gram, schema="i long, j long, c long")
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("c"))
+        .collect()
     )
-    mu = xs.groupBy("i").agg(F.expr("sum(q) div count(*)").cast("long").alias("m"))
-    x = xs.join(mu, "i").select("vec_id", "i", (F.col("q") - F.col("m")).alias("xi"))
-    a = x.select("vec_id", F.col("i").alias("ai"), F.col("xi").alias("ax"))
-    b = x.select("vec_id", F.col("i").alias("bj"), F.col("xi").alias("bx"))
-    cov = _materialize(
-        a.join(b, "vec_id")
-        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
-        .agg(F.sum(F.col("ax") * F.col("bx")).alias("c"))
-    )
-    v = spark.range(1, DIM + 1).select(
-        F.col("id").alias("i"),
-        F.when(F.col("id") == 1, 1000).otherwise(0).cast("long").alias("val"),
-    )
+    gram = np.zeros((DIM, DIM), dtype=object)  # python ints: no overflow
+    colsum = np.zeros(DIM, dtype=object)
+    n = 0
+    for r in parts:
+        if r["i"] == 0:
+            n = int(r["c"])
+        elif r["j"] == 0:
+            colsum[r["i"] - 1] = int(r["c"])
+        else:
+            gram[r["i"] - 1][r["j"] - 1] = int(r["c"])
+
+    def tdiv(a: int, b: int) -> int:  # Spark/DuckDB `div`: trunc toward 0
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    if n == 0:  # empty corpus: the relational form returned no rows
+        return spark.createDataFrame([], "dim long, loading_milli long")
+    m = [tdiv(int(colsum[i]), n) for i in range(DIM)]
+    cov = [
+        [
+            int(gram[i][j]) - m[i] * int(colsum[j]) - m[j] * int(colsum[i])
+            + n * m[i] * m[j]
+            for j in range(DIM)
+        ]
+        for i in range(DIM)
+    ]
+    v = [1000] + [0] * (DIM - 1)
     for _ in range(PCA_ITERS):
-        w = (
-            cov.join(F.broadcast(v), cov["j"] == v["i"])
-            .groupBy(cov["i"].alias("wi"))
-            .agg(F.sum(cov["c"] * v["val"]).alias("s"))
-        )
-        m = w.agg(F.greatest(F.max(F.abs(F.col("s"))), F.lit(1)).alias("mm"))
-        v = _materialize(
-            w.crossJoin(F.broadcast(m)).select(
-                F.col("wi").alias("i"),
-                F.expr("(s * 1000) div mm").cast("long").alias("val"),
-            )
-        )
-    return v.select(F.col("i").cast("long").alias("dim"), F.col("val").alias("loading_milli")).orderBy(
-        "dim"
+        w = [sum(cov[i][j] * v[j] for j in range(DIM)) for i in range(DIM)]
+        mm = max(max(abs(x) for x in w), 1)
+        v = [tdiv(x * 1000, mm) for x in w]
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(DIM)], "dim long, loading_milli long"
     )
 
 

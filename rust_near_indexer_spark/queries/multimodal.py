@@ -102,9 +102,10 @@ def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing, not a simplified twin.  The spectral suite (STFT/MFCC)
     stays pytest-gated: FFTs aren't relationally expressible.
 
-    Scale shape: payload synthesis and decode live in two mapInPandas
-    stages on the scan partitioning — bytes never cross a shuffle; the
-    output is one bounded row per clip."""
+    Scale shape: payload synthesis, decode and reduction are fused
+    into ONE mapInPandas stage on the scan partitioning (r12) — bytes
+    never cross a shuffle or a second Python boundary; the output is
+    one bounded row per clip."""
     from ..operators.audio import pcm_gate_features, synth_wav_bytes
     from ..tables import spread
 
@@ -126,8 +127,8 @@ def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = d.mapInPandas(_mk, schema="media_id long, payload binary")
-    return pcm_gate_features(media).orderBy("media_id")
+    # synth + decode + reduce fused into ONE Arrow stage (r12)
+    return pcm_gate_features(d, pre=_mk).orderBy("media_id")
 
 
 @register(
@@ -168,7 +169,7 @@ def image_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: payload bytes never cross a shuffle (synth and decode
     ride the scan partitioning); output is one bounded row per image."""
-    from ..operators.multimodal import MEDIA_SCHEMA, decoded_stats
+    from ..operators.multimodal import decoded_stats
     from ..operators.webp import synth_webp_gray
     from ..tables import spread
 
@@ -194,8 +195,9 @@ def image_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = d.mapInPandas(_mk, schema=MEDIA_SCHEMA)
-    return decoded_stats(media).orderBy("media_id")
+    # synth + decode + reduce fused into ONE Arrow stage (r12): payload
+    # bytes are born and die inside the same Python worker pass
+    return decoded_stats(d, pre=_mk).orderBy("media_id")
 
 
 @register(
@@ -237,7 +239,7 @@ def image_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: payload bytes never cross a shuffle (fixture lookup +
     decode ride the scan partitioning inside one Arrow batch stage);
     output is one bounded row per document."""
-    from ..operators.multimodal import MEDIA_SCHEMA, decoded_stats
+    from ..operators.multimodal import decoded_stats
     from ..operators.vp8_fixtures import VP8_FIXTURES
     from ..tables import spread
 
@@ -259,8 +261,9 @@ def image_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = d.mapInPandas(_mk, schema=MEDIA_SCHEMA)
-    return decoded_stats(media).orderBy("media_id")
+    # synth + decode + reduce fused into ONE Arrow stage (r12): payload
+    # bytes are born and die inside the same Python worker pass
+    return decoded_stats(d, pre=_mk).orderBy("media_id")
 
 
 @register(
@@ -305,7 +308,7 @@ def image_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode ride the scan partitioning inside one Arrow batch stage);
     output is one bounded row per document."""
     from ..operators.jpeg_fixtures import JPEG_FIXTURES
-    from ..operators.multimodal import MEDIA_SCHEMA, decoded_stats
+    from ..operators.multimodal import decoded_stats
     from ..tables import spread
 
     d = spread(load(spark, sf_dir, "documents"), "doc_id").select("doc_id")
@@ -326,8 +329,9 @@ def image_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = d.mapInPandas(_mk, schema=MEDIA_SCHEMA)
-    return decoded_stats(media).orderBy("media_id")
+    # synth + decode + reduce fused into ONE Arrow stage (r12): payload
+    # bytes are born and die inside the same Python worker pass
+    return decoded_stats(d, pre=_mk).orderBy("media_id")
 
 
 @register(
@@ -370,7 +374,7 @@ def image_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: payload bytes never cross a shuffle (synth and decode
     ride the scan partitioning); output is one bounded row per image."""
-    from ..operators.multimodal import MEDIA_SCHEMA, decoded_stats, synth_png_gray
+    from ..operators.multimodal import decoded_stats, synth_png_gray
     from ..tables import spread
 
     # sign-defensive residues on BOTH sides (r11 self-review): Spark's
@@ -400,8 +404,9 @@ def image_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = d.mapInPandas(_mk, schema=MEDIA_SCHEMA)
-    return decoded_stats(media).orderBy("media_id")
+    # synth + decode + reduce fused into ONE Arrow stage (r12): payload
+    # bytes are born and die inside the same Python worker pass
+    return decoded_stats(d, pre=_mk).orderBy("media_id")
 
 
 @register(
@@ -460,9 +465,9 @@ def video_avi_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = d.mapInPandas(_mk, schema="media_id long, payload binary")
+    # synth + chunk walk + decode fused into ONE Arrow stage (r12)
     return (
-        sample_video_frames(media, every_k=2)
+        sample_video_frames(d, every_k=2, pre=_mk)
         .select("media_id", "frame_idx", "height", "width", "mean_milli")
         .orderBy("media_id", "frame_idx")
     )

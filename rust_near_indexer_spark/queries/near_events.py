@@ -414,7 +414,7 @@ def receipt_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pr = nodes.select("node", F.lit(1000).cast("long").alias("r"))
-    for _ in range(PR_ITERS):
+    for k in range(PR_ITERS):
         contrib = (
             pr.join(edges_deg, pr["node"] == edges_deg["parent"])
             .select(
@@ -424,18 +424,24 @@ def receipt_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("child")
             .agg(F.sum("c").alias("s"))
         )
-        pr = _materialize(
-            nodes.join(contrib, nodes["node"] == contrib["child"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(150)
-                    + F.floor(850 * F.coalesce(F.col("s"), F.lit(0)) / 1000).cast(
-                        "long"
-                    )
-                ).alias("r"),
-            )
+        pr = nodes.join(contrib, nodes["node"] == contrib["child"], "left").select(
+            "node",
+            (
+                F.lit(150)
+                + F.floor(850 * F.coalesce(F.col("s"), F.lit(0)) / 1000).cast(
+                    "long"
+                )
+            ).alias("r"),
         )
+        # r12: materialize every SECOND round instead of every round —
+        # the lineage-truncation rule only needs the chain bounded (two
+        # rounds ≈ a 6-join plan, well inside Catalyst's comfort zone),
+        # and each eager checkpoint is a scheduled job whose fixed cost
+        # dominates at the rank table's row count; odd k keeps the
+        # final round (k = PR_ITERS-1, PR_ITERS even) materialized so
+        # the caller's action never replays the loop.
+        if k % 2 == 1:
+            pr = _materialize(pr)
     return pr.select("node", F.col("r").alias("rank_milli")).orderBy(
         F.desc("rank_milli"), "node"
     )

@@ -87,15 +87,28 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     validate_duckdb.sh check loop / ClickHouse system.columns stats."""
     o = load(spark, sf_dir, "orders")
     specs = _orders_specs()
+    # r12 (guide §7.2, plans/r12/column_profile_{before,after}.txt): one
+    # combined agg put string min/max buffers (immutable types) into the
+    # same aggregate tree as the multi-distinct Expand, forcing every
+    # level to SortAggregate — a full 7-key sort of the ×(k+1)-expanded
+    # table.  Split instead: the distinct counts alone plan as
+    # HashAggregate over the Expand (grouping KEYS may be strings; only
+    # buffer types gate hash agg), and the min/max/non-null pass is a
+    # global no-Expand aggregate (empty grouping → no sort even as
+    # SortAggregate).  Two pruned columnar scans beat one scan + one
+    # sort-and-spill of 7× the table at any scale.  Both results are
+    # single rows; the cross join is 1×1.
+    prof_d = o.agg(
+        *[F.count_distinct(e).alias(f"nd__{name}") for name, e in specs]
+    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, e in specs:
         aggs += [
             F.count(e).alias(f"nn__{name}"),
-            F.count_distinct(e).alias(f"nd__{name}"),
             F.min(e).cast("string").alias(f"mn__{name}"),
             F.max(e).cast("string").alias(f"mx__{name}"),
         ]
-    prof = o.agg(*aggs)
+    prof = o.agg(*aggs).crossJoin(prof_d)
     stack = ", ".join(
         f"'{n}', nn__{n}, nd__{n}, mn__{n}, mx__{n}" for n, _ in specs
     )

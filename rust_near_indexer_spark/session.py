@@ -172,12 +172,27 @@ def ship_package(spark: SparkSession) -> None:
         )
 
 
+_TUNED_APPS: set[str] = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally built session.
 
     The driver hands ``entry``/``queries()`` callables an existing
     SparkSession; this makes its behavior match ours without rebuilding.
+
+    Idempotent AND memoized per applicationId (r12): tune() is called
+    from every ``tables.load``, and each full re-application costs
+    ~15 py4j round trips (~20-40 ms of driver time) — measurable inside
+    every timed bench rep.  Conf values are session-stable once set;
+    anything that deliberately flips one (tests) builds a new session.
     """
+    try:
+        app = spark.sparkContext.applicationId
+        if app in _TUNED_APPS:
+            return spark
+    except Exception:  # pragma: no cover - connect-mode sessions
+        app = None
     ship_package(spark)
     for k, v in RUNTIME_CONFS.items():
         try:
@@ -213,6 +228,8 @@ def tune(spark: SparkSession) -> SparkSession:
         )
     except Exception:  # pragma: no cover
         pass
+    if app is not None:
+        _TUNED_APPS.add(app)
     return spark
 
 

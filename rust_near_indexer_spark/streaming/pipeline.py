@@ -124,8 +124,12 @@ def _process_batch_inner(
     # because a parent executes before its children are spawned.
     mappings = state.resolve_mappings(seeds, edges, ttl_blocks)
 
-    readers = state.readers_from_outcomes(flat_outcomes)
-    resolved_rows = state.resolve(readers, mappings, accounts, ttl_blocks)
+    # readers feeds both resolve passes and resolved_rows feeds both the
+    # outcome and receipt sink appends — without a persist each append
+    # action replays the distinct/join/agg chain per table (r12, same
+    # rationale as the flatten persists above; released below)
+    readers = state.readers_from_outcomes(flat_outcomes).persist()
+    resolved_rows = state.resolve(readers, mappings, accounts, ttl_blocks).persist()
     resolved_events = state.resolve(
         readers, mappings, accounts, ttl_blocks, events_path=True
     )
@@ -183,6 +187,8 @@ def _process_batch_inner(
         _save_state(
             mappings.where(F.col("write_block") >= max_h - ttl_blocks), state_dir
         )
+    resolved_rows.unpersist()
+    readers.unpersist()
     flat_outcomes.unpersist()
     flat_txs.unpersist()
     blocks.unpersist()

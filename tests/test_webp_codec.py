@@ -758,6 +758,27 @@ def test_synth_webp_gray_roundtrip_and_independence():
         assert (img[:, :, 2] == WEBP_B_CONST).all()
 
 
+def test_vp8l_native_route_matches_pure(monkeypatch):
+    """r12: decode_webp routes VP8L through libwebp when present; the
+    pure prefix-code path stays the fallback and differential oracle.
+    Pin both routes bit-identical (shape AND pixels) on the gated-query
+    fixture family — VP8L is lossless, so any divergence is a bug in
+    one of the two decoders, not a convention choice."""
+    from rust_near_indexer_spark.operators import webp, webp_native
+
+    if not webp_native.available():
+        pytest.skip("libwebp not present on this machine")
+    payloads = [
+        webp.synth_webp_gray(d, 4 + d % 5, 3 + d % 4) for d in range(40)
+    ]
+    native = [webp.decode_webp(p) for p in payloads]
+    monkeypatch.setattr(webp_native, "available", lambda: False)
+    pure = [webp.decode_webp(p) for p in payloads]
+    for a, b in zip(native, pure):
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)
+
+
 def test_webp_vp8x_wrapped_vp8l():
     """Extended-format container: a VP8X chunk precedes VP8L; the chunk
     walk must skip it (with odd-size padding) and decode normally."""
