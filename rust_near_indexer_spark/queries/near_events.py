@@ -414,24 +414,27 @@ def receipt_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pr = nodes.select("node", F.lit(1000).cast("long").alias("r"))
+    zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
     for k in range(PR_ITERS):
-        contrib = (
-            pr.join(edges_deg, pr["node"] == edges_deg["parent"])
-            .select(
-                F.col("child"),
-                F.floor(F.col("r") / F.col("outdeg")).cast("long").alias("c"),
-            )
-            .groupBy("child")
-            .agg(F.sum("c").alias("s"))
+        # r12: the spine used to be contrib-groupBy(child) followed by a
+        # LEFT JOIN back to nodes (two aggregations-worth of exchanges +
+        # a join per round).  Union the per-edge contributions with a
+        # zero row per node and aggregate ONCE: same rank table (every
+        # node appears exactly once; missing contributions sum to the
+        # zero row, the old coalesce(s, 0)), one shuffle per round, no
+        # spine join.
+        contrib = pr.join(edges_deg, pr["node"] == edges_deg["parent"]).select(
+            F.col("child").alias("node"),
+            F.floor(F.col("r") / F.col("outdeg")).cast("long").alias("c"),
         )
-        pr = nodes.join(contrib, nodes["node"] == contrib["child"], "left").select(
-            "node",
-            (
-                F.lit(150)
-                + F.floor(850 * F.coalesce(F.col("s"), F.lit(0)) / 1000).cast(
-                    "long"
+        pr = (
+            contrib.unionByName(zero)
+            .groupBy("node")
+            .agg(
+                (F.lit(150) + F.floor(850 * F.sum("c") / 1000).cast("long")).alias(
+                    "r"
                 )
-            ).alias("r"),
+            )
         )
         # r12: materialize every SECOND round instead of every round —
         # the lineage-truncation rule only needs the chain bounded (two
