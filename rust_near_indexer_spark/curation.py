@@ -116,9 +116,14 @@ def _curate_build(docs: DataFrame, quality_min_milli: int) -> dict[str, DataFram
         .drop("k", "keeper")
         .persist()
     )
-    exact_dropped = keyed.join(keepers, "k").where(
-        F.col("doc_id") != F.col("keeper")
-    ).select("doc_id")
+    # exact-dropped = base minus the keepers, as an anti-join of the two
+    # PERSISTED frames (r12): the old keyed-join re-derivation re-ran
+    # the md5 keying, the keeper aggregate and the hash join a second
+    # time for the decisions branch (set identity: doc_id != keeper
+    # over the join  ⇔  doc_id ∉ exact_kept)
+    exact_dropped = base.select("doc_id").join(
+        exact_kept.select("doc_id"), "doc_id", "left_anti"
+    )
 
     # 2-3. near-dup clusters over the exact-kept survivors + election
     pairs = _verified_pairs_for(exact_kept.select("doc_id", "text"))
@@ -135,8 +140,13 @@ def _curate_build(docs: DataFrame, quality_min_milli: int) -> dict[str, DataFram
     )
     elected = labels.groupBy("cluster").agg(F.min("doc_id").alias("doc_id"))
     near_kept = exact_kept.join(elected.select("doc_id"), "doc_id").persist()
-    near_dropped = labels.join(elected.select("doc_id"), "doc_id", "left_anti").select(
-        "doc_id"
+    # near-dropped = exact-kept minus the elected survivors, again as an
+    # anti-join of PERSISTED frames (r12; labels' doc_id set IS
+    # exact_kept's, and elected ⊆ labels, so labels ∖ elected ==
+    # exact_kept ∖ near_kept) — the old form re-derived labels+elected
+    # (CC-output join + election aggregate) a second time
+    near_dropped = exact_kept.select("doc_id").join(
+        near_kept.select("doc_id"), "doc_id", "left_anti"
     )
 
     # 4. quality filter

@@ -327,7 +327,9 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..plans.state import _materialize
 
     pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    und = (
+    # und is consumed every round (and for the label init): materialize
+    # once (r12) instead of re-running the union+distinct per round
+    und = _materialize(
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("s", "d")
         .distinct()
@@ -336,19 +338,17 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         und.select(F.col("s").alias("node")).distinct().withColumn("lbl", F.col("node"))
     )
     for _ in range(LP_ROUNDS):
-        nb = (
-            und.join(labels.withColumnRenamed("node", "d"), "d")
-            .groupBy("s")
-            .agg(F.min("lbl").alias("nb"))
-            .withColumnRenamed("s", "node")
+        # r12 (the receipt_pagerank spine pattern): min over the CLOSED
+        # neighborhood = min over (neighbor labels ∪ own label), so
+        # union the per-edge label stream with the label table itself
+        # and aggregate ONCE — identical to the old groupBy-then-LEFT-
+        # JOIN-back (least(lbl, coalesce(nb, lbl))), at one exchange
+        # per round and no spine join.
+        nb = und.join(labels.withColumnRenamed("node", "d"), "d").select(
+            F.col("s").alias("node"), "lbl"
         )
         labels = _materialize(
-            labels.join(nb, "node", "left").select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nb"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
+            nb.unionByName(labels).groupBy("node").agg(F.min("lbl").alias("lbl"))
         )
     return (
         labels.groupBy(F.col("lbl").alias("community_id"))
@@ -640,22 +640,45 @@ def item_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence statistics behind item-item recommenders and
     phrase-association mining.
 
-    Scale shape: pair generation is a self-equi-join keyed by the
-    basket id, so fanout is bounded by basket size squared (TPC-H
-    baskets are ≤7 lines; a pathological mega-basket would get the
-    hot-bucket cap treatment the LSH join uses).  The pair count is
-    map-combined; the 1-row basket total broadcasts; the top-N sorts
-    pair-domain rows, never baskets."""
+    Scale shape: baskets collect per order (map-combined, bounded by
+    basket size — TPC-H baskets are ≤7 lines; a pathological
+    mega-basket would get the hot-bucket cap treatment the LSH join
+    uses), pairs expand from each sorted basket array so fanout is
+    bounded by basket size squared exactly like the self-join form the
+    r12 rewrite replaced — minus that form's three lineitem scans and
+    its SortMergeJoin.  The pair count is map-combined; the 1-row
+    basket total broadcasts; the top-N sorts pair-domain rows, never
+    baskets."""
+    from ..plans.state import _materialize
+
     li = load(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    n = items.agg(F.countDistinct("ok").alias("n_orders"))
-    a = items.select("ok", F.col("pk").alias("part_a"))
-    b = items.select("ok", F.col("pk").alias("part_b"))
+    # One basket row per order (collect_set is map-side combinable and
+    # bounded by basket size), materialized once: the old
+    # distinct-items self-join form re-scanned lineitem and re-ran the
+    # distinct THREE times (a side, b side, n_orders) and planned the
+    # pair generation as a SortMergeJoin — the r12 rewrite generates
+    # the same ordered pairs from each basket's sorted item array
+    # (fanout bounded by basket size squared, exactly like the join on
+    # ok), on ONE scan and ONE exchange keyed by order.
+    baskets = _materialize(
+        li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("pks")
+        )
+    )
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    # pairs {(a, b): a < b} within each basket: the array is sorted and
+    # duplicate-free, so position order IS value order
     p = (
-        a.join(b, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(pks, (x, i) ->"
+                    " transform(slice(pks, i + 2, size(pks)), y ->"
+                    " struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_co"))
     )

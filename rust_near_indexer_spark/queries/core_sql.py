@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..canonical import cents, duck_fingerprint, fingerprint
-from ..tables import load
+from ..tables import load, spread
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -529,7 +529,16 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PK, per group — the engine-portable rendering of
     groupBitXor(cityHash64(pk)) (scripts/cross-validate.sh:103-153).
     """
-    li = load(spark, sf_dir, "lineitem")
+    # spread the compact scan before the md5-per-row aggregate (r12):
+    # the sf0.1 parquet arrives as ONE split, so every row hash ran on a
+    # single core; project to the three needed columns first so the
+    # widening shuffle carries no payload (no-op at 100 TB, tables.spread)
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_orderkey", "l_linenumber"
+        ),
+        "l_orderkey",
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(

@@ -137,11 +137,18 @@ def _bm25_plan(
     # (the un-materialized plan benched 3x slower at sf0.1)
     tf = _materialize(toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    dl = d.select("doc_id", F.size(w).cast("long").alias("dl"))
+    # stats and probe ids read the RAW scan, not the spread() frame: the
+    # r12 before-plan showed spread's repartition exchange shuffling the
+    # full text bytes just to compute one (count, avgdl) pair and a list
+    # of probe ids — both are scan-projectable (guide §2.3: project
+    # before the exchange; §2.4: remove shuffles outright)
+    raw = load(spark, sf_dir, "documents")
+    w_raw = F.split(F.col("text"), " ")
+    dl = raw.select(F.size(w_raw).cast("long").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.expr("sum(dl) div count(*)").alias("avgdl")
     )
-    probe_ids = d.where(F.col("doc_id") % QUERY_MOD == 0).select("doc_id")
+    probe_ids = raw.where(F.col("doc_id") % QUERY_MOD == 0).select("doc_id")
     if fixed_probes is not None:
         # deterministic fixed budget: the N smallest candidate ids
         # (TakeOrderedAndProject over a tiny id column, then broadcast)
@@ -153,11 +160,18 @@ def _bm25_plan(
         # stop-term elision (index-time stopword dropping, the standard
         # inverted-index practice): a term in more than half the corpus
         # carries <=500 milli of idf but the worst posting-join fanout —
-        # prune it BEFORE the posting join, identically on both engines
-        F.broadcast(qterms)
-        .join(df_, "term")
-        .crossJoin(F.broadcast(stats))
-        .where(F.col("df") * 2 <= F.col("n_docs"))
+        # prune it BEFORE the posting join, identically on both engines.
+        # The composed (qterms x df x stats) relation is probe-sized, so
+        # broadcast it INTO the posting join (r12): without the hint the
+        # planner ran a SortMergeJoin that exchanged + sorted the whole
+        # checkpointed tf by term (guide §3.1 — the big side of a
+        # broadcast join is not shuffled at all).
+        F.broadcast(
+            F.broadcast(qterms)
+            .join(df_, "term")
+            .crossJoin(F.broadcast(stats))
+            .where(F.col("df") * 2 <= F.col("n_docs"))
+        )
         .join(tf, "term")
         .where(F.col("doc_id") != F.col("query_doc"))
         .groupBy("query_doc", "doc_id")

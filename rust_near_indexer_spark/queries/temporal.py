@@ -199,13 +199,21 @@ def event_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cent sums are decomposable, so re-aggregation is exact.
     The oracle computes all three tiers directly from raw — the gate
     therefore proves the rollup identity, not just the arithmetic."""
+    from ..plans.state import _materialize
+
     ev = load(spark, sf_dir, "events").select(
         F.expr("ts_ns div 1000").alias("ts_us"),
         "event_type",
         cents("value").alias("vc"),
     )
 
-    minute = minute_tier(ev).withColumn("resolution", F.lit("1m"))
+    # Materialize the minute tier (r12): the re-aggregation identity was
+    # already in the CODE, but Catalyst does not dedupe the shared
+    # subtree across the Union — the before-plan scanned raw events
+    # THREE times (once per tier).  The checkpoint makes the physical
+    # plan match the docstring: one raw scan, hour and day re-aggregate
+    # minute-tier rows (bucket-count sized, not event-count sized).
+    minute = _materialize(minute_tier(ev)).withColumn("resolution", F.lit("1m"))
     hour = coarsen(minute, US_PER_HOUR).withColumn("resolution", F.lit("1h"))
     day = coarsen(hour, US_PER_DAY).withColumn("resolution", F.lit("1d"))
     cols = ["resolution", "bucket_start_us", "event_type", "n_events", "value_cents"]

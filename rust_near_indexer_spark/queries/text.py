@@ -67,11 +67,18 @@ def token_frequencies_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exploded tokens are Zipf-distributed — the hottest token appears in
     nearly every document, the exact single-hot-key shape that breaks an
-    unsalted shuffle join at corpus scale.  ``operators.skew.salted_join``
-    spreads each hot key over 8 salt partitions; the result is provably
-    identical to the plain join (the oracle runs the unsalted SQL)."""
-    from ..operators.skew import salted_join
-
+    unsalted shuffle join at corpus scale.  r12: the skew now dies one
+    operator earlier — the per-token count is aggregated FIRST (partial
+    aggregation collapses every hot key to one row per map partition
+    before the exchange, guide §2.3 "aggregate before you shuffle" /
+    the two-level-aggregation skew fix), and the 10-row marker dim
+    broadcasts onto the token-level counts.  The before-plan showed the
+    previous ``salted_join`` formulation shuffling EVERY exploded token
+    through a SortMergeJoin against the 80-row replicated dim;
+    ``operators.skew.salted_join`` remains the right tool when a skewed
+    join cannot be pre-aggregated and its dim cannot broadcast
+    (tests/test_skew.py keeps it pinned result-identical).  The result
+    is provably identical (the oracle runs the plain-join SQL)."""
     toks = (
         spread(load(spark, sf_dir, "documents"), "doc_id")
         .select(F.explode(_words(F.col("text"))).alias("token"))
@@ -80,11 +87,14 @@ def token_frequencies_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = spark.createDataFrame(
         [(w, "marker") for w in MARKER_WORDS], "token string, token_class string"
     )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
     return (
-        salted_join(toks, dim, "token", n_salt=8, how="left")
-        .select("token", F.coalesce("token_class", F.lit("other")).alias("token_class"))
-        .groupBy("token", "token_class")
-        .agg(F.count("*").alias("n"))
+        counts.join(F.broadcast(dim), "token", "left")
+        .select(
+            "token",
+            F.coalesce("token_class", F.lit("other")).alias("token_class"),
+            "n",
+        )
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
@@ -346,16 +356,30 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     w = F.split(F.col("text"), " ")
+    # n-grams via zip_with over shifted slices (r12): the indexed
+    # transform(sequence(..), slice) form re-sliced the token array per
+    # element — the same interpreted-eval cost _bigram_terms documents
+    # as ~4x slower; the zipped form is one linear pass per n-gram
+    # order.  Zero-length slices for <n-token docs yield empty arrays,
+    # the oracle's empty range(1, GREATEST(len-n+1, 0) + 1).
+    len2 = F.greatest(F.size(w) - 1, F.lit(0))
+    len3 = F.greatest(F.size(w) - 2, F.lit(0))
+    g2_arr = F.zip_with(
+        F.slice(w, 1, len2), F.slice(w, 2, len2), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    g3_arr = F.zip_with(
+        F.zip_with(
+            F.slice(w, 1, len3),
+            F.slice(w, 2, len3),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice(w, 3, len3),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
     g = aug.select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
-        ).alias("g3"),
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
-        ).alias("g2"),
+        g3_arr.alias("g3"),
+        g2_arr.alias("g2"),
         F.size(w).alias("n"),
     )
     # max multiplicity via run-length over the sorted array: one linear
@@ -454,11 +478,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform of log-idf needing no cross-engine float log).  Terms are
     bigrams so document frequency actually varies on this corpus.
 
-    Scale shape: explode → two map-side-combined aggregates (tf keyed by
-    (source, term), df keyed by term) → join the term-level df back onto
-    tf (AQE: broadcast while the vocabulary is small, sort-merge once it
-    grows with the corpus) → per-source top-10 via WindowGroupLimit
-    (rank pushed below the sort)."""
+    Scale shape: explode → map-side-combined tf aggregate keyed by
+    (source, term) → df as a window count over the tf rows keyed by
+    term (one exchange, no join — r12; the groupBy-df + join form cost
+    a second full tf exchange plus the aggregate's) → per-source top-10
+    via WindowGroupLimit (rank pushed below the sort)."""
     d = load(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     # zip_with over two shifted slices instead of transform(sequence(..),
@@ -471,25 +495,30 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(bigrams).alias("term")
     )
     tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_src = d.agg(F.countDistinct("source").alias("n_src"))
+    from pyspark.sql.window import Window
+
+    # df as a window count keyed by term over the tf rows (the
+    # dedup_prefix_filter r09 pattern): the groupBy-df + join form
+    # planned as a SortMergeJoin here — a second full exchange of tf by
+    # term PLUS the df-aggregate exchange (r12 before-plan); the window
+    # computes the identical per-term row count on ONE exchange and
+    # needs no join at all (guide §2.4: two operations keyed the same
+    # way share one exchange).
     scored = (
-        # No broadcast hint on df_: the bigram vocabulary grows with the
-        # corpus, so AQE picks broadcast only while it is actually small.
-        # `div` = exact integer division, bit-identical to DuckDB's `//`
-        # (float `/` + floor can land one off when the double quotient
-        # grazes an integer).
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_src))
         .select(
             "source",
             "term",
             "tf",
             "df",
+            # `div` = exact integer division, bit-identical to DuckDB's
+            # `//` (float `/` + floor can land one off when the double
+            # quotient grazes an integer).
             F.expr("tf * 1000 * n_src div df").alias("score_milli"),
         )
     )
-    from pyspark.sql.window import Window
 
     rn = F.row_number().over(
         Window.partitionBy("source").orderBy(F.desc("score_milli"), "term")
@@ -1047,9 +1076,17 @@ def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     for terms the df band admits (left-semi prune before any
     collect_list), so no hot term ever materializes an unbounded list —
     the classic inverted-index skew killer."""
+    from ..plans.state import _materialize
+
     d = spread(load(spark, sf_dir, "documents"), "doc_id")
     w = F.split(F.col("text"), " ")
-    t = d.select("doc_id", F.explode(_bigram_terms(w)).alias("term")).distinct()
+    # materialized once (r12): both passes below consume t, and without
+    # the barrier Catalyst re-ran the corpus scan + bigram explode +
+    # distinct exchange per branch (two full tokenizations in the
+    # before-plan; guide §5 caching rule — reused AND expensive)
+    t = _materialize(
+        d.select("doc_id", F.explode(_bigram_terms(w)).alias("term")).distinct()
+    )
     # pass 1: df per term — map-side combinable, so a corpus-wide stop
     # term costs one long per partition, never a row list
     stats = (
