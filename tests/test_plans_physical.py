@@ -88,24 +88,17 @@ def test_decontamination_broadcasts_bench_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
-    """The term-level df table (vocabulary-sized) broadcasts back onto
-    the (source, term) tf table.  The decision is AQE's, made from the
-    MEASURED shuffle size at runtime (compile-time auto-broadcast is
-    disabled engine-wide — Catalyst's static estimate through Generate
-    nodes broadcast multi-GB exploded tables; session.tune r08), so the
-    pin inspects the executed adaptive plan, not the static one.
-
-    HEAP ASSUMPTION (ADVICE r08): the AQE threshold is heap-derived
-    (min(64MB, heap/64)), so this pin — and every broadcast pin in this
-    file — holds at driver heaps ≥ 4 GB.  On a smaller heap AQE
-    correctly flips marginal broadcasts to SMJ and the pin fails; set
-    SPARK_GRAFT_BROADCAST_THRESHOLD=67108864 to reproduce the pinned
-    shapes there."""
-    df = load_registry()["tfidf_top_terms"].spark(spark, sf_dir)
-    df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in final
+def test_tfidf_df_rides_window_no_join(spark, sf_dir):
+    """Document frequency attaches as a window count over the tf rows
+    keyed by term (r12 rewrite, guide §2.4) — NOT as a groupBy-df table
+    joined back onto tf, which cost a second full tf exchange plus the
+    aggregate's own.  Pin: no SortMergeJoin anywhere (the only join left
+    is the 1-row n_sources broadcast cross attach), and a Window node
+    computes df."""
+    plan = _plan(spark, "tfidf_top_terms", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row n_src attach
 
 
 def test_repetition_filter_is_scan_only(spark, sf_dir):
@@ -359,12 +352,24 @@ def test_zscore_single_window_pass(spark, sf_dir):
     assert nodes["Window"] == 1
 
 
-def test_column_profile_single_scan(spark, sf_dir):
-    """The multi-distinct profile reads orders ONCE (one Expand over one
-    parquet scan), not once per column."""
+def test_column_profile_two_pruned_scans_hash_distinct(spark, sf_dir):
+    """The profile runs as exactly TWO pruned columnar scans (r12 split):
+    the multi-distinct Expand pass alone — which therefore plans as
+    HashAggregate, not SortAggregate — plus a global no-Expand min/max/
+    count pass.  One combined agg would drag the string min/max buffers
+    (immutable agg-buffer types) into the Expand tree and force every
+    level to SortAggregate: a full sort of the ×6-expanded table.  Never
+    one scan per column (the oracle's UNION shape)."""
     plan, nodes = _node_counts(spark, "column_profile", sf_dir)
-    assert nodes["Scan"] == 1
+    assert nodes["Scan"] == 2
     assert nodes["Expand"] == 1
+    # the Expand/distinct tree must hash-aggregate; the only
+    # SortAggregates allowed are the global (keys: []) min/max pass
+    import re as _re
+
+    for m in _re.finditer(r"^\((\d+)\) SortAggregate", plan, _re.M):
+        detail = plan[m.end():].splitlines()[:4]
+        assert any(ln.strip() == "Keys: []" for ln in detail), (m.group(0), detail)
 
 
 def test_pmi_broadcasts_unigram_counts(spark, sf_dir):
@@ -501,12 +506,18 @@ def test_containment_join_has_no_array_shuffles_or_cartesian(spark, sf_dir):
     assert plan.count("row_number()") == 1
 
 
-def test_cooccurrence_pairs_join_is_basket_keyed(spark, sf_dir):
-    """Pair generation self-joins on the basket key (bounded fanout);
-    the pair count is one map-combined aggregate."""
+def test_cooccurrence_pairs_expand_from_baskets_no_join(spark, sf_dir):
+    """Pair generation explodes each order's sorted basket array (r12
+    rewrite): fanout stays bounded by basket size squared exactly like
+    the old self-join on the basket key, but on ONE materialized basket
+    table instead of three lineitem scans — and with no SortMergeJoin.
+    The pair count is one map-combined aggregate; the 1-row basket
+    total attaches as a broadcast cross."""
     plan, nodes = _node_counts(spark, "item_cooccurrence_pairs", sf_dir)
     assert nodes.get("CartesianProduct", 0) == 0
-    assert "hashpartitioning(ok" in plan or "SortMergeJoin" in plan
+    assert nodes.get("SortMergeJoin", 0) == 0
+    assert nodes.get("Generate", 0) == 1  # the in-basket pair expansion
+    assert nodes.get("BroadcastNestedLoopJoin", 0) == 1  # 1-row total
 
 
 def test_spend_quartiles_ntile_is_range_partitioned(spark, sf_dir):
