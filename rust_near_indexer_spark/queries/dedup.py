@@ -860,8 +860,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair (high similarity) plus an unrelated control pair (low) —
     the verification operator isolated from candidate generation."""
     docs = load(spark, sf_dir, "documents")
-    sh = augmented_docs(spark, sf_dir).select(
-        "doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh")
+    # The fixed pair set only ever references doc_ids ≡ 0 (mod 10)
+    # (doc_a and the +100000 planted partner) and ≡ 1 (mod 10) (the +1
+    # control partner) — knowledge the optimizer cannot derive from the
+    # join keys.  Prefiltering the corpus to those two residue classes
+    # BEFORE shingling cuts the expensive higher-order 3-gram transform
+    # to ~1/5 of the augmented corpus on BOTH join branches (r12, guide
+    # §3.2's pre-filter idea applied with problem knowledge); the joins
+    # then drop any surviving non-pair rows exactly as before.  (An
+    # eager materialize of the filtered shingle table was probed and
+    # rejected: the blocking checkpoint job serialized what are
+    # otherwise two branches of one fully parallel job — slower locally,
+    # and the branches' recompute is already 5× pre-filtered.)
+    sh = (
+        augmented_docs(spark, sf_dir)
+        .where((F.col("doc_id") % 10).isin(0, 1))
+        .select("doc_id", _shingles(F.split(F.col("text"), " ")).alias("sh"))
     )
     base = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
     planted = base.select(
@@ -1269,18 +1283,30 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bloom_candidate")
         )
     )
-    # exact membership check runs ONLY for the candidate subset
-    cand = probed.where(F.col("bloom_candidate"))
+    # ONE conditional left join resolves every row (r12): the oracle's
+    # own `LEFT JOIN hist ON p.bloom_candidate AND h.k = p.k` — the
+    # bloom_candidate guard keeps non-candidates out of the probe, so
+    # the exact membership check still runs only for the candidate
+    # subset, but `probed` (and the whole bits-explode + broadcast
+    # probe chain above it) is consumed ONCE instead of being
+    # re-evaluated for each union branch.
     seen = hist.withColumn("seen", F.lit(True))
-    resolved = cand.join(seen, "k", "left").select(
-        "doc_id",
-        "bloom_candidate",
-        F.when(F.col("seen"), F.lit("dup")).otherwise(F.lit("bloom_fp")).alias("verdict"),
+    return (
+        probed.join(
+            seen,
+            F.col("bloom_candidate") & (probed["k"] == seen["k"]),
+            "left",
+        )
+        .select(
+            probed["doc_id"],
+            probed["bloom_candidate"],
+            F.when(~F.col("bloom_candidate"), F.lit("new"))
+            .when(F.col("seen"), F.lit("dup"))
+            .otherwise(F.lit("bloom_fp"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
     )
-    fresh = probed.where(~F.col("bloom_candidate")).select(
-        "doc_id", "bloom_candidate", F.lit("new").alias("verdict")
-    )
-    return resolved.unionByName(fresh).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -227,21 +227,25 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scan.  The 0.2·avg comparison is cross-multiplied into pure
     integers (qty·10·n < 2·sum) so no division or float appears.
 
-    Scale shape: the per-part aggregate is vocabulary-sized next to the
-    fact table and partial-aggregates map-side; the join back is keyed
-    by partkey (broadcast under AQE when it fits, shuffle-join keyed the
-    same as the aggregate otherwise — one exchange reused).  This is the
-    plan the correlated form MUST decorrelate into; writing it
-    explicitly keeps the contract visible."""
+    Scale shape (r12, guide §2.4): the decorrelated aggregate-plus-join
+    form read lineitem TWICE (fact scan + aggregate scan) and shuffled
+    both (the fact rows by partkey for the SortMergeJoin, the partial
+    aggregates for the groupBy).  Per-part sum/count over a window
+    partitioned by partkey computes the identical gate on ONE scan and
+    ONE exchange — two operations keyed the same way share the
+    partitioning.  The inner join dropped NULL partkeys; the explicit
+    isNotNull filter replicates that (TPC-H partkey is non-null, so
+    it is belt-and-braces that also reaches the parquet scan)."""
     li = load(spark, sf_dir, "lineitem")
     qty = F.round(F.col("l_quantity")).cast("long")
-    avg_qty = li.groupBy("l_partkey").agg(
-        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    w = Window.partitionBy("l_partkey")
+    small = (
+        li.where(F.col("l_partkey").isNotNull())
+        .select("l_partkey", qty.alias("qty"), cents("l_extendedprice").alias("c"))
+        .withColumn("sum_qty", F.sum("qty").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .where(F.col("qty") * 10 * F.col("n") < 2 * F.col("sum_qty"))
     )
-    joined = li.select("l_partkey", qty.alias("qty"), cents("l_extendedprice").alias("c")).join(
-        avg_qty, "l_partkey"
-    )
-    small = joined.where(F.col("qty") * 10 * F.col("n") < 2 * F.col("sum_qty"))
     return small.agg(
         F.count(F.lit(1)).alias("n_small_lines"),
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("revenue_cents"),

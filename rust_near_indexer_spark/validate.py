@@ -45,32 +45,45 @@ def validate_bronze(
         return F.count(F.when(cond, F.lit(1)))
 
     # one aggregation job per table (map-side conditional counts), plus
-    # the two RI anti-joins — 6 jobs, not 11 sequential counts
-    ev_row = ev.agg(
-        F.count("*").alias("rows"),
-        cnt(F.col("tx_hash").isNull()).alias("null_tx"),
-        cnt(~F.col("contract_id").isin(*accounts)).alias("outside"),
-    ).collect()[0]
-    tx_row = tx.agg(
-        F.count("*").alias("rows"),
-        cnt(~_valid_json(F.col("actions"))).alias("invalid"),
-    ).collect()[0]
-    rc_row = rc.agg(
-        F.count("*").alias("rows"),
-        cnt(~_valid_json(F.col("actions"))).alias("invalid"),
-    ).collect()[0]
-    oc_row = oc.agg(
-        F.count("*").alias("rows"),
-        cnt(~_valid_json(F.col("logs"))).alias("invalid"),
-    ).collect()[0]
+    # the two RI anti-joins — 6 jobs, not 11 sequential counts.  The six
+    # actions are independent, so they are submitted from a small thread
+    # pool (guide §2.6): each job's tail no longer serializes the whole
+    # suite, later jobs back-fill executors freed by earlier stragglers.
+    # Spark's scheduler runs concurrent jobs FIFO; cached bronze blocks
+    # are read under block-level locks, so results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
 
     tx_hashes = tx.select(F.col("transaction_hash").alias("h"))
-    ri_receipts = rc.join(
-        tx_hashes, rc["parent_transaction_hash"] == tx_hashes["h"], "left_anti"
-    ).count()
-    ri_outcomes = oc.join(
-        tx_hashes, oc["parent_transaction_hash"] == tx_hashes["h"], "left_anti"
-    ).count()
+    actions = {
+        "ev": lambda: ev.agg(
+            F.count("*").alias("rows"),
+            cnt(F.col("tx_hash").isNull()).alias("null_tx"),
+            cnt(~F.col("contract_id").isin(*accounts)).alias("outside"),
+        ).collect()[0],
+        "tx": lambda: tx.agg(
+            F.count("*").alias("rows"),
+            cnt(~_valid_json(F.col("actions"))).alias("invalid"),
+        ).collect()[0],
+        "rc": lambda: rc.agg(
+            F.count("*").alias("rows"),
+            cnt(~_valid_json(F.col("actions"))).alias("invalid"),
+        ).collect()[0],
+        "oc": lambda: oc.agg(
+            F.count("*").alias("rows"),
+            cnt(~_valid_json(F.col("logs"))).alias("invalid"),
+        ).collect()[0],
+        "ri_rc": lambda: rc.join(
+            tx_hashes, rc["parent_transaction_hash"] == tx_hashes["h"], "left_anti"
+        ).count(),
+        "ri_oc": lambda: oc.join(
+            tx_hashes, oc["parent_transaction_hash"] == tx_hashes["h"], "left_anti"
+        ).count(),
+    }
+    with ThreadPoolExecutor(max_workers=len(actions)) as pool:
+        futs = {k: pool.submit(f) for k, f in actions.items()}
+        res = {k: f.result() for k, f in futs.items()}
+    ev_row, tx_row, rc_row, oc_row = res["ev"], res["tx"], res["rc"], res["oc"]
+    ri_receipts, ri_outcomes = res["ri_rc"], res["ri_oc"]
 
     return {
         "events_rows": ev_row["rows"],

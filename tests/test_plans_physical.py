@@ -251,13 +251,18 @@ def test_cluster_balanced_sample_rank_rides_group_limit(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_small_quantity_revenue_single_fact_exchange(spark, sf_dir):
-    """The Q17-shape decorrelated plan must join the per-part aggregate
-    back on partkey — no per-row re-scan, no cartesian."""
+def test_small_quantity_revenue_single_scan_window(spark, sf_dir):
+    """The Q17-shape per-part average gate rides a window over ONE
+    partkey exchange (r12): no second lineitem scan for the aggregate,
+    no join at all, and the isNotNull guard (replicating the old inner
+    join's null-key drop) reaches the parquet scan."""
     plan = _plan(spark, "small_quantity_revenue", sf_dir)
     assert "CartesianProduct" not in plan
-    # formatted explain renders each node twice (tree + detail): <=2 scans
-    assert plan.count("Scan parquet") <= 4
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+    assert "Window" in plan
+    # formatted explain renders each node twice (tree + detail): 1 scan
+    assert plan.count("Scan parquet") == 2
+    assert "IsNotNull(l_partkey)" in plan
 
 
 def test_nation_pair_volume_broadcasts_nations(spark, sf_dir):
