@@ -1062,11 +1062,22 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
     )
-    # prefix length |d| - ceil(τ|d|) + 1, integer ceil via (+999)//1000
-    prefix = t2.where(
-        F.col("rn")
-        <= F.col("sz") - F.expr(f"({PFJ_TAU_MILLI} * sz + 999) div 1000") + 1
-    ).select("doc_id", "s", "sz")
+    # prefix length |d| - ceil(τ|d|) + 1, integer ceil via (+999)//1000.
+    # r12: MATERIALIZE the prefix table before the self-join.  The
+    # self-join re-aliases its subtree, so without the barrier the whole
+    # explode → window(df by s) → window(rn by doc_id) chain ran TWICE
+    # (before-plan ops (6-18)+(19-31): four full token-table exchanges,
+    # four sorts).  The prefix is ~|d|−ceil(τ|d|)+1 ≈ 0.2× of the token
+    # table — checkpointing it costs one small write and halves the
+    # expensive chain: 2 exchanges + 2 sorts on the full token table.
+    # Candidate generation only needs a COMPLETE candidate set (exact
+    # verification filters below), so the barrier cannot change results.
+    prefix = _materialize(
+        t2.where(
+            F.col("rn")
+            <= F.col("sz") - F.expr(f"({PFJ_TAU_MILLI} * sz + 999) div 1000") + 1
+        ).select("doc_id", "s", "sz")
+    )
     a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sz_a"))
     b = prefix.select(F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sz_b"))
     cand = (
@@ -1250,9 +1261,17 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     +100000/+200000 variants; verdicts distinguish true dups from bloom
     false positives, and the gate pins the exact FP set (the sketch is
     bit-identical in both engines)."""
+    from ..plans.state import _materialize
+
     aug = augmented_docs(spark, sf_dir)
     key = F.md5("text")
-    hist = aug.where(F.col("doc_id") < 100000).select(key.alias("k")).distinct()
+    # r12: hist feeds BOTH the bloom build and the exact-membership
+    # `seen` side; un-materialized, the scan + md5 + distinct exchange
+    # ran twice (the self-referencing subtree is re-aliased, no reuse).
+    # The checkpoint is tiny (one 32-char key per distinct history doc).
+    hist = _materialize(
+        aug.where(F.col("doc_id") < 100000).select(key.alias("k")).distinct()
+    )
     inc = aug.where(F.col("doc_id") >= 100000).select("doc_id", key.alias("k"))
 
     ks = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")

@@ -312,8 +312,13 @@ def test_prefix_filter_join_no_arrays_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
-    # window-based df/size + rank, then join-based candidates/verify
-    assert "Window" in plan
+    # r12: the window-based df/size + rank chain runs ONCE inside the
+    # prefix checkpoint job (materialized before the self-join — the
+    # un-materialized form re-ran the whole explode + two-window chain
+    # per self-join branch); the returned plan joins the checkpointed
+    # prefix (ExistingRDD scans), so no Window may appear here at all.
+    assert "Window" not in plan
+    assert "ExistingRDD" in plan
     assert "HashAggregate" in plan
 
 
