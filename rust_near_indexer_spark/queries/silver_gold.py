@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
+from ..caching import SessionCache
 from ..plans import gold, silver
 from . import register
 from .near_events import ASSETS_PATH, bronze_tables, expected_path, load_assets
@@ -249,16 +250,45 @@ def _events(spark: SparkSession) -> DataFrame:
     return bronze_tables(spark)["events"]
 
 
+# r12 (guide §5 caching rule — reused AND expensive): the four silver
+# MV frames below feed multiple registered queries each (nep245 →
+# silver_nep245_events, both transfers views AND the flagship gold view;
+# token_diff → silver_dip4_token_diff and the gold view; each
+# dip4_transfer variant → its MV query and its transfers view), and
+# every evaluation re-runs the JSON extraction over the bronze events.
+# Persist each once per session, exactly the bronze_tables discipline
+# (the reference's MVs are likewise computed once and read many times).
+_SILVER_CACHE = SessionCache("silver_gold.frames")
+
+
+def _silver(spark: SparkSession, which: str) -> DataFrame:
+    def build() -> DataFrame:
+        ev = _events(spark)
+        if which == "nep245":
+            df = silver.nep_245_events(ev)
+        elif which == "token_diff":
+            df = silver.dip4_token_diff(ev)
+        elif which == "transfer_prod":
+            df = silver.dip4_transfer(ev, schemas.PRODUCTION_CONTRACTS)
+        elif which == "transfer_staging":
+            df = silver.dip4_transfer(ev, (schemas.STAGING_CONTRACT,))
+        else:  # pragma: no cover - internal key set
+            raise KeyError(which)
+        return df.persist()
+
+    return _SILVER_CACHE.get_or_build(spark, (which,), build)
+
+
 @register("silver_nep245_events", oracle=nep245_sql(), tags=("S3", "S4", "S5", "S7", "S8", "S9"))
 def silver_nep245_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mv_silver_nep_245_events: data-array explode + token/amount zip."""
-    return silver.nep_245_events(_events(spark))
+    return _silver(spark, "nep245")
 
 
 @register("silver_dip4_token_diff", oracle=token_diff_sql(), tags=("S3", "S4", "S5", "S6", "S8"))
 def silver_dip4_token_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mv_silver_dip4_token_diff: signed-float diff map explode + sign split."""
-    return silver.dip4_token_diff(_events(spark))
+    return _silver(spark, "token_diff")
 
 
 @register("silver_dip4_public_keys", oracle=public_keys_sql(), tags=("S3", "S5"))
@@ -282,22 +312,21 @@ def silver_dip4_fee_changed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("silver_dip4_transfer", oracle=transfer_sql(_PROD), tags=("S3", "S4", "S5", "S6", "S9"))
 def silver_dip4_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mv_silver_dip4_transfer: tokens{token→amount} map explode (no cutoff)."""
-    return silver.dip4_transfer(_events(spark), schemas.PRODUCTION_CONTRACTS)
+    return _silver(spark, "transfer_prod")
 
 
 @register("silver_staging_dip4_transfer", oracle=transfer_sql(_STAGING), tags=("S3", "S4", "S5", "S6", "S9"))
 def silver_staging_dip4_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mv_staging_silver_dip4_transfer: staging contract variant."""
-    return silver.dip4_transfer(_events(spark), (schemas.STAGING_CONTRACT,))
+    return _silver(spark, "transfer_staging")
 
 
 @register("silver_transfers", oracle=transfers_union_sql(_PROD), tags=("S17",))
 def silver_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """silver_transfers UNION ALL view (production)."""
-    ev = _events(spark)
     return silver.transfers_union(
-        silver.nep_245_events(ev),
-        silver.dip4_transfer(ev, schemas.PRODUCTION_CONTRACTS),
+        _silver(spark, "nep245"),
+        _silver(spark, "transfer_prod"),
         schemas.PRODUCTION_CONTRACTS,
     )
 
@@ -305,10 +334,9 @@ def silver_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("staging_silver_transfers", oracle=transfers_union_sql(_STAGING), tags=("S17",))
 def staging_silver_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """staging_silver_transfers UNION ALL view."""
-    ev = _events(spark)
     return silver.transfers_union(
-        silver.nep_245_events(ev),
-        silver.dip4_transfer(ev, (schemas.STAGING_CONTRACT,)),
+        _silver(spark, "nep245"),
+        _silver(spark, "transfer_staging"),
         (schemas.STAGING_CONTRACT,),
     )
 
@@ -339,9 +367,8 @@ def gold_intents_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gold_view_intents_metrics — the reference's flagship query:
     DISTINCT → referral join → date-bucket broadcast assets join →
     conditional aggregation per (day, symbol, referral, blockchain)."""
-    ev = _events(spark)
     return gold.intents_metrics(
-        silver.nep_245_events(ev),
-        silver.dip4_token_diff(ev),
+        _silver(spark, "nep245"),
+        _silver(spark, "token_diff"),
         load_assets(spark),
     )

@@ -59,3 +59,27 @@ def test_staging_production_split(spark):
     assert prod.where(F.col("contract_id") == "staging-intents.near").count() == 0
     assert staging.where(F.col("contract_id") != "staging-intents.near").count() == 0
     assert prod.count() > 0 and staging.count() > 0
+
+
+def test_silver_frames_cached_per_session_and_equal_uncached(spark):
+    """r12: the shared silver MV frames (nep245, token_diff, the two
+    dip4_transfer variants) are persisted once per session and served
+    from the cache — and the cached frame is row-identical to a fresh
+    uncached run of the same transform (no staleness, no result drift)."""
+    from rust_near_indexer_spark import schemas
+    from rust_near_indexer_spark.queries.silver_gold import _events, _silver
+
+    a = _silver(spark, "nep245")
+    b = _silver(spark, "nep245")
+    # same persisted DataFrame object, not a rebuilt plan
+    assert a is b
+    assert a.storageLevel.useMemory
+
+    fresh = silver.nep_245_events(_events(spark))
+    assert a.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(a).count() == 0
+
+    t = _silver(spark, "transfer_staging")
+    fresh_t = silver.dip4_transfer(_events(spark), (schemas.STAGING_CONTRACT,))
+    assert t.exceptAll(fresh_t).count() == 0
+    assert fresh_t.exceptAll(t).count() == 0
